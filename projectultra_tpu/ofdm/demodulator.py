@@ -1,0 +1,457 @@
+"""Batched OFDM demodulator: passband audio -> soft LLRs, on device.
+
+TPU-native rework of src/ofdm/{demodulator.cpp, channel_equalizer.cpp,
+soft_demap.hpp}.  The streaming C++ state machine becomes a ``lax.scan``
+over the symbol axis whose carry is exactly the reference's Impl state
+(demodulator_impl.hpp:20-119): channel estimate, CFO tracker, pilot phases,
+differential references, noise/SNR trackers.  The batch axis [B] rides
+every array, so thousands of independent frames demodulate in one program.
+
+This module implements the *presynced* path (processPresynced,
+demodulator.cpp:854-985): samples are already aligned to the training start
+(by chirp sync or by the test harness); CFO comes in as data.  The streaming
+Schmidl-Cox SEARCHING/SYNCED machine builds on these same per-symbol kernels
+in sync/schmidl_cox.py.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import ModemConfig, Modulation, bits_per_symbol, is_differential
+from ..ops import demap as demap_ops
+from ..ops import mixer as mixer_ops
+from . import carriers as carriers_mod
+
+# Constants from demodulator_constants.hpp / demodulator_impl.hpp.
+DEFAULT_NOISE_VAR = 0.1
+DEFAULT_SNR_LINEAR_FALLBACK = 31.6   # first-symbol 15 dB assumption
+SNR_ALPHA = 0.3
+FREQ_OFFSET_ALPHA = 0.3
+CFO_ACQUISITION_SYMBOLS = 10
+MAX_CFO_HZ = 90.0
+TIMING_ALPHA = 0.3
+PHASE_INTERP_THRESHOLD = 1.5708      # pi/2
+FADE_THRESHOLD_RATIO = 0.1
+MIN_CARRIER_NOISE_VAR = 1e-6
+MAX_CARRIER_NOISE_VAR = 100.0
+LDPC_BLOCK_SIZE = 648
+
+
+class DemodState(NamedTuple):
+    """Scan carry == OFDMDemodulator::Impl tracked state, batched on [B]."""
+    freq_offset_hz: jnp.ndarray          # [B] f32
+    freq_offset_filtered: jnp.ndarray    # [B] f32
+    freq_phase: jnp.ndarray              # [B] f64 CFO-correction phase accum
+    channel_estimate: jnp.ndarray        # [B, N] c64
+    dbpsk_prev: jnp.ndarray              # [B, C] c64
+    pilot_phase_correction: jnp.ndarray  # [B] c64
+    prev_pilot_phases: jnp.ndarray       # [B, Np] c64
+    have_prev_pilots: jnp.ndarray        # [B] bool
+    carrier_phase_correction: jnp.ndarray  # [B] c64
+    carrier_phase_initialized: jnp.ndarray  # [B] bool
+    noise_variance: jnp.ndarray          # [B] f32
+    estimated_snr_linear: jnp.ndarray    # [B] f32
+    snr_symbol_count: jnp.ndarray        # [B] i32
+    symbols_since_sync: jnp.ndarray      # [B] i32
+    timing_offset_samples: jnp.ndarray   # [B] f32
+
+
+def init_state(config: ModemConfig, B: int, cfo_hz, initial_phase) -> DemodState:
+    """processPresynced reset (demodulator.cpp:869-905): unity channel,
+    nv=0.1, CFO/phase preserved from external (chirp) estimation."""
+    cm = carriers_mod.carrier_map(config)
+    N, C, Np = config.fft_size, len(cm.data_idx), max(len(cm.pilot_idx), 1)
+    cfo = jnp.broadcast_to(jnp.asarray(cfo_hz, jnp.float32), (B,))
+    phase = jnp.broadcast_to(jnp.asarray(initial_phase, jnp.float64), (B,))
+    ones_c = jnp.ones((B,), jnp.complex64)
+    return DemodState(
+        freq_offset_hz=cfo,
+        freq_offset_filtered=cfo,
+        freq_phase=phase,
+        channel_estimate=jnp.ones((B, N), jnp.complex64),
+        dbpsk_prev=jnp.ones((B, C), jnp.complex64),
+        pilot_phase_correction=ones_c,
+        prev_pilot_phases=jnp.zeros((B, Np), jnp.complex64),
+        have_prev_pilots=jnp.zeros((B,), bool),
+        carrier_phase_correction=ones_c,
+        carrier_phase_initialized=jnp.zeros((B,), bool),
+        noise_variance=jnp.full((B,), DEFAULT_NOISE_VAR, jnp.float32),
+        estimated_snr_linear=jnp.ones((B,), jnp.float32),
+        snr_symbol_count=jnp.zeros((B,), jnp.int32),
+        symbols_since_sync=jnp.zeros((B,), jnp.int32),
+        timing_offset_samples=jnp.zeros((B,), jnp.float32),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-symbol kernels
+# ---------------------------------------------------------------------------
+
+def to_baseband_fd(config: ModemConfig, state: DemodState,
+                   sym_samples: jnp.ndarray, sym_index) -> tuple[jnp.ndarray, DemodState]:
+    """toBaseband + extractSymbol (channel_equalizer.cpp:19-71) for one
+    symbol: [B, L] passband -> [B, N] frequency domain.  Advances the CFO
+    correction phase by L samples (only when |cfo| > 0.01, like the C++)."""
+    L = sym_samples.shape[-1]
+    N, cp = config.fft_size, config.cyclic_prefix
+    t = sym_index * L + jnp.arange(L)
+    osc = mixer_ops.osc(config.center_freq, config.sample_rate, t)  # [L]
+
+    cfo = state.freq_offset_hz.astype(jnp.float64)
+    phase_inc = -2.0 * np.pi * cfo / config.sample_rate           # [B]
+    i = jnp.arange(L, dtype=jnp.float64)
+    corr_phase = state.freq_phase[:, None] + phase_inc[:, None] * i
+    corr = jnp.exp(1j * jnp.mod(corr_phase, 2 * np.pi).astype(jnp.float32))
+    active = (jnp.abs(state.freq_offset_hz) > 0.01)[:, None]
+    corr = jnp.where(active, corr, 1.0).astype(jnp.complex64)
+
+    bb = sym_samples.astype(jnp.complex64) * jnp.conj(osc)[None, :] * corr
+    fd = jnp.fft.fft(bb[:, cp:cp + N], axis=-1).astype(jnp.complex64)
+
+    new_phase = jnp.where(
+        active[:, 0],
+        jnp.mod(state.freq_phase + phase_inc * L + np.pi, 2 * np.pi) - np.pi,
+        state.freq_phase)
+    return fd, state._replace(freq_phase=new_phase)
+
+
+def update_channel_estimate(config: ModemConfig, state: DemodState,
+                            fd: jnp.ndarray) -> DemodState:
+    """Pilot-based per-symbol tracking (channel_equalizer.cpp:330-595):
+    LS pilot estimates, carrier-phase recovery, EMA channel smoothing,
+    temporal noise estimation, residual-CFO and timing-slope tracking,
+    pilot interpolation."""
+    cm = carriers_mod.carrier_map(config)
+    if len(cm.pilot_idx) == 0:
+        return state
+    pilot_idx = jnp.asarray(cm.pilot_idx)
+    pilot_seq = jnp.asarray(cm.pilot_seq)
+    Np = len(cm.pilot_idx)
+
+    alpha = jnp.where(state.snr_symbol_count == 0, 1.0, 0.9)[:, None]
+
+    h_ls = fd[:, pilot_idx] / pilot_seq[None, :]                  # [B, Np]
+    h_avg = h_ls.mean(-1)
+
+    # Carrier phase recovery on first symbol.
+    need_init = ~state.carrier_phase_initialized & (jnp.abs(h_avg) > 0.01)
+    cpc = jnp.where(need_init, jnp.conj(h_avg) / jnp.abs(h_avg),
+                    state.carrier_phase_correction)
+    initialized = state.carrier_phase_initialized | need_init
+    h_ls = h_ls * cpc[:, None]
+
+    signal_power = (jnp.abs(h_ls) ** 2).mean(-1)
+
+    # Temporal noise estimate vs previous pilots.
+    prev = state.prev_pilot_phases
+    valid = ((jnp.abs(prev) ** 2 > 1e-6) & (jnp.abs(h_ls) ** 2 > 1e-6)
+             & state.have_prev_pilots[:, None])
+    diff2 = jnp.where(valid, jnp.abs(h_ls - prev) ** 2, 0.0)
+    noise_sum = diff2.sum(-1)
+    noise_count = valid.sum(-1)
+    noise_sum = jnp.where(noise_count == 0,
+                          signal_power / DEFAULT_SNR_LINEAR_FALLBACK, noise_sum)
+    noise_count = jnp.maximum(noise_count, 1)
+
+    # Smoothed channel estimate at pilots.
+    ce = state.channel_estimate
+    old = ce[:, pilot_idx]
+    ce = ce.at[:, pilot_idx].set(alpha * h_ls + (1.0 - alpha) * old)
+
+    # Residual CFO from pilot phase rotation.
+    d = h_ls * jnp.conj(prev)
+    dmag = jnp.abs(d)
+    unit_ok = (jnp.abs(prev) ** 2 > 1e-6) & (jnp.abs(h_ls) ** 2 > 1e-6) & (dmag > 1e-6)
+    unit_ok = unit_ok & state.have_prev_pilots[:, None]
+    unit = jnp.where(unit_ok, d / jnp.maximum(dmag, 1e-30), 0.0)
+    vcount = unit_ok.sum(-1)
+    have_cfo = vcount > 0
+    avg_diff = unit.sum(-1) / jnp.maximum(vcount, 1)
+    avg_phase = jnp.arctan2(avg_diff.imag, avg_diff.real)
+
+    ppc = jnp.where(have_cfo, jnp.exp(-1j * avg_phase).astype(jnp.complex64),
+                    jnp.complex64(1.0))
+    # (reference resets pilot_phase_correction to (1,0) when no prev pilots)
+
+    sym_dur = config.symbol_duration / config.sample_rate
+    residual = avg_phase / (2 * np.pi * sym_dur)
+    total_cfo = state.freq_offset_hz + residual
+    progress = jnp.clip(state.symbols_since_sync / CFO_ACQUISITION_SYMBOLS, 0, 1)
+    ad_alpha = 0.9 * (1 - progress) + FREQ_OFFSET_ALPHA * progress
+    ad_alpha = jnp.where(jnp.abs(residual) > 10.0,
+                         jnp.maximum(ad_alpha, 0.9), ad_alpha)
+    fof = jnp.where(have_cfo,
+                    ad_alpha * total_cfo + (1 - ad_alpha) * state.freq_offset_filtered,
+                    state.freq_offset_filtered)
+    foh = jnp.where(have_cfo, jnp.clip(fof, -MAX_CFO_HZ, MAX_CFO_HZ),
+                    state.freq_offset_hz)
+    ssc = state.symbols_since_sync + jnp.where(have_cfo, 1, 0)
+
+    # Timing recovery: LS fit of pilot phase slope vs signed bin index.
+    tmask = jnp.abs(h_ls) ** 2 >= 1e-6
+    k = jnp.asarray(cm.pilot_k, jnp.float32)[None, :]
+    ph = jnp.angle(h_ls)
+    nvalid = tmask.sum(-1)
+    sum_k = (k * tmask).sum(-1)
+    sum_k2 = (k * k * tmask).sum(-1)
+    sum_p = (ph * tmask).sum(-1)
+    sum_kp = (k * ph * tmask).sum(-1)
+    denom = nvalid * sum_k2 - sum_k * sum_k
+    can_fit = (state.snr_symbol_count >= 3) & (nvalid >= 3) & (jnp.abs(denom) > 1e-6)
+    slope = (nvalid * sum_kp - sum_k * sum_p) / jnp.where(can_fit, denom, 1.0)
+    inst = slope * config.fft_size / (2 * np.pi)
+    tos = TIMING_ALPHA * inst + (1 - TIMING_ALPHA) * state.timing_offset_samples
+    max_t = 50.0 * (config.fft_size / 512.0)
+    tos = jnp.clip(tos, -max_t, max_t)
+    tos = jnp.where(can_fit, tos, state.timing_offset_samples)
+
+    # Coherent timing fix: de-rotate pilots, interpolate, re-rotate all bins.
+    coherent = not is_differential(config.modulation)
+    if coherent:
+        tfix = (jnp.abs(tos) > 0.1)[:, None]
+        kph = 2 * np.pi * jnp.asarray(cm.pilot_k)[None, :] * tos[:, None] / config.fft_size
+        ce = ce.at[:, pilot_idx].multiply(
+            jnp.where(tfix, jnp.exp(-1j * kph.astype(jnp.float32)), 1.0))
+
+    ce = _interpolate_channel(config, ce)
+
+    if coherent:
+        tfix = (jnp.abs(tos) > 0.1)[:, None]
+        kph = 2 * np.pi * jnp.asarray(cm.pilot_k)[None, :] * tos[:, None] / config.fft_size
+        ce = ce.at[:, pilot_idx].multiply(
+            jnp.where(tfix, jnp.exp(1j * kph.astype(jnp.float32)), 1.0))
+        kphd = 2 * np.pi * jnp.asarray(cm.data_k)[None, :] * tos[:, None] / config.fft_size
+        ce = ce.at[:, jnp.asarray(cm.data_idx)].multiply(
+            jnp.where(tfix, jnp.exp(1j * kphd.astype(jnp.float32)), 1.0))
+
+    # Noise variance / SNR EMA.
+    upd = (noise_count > 1) & (noise_sum > 0)
+    nv = jnp.where(upd, jnp.maximum(noise_sum / jnp.maximum(noise_count - 1, 1), 1e-6),
+                   state.noise_variance)
+    inst_snr = jnp.clip(signal_power / jnp.maximum(nv, 1e-30), 0.1, 10000.0)
+    snr = jnp.where(upd, SNR_ALPHA * inst_snr + (1 - SNR_ALPHA) * state.estimated_snr_linear,
+                    state.estimated_snr_linear)
+
+    return state._replace(
+        channel_estimate=ce,
+        pilot_phase_correction=ppc,
+        prev_pilot_phases=h_ls,
+        have_prev_pilots=jnp.ones_like(state.have_prev_pilots),
+        carrier_phase_correction=cpc,
+        carrier_phase_initialized=initialized,
+        noise_variance=nv,
+        estimated_snr_linear=snr,
+        snr_symbol_count=state.snr_symbol_count + 1,
+        symbols_since_sync=ssc,
+        freq_offset_hz=foh,
+        freq_offset_filtered=fof,
+        timing_offset_samples=tos,
+    )
+
+
+@functools.lru_cache(maxsize=None)
+def _interp_arrays(config: ModemConfig):
+    """Static interpolation table (demodulator.cpp:137-193): per data carrier
+    the neighbouring pilot bins and blend factor.  Missing neighbours are
+    encoded by clamping to the existing one with alpha forced to 0/1."""
+    neg = config.num_carriers // 2
+    pos = (config.num_carriers + 1) // 2
+    carriers = []
+    count = 0
+    for i in range(-neg, pos + 1):
+        if i == 0:
+            continue
+        fft_i = (i + config.fft_size) % config.fft_size
+        carriers.append((fft_i, count % config.pilot_spacing == 0))
+        count += 1
+    data_bins, lower, upper, alphas, has_l, has_u = [], [], [], [], [], []
+    for ci, (bin_i, is_p) in enumerate(carriers):
+        if is_p:
+            continue
+        lo = next(((j, carriers[j][0]) for j in range(ci - 1, -1, -1)
+                   if carriers[j][1]), None)
+        up = next(((j, carriers[j][0]) for j in range(ci + 1, len(carriers))
+                   if carriers[j][1]), None)
+        a = 0.5
+        if lo and up and up[0] != lo[0]:
+            a = (ci - lo[0]) / (up[0] - lo[0])
+        data_bins.append(bin_i)
+        lower.append(lo[1] if lo else (up[1] if up else bin_i))
+        upper.append(up[1] if up else (lo[1] if lo else bin_i))
+        alphas.append(a)
+        has_l.append(lo is not None)
+        has_u.append(up is not None)
+    return (np.asarray(data_bins, np.int32), np.asarray(lower, np.int32),
+            np.asarray(upper, np.int32), np.asarray(alphas, np.float32),
+            np.asarray(has_l), np.asarray(has_u))
+
+
+def _interpolate_channel(config: ModemConfig, ce: jnp.ndarray) -> jnp.ndarray:
+    """interpolateChannel (channel_equalizer.cpp:601-631): linear between
+    pilots, nearest-pilot when the inter-pilot phase jump exceeds pi/2."""
+    bins, lo, up, a, has_l, has_u = _interp_arrays(config)
+    if len(bins) == 0:
+        return ce
+    H1 = ce[:, jnp.asarray(lo)]
+    H2 = ce[:, jnp.asarray(up)]
+    pd = H2 * jnp.conj(H1)
+    phase_diff = jnp.abs(jnp.arctan2(pd.imag, pd.real))
+    a = jnp.asarray(a)[None, :]
+    lin = (1.0 - a) * H1 + a * H2
+    nearest = jnp.where(a < 0.5, H1, H2)
+    both = jnp.asarray(has_l & has_u)[None, :]
+    interp = jnp.where(phase_diff > PHASE_INTERP_THRESHOLD, nearest, lin)
+    only_l = jnp.asarray(has_l & ~has_u)[None, :]
+    val = jnp.where(both, interp, jnp.where(only_l, H1, H2))
+    return ce.at[:, jnp.asarray(bins)].set(val.astype(jnp.complex64))
+
+
+def equalize(config: ModemConfig, mod: Modulation, state: DemodState,
+             fd: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """(channel_equalizer.cpp:728-855) -> (equalized [B,C], noise_var [B,C])."""
+    cm = carriers_mod.carrier_map(config)
+    didx = jnp.asarray(cm.data_idx)
+    rx = fd[:, didx]
+    h = state.channel_estimate[:, didx]
+    hp = jnp.abs(h) ** 2
+    nv = state.noise_variance[:, None]
+
+    if is_differential(mod):
+        kph = (2 * np.pi * jnp.asarray(cm.data_k)[None, :]
+               * state.timing_offset_samples[:, None] / config.fft_size)
+        tc = jnp.exp(1j * kph.astype(jnp.float32))
+        ppc = state.pilot_phase_correction[:, None]
+        good = hp > 1e-6
+        eq = jnp.where(good, rx * jnp.conj(h) / jnp.maximum(hp, 1e-30), rx) * ppc * tc
+        cnv = jnp.where(good, nv / jnp.maximum(hp, 1e-30), MAX_CARRIER_NOISE_VAR)
+        cnv = jnp.clip(cnv, MIN_CARRIER_NOISE_VAR, MAX_CARRIER_NOISE_VAR)
+        return eq.astype(jnp.complex64), cnv
+
+    # Coherent MMSE with deep-fade soft erasure.
+    denom = hp + nv
+    good = denom >= 1e-10
+    eq = jnp.where(good, jnp.conj(h) * rx / jnp.maximum(denom, 1e-30), 0.0)
+    cnv = jnp.where(good,
+                    jnp.clip(nv / (hp + 1e-6), MIN_CARRIER_NOISE_VAR,
+                             MAX_CARRIER_NOISE_VAR),
+                    MAX_CARRIER_NOISE_VAR)
+    avg_hp = hp.mean(-1, keepdims=True)
+    cnv = jnp.where(hp < FADE_THRESHOLD_RATIO * avg_hp, MAX_CARRIER_NOISE_VAR, cnv)
+    return eq.astype(jnp.complex64), cnv
+
+
+def demodulate_symbol(config: ModemConfig, mod: Modulation, state: DemodState,
+                      eq: jnp.ndarray, cnv: jnp.ndarray
+                      ) -> tuple[jnp.ndarray, DemodState]:
+    """(demodulator.cpp:199-435) -> (llrs [B, C*bc], state).
+
+    Note: the reference's decision-directed tracking block
+    (demodulator.cpp:362-434) is inert — it reads dbpsk_prev_equalized[i]
+    AFTER the demap loop has already overwritten it with the current symbol,
+    so every measured phase error is identically zero.  We therefore omit it.
+    """
+    nv = cnv * demap_ops.CE_MARGIN.get(mod, 1.0)
+    if is_differential(mod):
+        llrs = demap_ops.demap(mod, eq, nv, prev=state.dbpsk_prev)
+        state = state._replace(dbpsk_prev=eq)
+    else:
+        llrs = demap_ops.demap(mod, eq, nv)
+    B = eq.shape[0]
+    return llrs.reshape(B, -1), state
+
+
+# ---------------------------------------------------------------------------
+# Presynced frame pipeline (processPresynced, demodulator.cpp:854-985)
+# ---------------------------------------------------------------------------
+
+def estimate_channel_from_lts(config: ModemConfig, state: DemodState,
+                              training: jnp.ndarray) -> DemodState:
+    """(channel_equalizer.cpp:77-328): LS estimates from each training
+    symbol; data carriers take the LAST symbol's H (closest in time to the
+    first data symbol), pilots take the average; SNR seeded from |H|avg^2 /
+    noise_variance; snr_symbol_count set to the training count."""
+    cm = carriers_mod.carrier_map(config)
+    B, n_sym, L = training.shape
+    tx_data = cm.sync_seq[np.arange(len(cm.data_idx)) % len(cm.sync_seq)]
+    tx_data = jnp.asarray(tx_data)
+
+    ce = state.channel_estimate
+    h_data_last = None
+    h_pilot_sum = jnp.zeros((B, max(len(cm.pilot_idx), 1)), jnp.complex64)
+    for s in range(n_sym):
+        fd, state = to_baseband_fd(config, state, training[:, s], s)
+        h_data_last = fd[:, jnp.asarray(cm.data_idx)] / tx_data[None, :]
+        if len(cm.pilot_idx):
+            h_pilot_sum = h_pilot_sum + fd[:, jnp.asarray(cm.pilot_idx)] / jnp.asarray(cm.pilot_seq)[None, :]
+
+    ce = ce.at[:, jnp.asarray(cm.data_idx)].set(h_data_last)
+    if len(cm.pilot_idx):
+        ce = ce.at[:, jnp.asarray(cm.pilot_idx)].set(h_pilot_sum / n_sym)
+
+    h_mag_avg = jnp.abs(h_data_last).mean(-1)
+    snr = jnp.clip(h_mag_avg ** 2 / jnp.maximum(state.noise_variance, 1e-10),
+                   0.1, 10000.0)
+    ok = (h_mag_avg > 1e-6) & (state.noise_variance > 1e-10)
+    snr = jnp.where(ok, snr, state.estimated_snr_linear)
+
+    return state._replace(
+        channel_estimate=ce,
+        estimated_snr_linear=snr,
+        snr_symbol_count=jnp.full_like(state.snr_symbol_count, n_sym),
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("config", "mod", "training_symbols",
+                                             "num_data_symbols"))
+def demodulate_presynced(config: ModemConfig, mod: Modulation,
+                         samples: jnp.ndarray, cfo_hz, initial_phase,
+                         training_symbols: int, num_data_symbols: int):
+    """Full presynced RX for a batch of frames.
+
+    Args:
+      samples: [B, T] float32 passband, aligned at training start;
+               T >= (training_symbols + num_data_symbols) * symbol_duration.
+      cfo_hz, initial_phase: [B] external CFO estimate + accumulated phase
+               (setFrequencyOffsetWithPhase semantics, demodulator.cpp:816).
+    Returns:
+      (llrs [B, num_data_symbols * bits_per_ofdm_symbol], final DemodState)
+    """
+    B = samples.shape[0]
+    L = config.symbol_duration
+    state = init_state(config, B, cfo_hz, initial_phase)
+
+    if training_symbols > 0:
+        tr = samples[:, :training_symbols * L].reshape(B, training_symbols, L)
+        state = estimate_channel_from_lts(config, state, tr)
+
+    data = samples[:, training_symbols * L:(training_symbols + num_data_symbols) * L]
+    data = data.reshape(B, num_data_symbols, L)
+
+    has_pilots = len(carriers_mod.carrier_map(config).pilot_idx) > 0
+
+    def step(carry, xs):
+        state = carry
+        sym, s_idx = xs
+        fd, state = to_baseband_fd(config, state, sym, training_symbols + s_idx)
+        if has_pilots:
+            state = update_channel_estimate(config, state, fd)
+        eq, cnv = equalize(config, mod, state, fd)
+        llrs, state = demodulate_symbol(config, mod, state, eq, cnv)
+        return state, llrs
+
+    xs = (jnp.moveaxis(data, 1, 0), jnp.arange(num_data_symbols))
+    state, llrs = jax.lax.scan(step, state, xs)
+    llrs = jnp.moveaxis(llrs, 0, 1).reshape(B, -1)   # [B, S*C*bc]
+    return llrs, state
+
+
+def num_symbols_for_bits(config: ModemConfig, mod: Modulation, nbits: int) -> int:
+    cm = carriers_mod.carrier_map(config)
+    per_sym = len(cm.data_idx) * bits_per_symbol(mod)
+    return -(-nbits // per_sym)

@@ -1,0 +1,160 @@
+"""Batched LDPC encode/decode kernels (JAX/XLA, TPU-first).
+
+Design notes (vs. the reference's per-edge scalar loops,
+src/fec/ldpc_decoder.cpp:179-236):
+
+* The Tanner graph is a *constant* padded edge tensor ``row_vars [m, D]`` —
+  all shapes static, so XLA tiles everything onto the VPU and the batch axis
+  vectorizes trivially (vmap is implicit via leading axis).
+* Check-node update uses the two-minima trick instead of the reference's
+  per-edge exclusion loop: one min + one argmin + one masked second-min per
+  check row replaces a D^2 inner loop. Identical results (min-sum is
+  tie-insensitive).
+* Early exit: ``lax.while_loop`` runs until every codeword in the batch has
+  satisfied parity or max_iters is reached.  Converged lanes are frozen
+  (state kept) so results match the reference's per-codeword early exit
+  exactly — extra iterations cannot perturb a converged codeword.
+* Encoding is a single f32 matmul on the MXU: parity = info @ H_data^T mod 2
+  (row degrees <= 6, so f32 accumulation is exact).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..fec.ldpc import (LDPCCode, MIN_SUM_SCALE, V2C_CLAMP,
+                        DEFAULT_MAX_ITERS, HARD_LLR)
+
+
+def encode(code: LDPCCode, info_bits: jnp.ndarray) -> jnp.ndarray:
+    """[..., k] {0,1} -> [..., n] {0,1} (float32 in, float32 out)."""
+    info = info_bits.astype(jnp.float32)
+    h_t = jnp.asarray(code.h_dense.T)  # [k, m]
+    parity = jnp.mod(info @ h_t, 2.0)
+    return jnp.concatenate([info, parity], axis=-1)
+
+
+@functools.partial(jax.jit, static_argnames=("code", "max_iters"))
+def decode(code: LDPCCode, llrs: jnp.ndarray, max_iters: int = DEFAULT_MAX_ITERS):
+    """Flooding min-sum BP decode of a batch of codewords.
+
+    Args:
+      llrs: [B, n] float32 channel LLRs (positive = bit 0).
+    Returns:
+      info_bits [B, k] uint8, success [B] bool, iters [B] int32
+      (iters semantics match lastIterations(): 0-based iteration index at
+      convergence, or max_iters when decoding failed).
+    """
+    B = llrs.shape[0]
+    m, n, D = code.m, code.n, code.max_degree
+    row_vars = jnp.asarray(code.row_vars)          # [m, D]
+    row_mask = jnp.asarray(code.row_mask)          # [m, D]
+    flat_vars = jnp.asarray(code.row_vars.reshape(-1))  # [m*D]
+
+    llr_in = llrs.astype(jnp.float32)
+
+    def gather_vars(x):  # x: [B, n] -> [B, m, D]
+        return x[:, row_vars]
+
+    v2c0 = jnp.where(row_mask, gather_vars(llr_in), 0.0)
+    c2v0 = jnp.zeros((B, m, D), jnp.float32)
+
+    inf = jnp.float32(np.inf)
+    eidx = jnp.arange(D)
+
+    def one_iter(v2c):
+        # --- check-to-variable (min-sum, 0.75 scale) ---
+        neg = (v2c < 0) & row_mask
+        row_par = neg.sum(-1) & 1                              # [B, m]
+        edge_par = (row_par[..., None] ^ neg.astype(jnp.int32)) & 1
+        sign = 1.0 - 2.0 * edge_par.astype(jnp.float32)
+
+        a = jnp.where(row_mask, jnp.abs(v2c), inf)
+        min1 = a.min(-1, keepdims=True)
+        amin = a.argmin(-1)[..., None]
+        a2 = jnp.where(eidx == amin, inf, a)
+        min2 = a2.min(-1, keepdims=True)
+        min_excl = jnp.where(eidx == amin, min2, min1)
+        c2v = jnp.where(row_mask, sign * min_excl * MIN_SUM_SCALE, 0.0)
+
+        # --- total LLR: llr_in + scatter-add of c2v over variables ---
+        llr_total = llr_in + (
+            jnp.zeros((B, n), jnp.float32)
+            .at[:, flat_vars].add(c2v.reshape(B, -1)))
+
+        # --- variable-to-check, clamped ---
+        v2c_new = jnp.clip(gather_vars(llr_total) - c2v, -V2C_CLAMP, V2C_CLAMP)
+        v2c_new = jnp.where(row_mask, v2c_new, 0.0)
+
+        # --- parity check on hard decisions ---
+        hard = (llr_total < 0)
+        row_xor = (gather_vars(hard.astype(jnp.int32)) * row_mask).sum(-1) & 1
+        ok = (row_xor == 0).all(-1)                             # [B]
+        return v2c_new, llr_total, ok
+
+    def cond(state):
+        it, _, _, done, _ = state
+        return (it < max_iters) & ~done.all()
+
+    def body(state):
+        it, v2c, llr_total, done, iters = state
+        v2c_new, llr_new, ok = one_iter(v2c)
+        # Freeze converged lanes.
+        keep = done[:, None, None]
+        v2c = jnp.where(keep, v2c, v2c_new)
+        llr_total = jnp.where(done[:, None], llr_total, llr_new)
+        newly = ~done & ok
+        iters = jnp.where(newly, it, iters)
+        done = done | ok
+        return it + 1, v2c, llr_total, done, iters
+
+    state0 = (jnp.int32(0), v2c0, llr_in,
+              jnp.zeros(B, bool), jnp.full(B, max_iters, jnp.int32))
+    _, _, llr_total, done, iters = jax.lax.while_loop(cond, body, state0)
+
+    info_bits = (llr_total[:, :code.k] < 0).astype(jnp.uint8)
+    return info_bits, done, iters
+
+
+def decode_hard(code: LDPCCode, bits: jnp.ndarray, max_iters: int = DEFAULT_MAX_ITERS):
+    """Hard-input decode: bit b -> LLR -6/+6 (ldpc_decoder.cpp:267-281)."""
+    llrs = jnp.where(bits > 0, -HARD_LLR, HARD_LLR).astype(jnp.float32)
+    return decode(code, llrs, max_iters)
+
+
+def decode_soft_stream(code: LDPCCode, llrs: np.ndarray,
+                       max_iters: int = DEFAULT_MAX_ITERS):
+    """Multi-block decode of a 1-D LLR stream (ldpc_decoder.cpp:283-428).
+
+    Chunks the stream into n-bit codewords (zero-padding a trailing partial
+    block), decodes them as one device batch, and returns the concatenated
+    info BITS packed into bytes only once at the very end — exactly the
+    reference's bit-level multi-block semantics.
+
+    Returns (decoded_bytes, success, per_block_iters).
+    """
+    from ..utils.bits import bits_to_bytes
+    llrs = np.asarray(llrs, dtype=np.float32).reshape(-1)
+    if llrs.size == 0:
+        return b"", False, np.zeros(0, np.int32)
+    n = code.n
+    nb = (llrs.size + n - 1) // n
+    padded = np.zeros(nb * n, dtype=np.float32)
+    padded[:llrs.size] = llrs
+    blocks = jnp.asarray(padded.reshape(nb, n))
+    info, ok, iters = decode(code, blocks, max_iters)
+    info = np.asarray(info).reshape(-1)
+    return bits_to_bytes(info), bool(np.asarray(ok).all()), np.asarray(iters)
+
+
+def decode_hard_stream(code: LDPCCode, data: bytes,
+                       max_iters: int = DEFAULT_MAX_ITERS):
+    """Byte-stream hard decode (LDPCDecoder::decode)."""
+    from ..utils.bits import bytes_to_bits
+    bits = bytes_to_bits(data).astype(np.float32)
+    llrs = np.where(bits > 0, -HARD_LLR, HARD_LLR).astype(np.float32)
+    return decode_soft_stream(code, llrs, max_iters)
