@@ -1,0 +1,80 @@
+#!/usr/bin/env python
+"""Headline benchmark: full OFDM-DQPSK-R1/2 frame encode+decode pipelines/sec.
+
+One pipeline = LDPC encode (R1/2, 648 bits) -> channel interleave -> OFDM
+modulate (512-FFT, 30 carriers, DQPSK, 2 LTS training) -> AWGN channel @17 dB
+-> presynced demodulate (CFO correction, LTS channel estimation, soft demap)
+-> deinterleave -> LDPC min-sum decode.  This is BASELINE.json config #2; the
+reference C++ runs this single-threaded on CPU and publishes no compute
+numbers, so the north-star target is >=10,000 pipelines/sec/chip (BASELINE.md).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from projectultra_tpu.config import Modulation, CodeRate
+from projectultra_tpu.fec import ldpc
+from projectultra_tpu.ofdm import pipeline as P
+from projectultra_tpu.sim import watterson as W
+
+TARGET_PIPELINES_PER_SEC = 10_000.0  # BASELINE.md north star
+SNR_DB = 17.0
+BATCH = 1024
+ITERS = 8
+
+CFG = P.chirp_ofdm_config()
+MOD = Modulation.DQPSK
+RATE = CodeRate.R1_2
+
+
+@jax.jit
+def _step(info_bits, key):
+    tx = P.tx_frame(CFG, MOD, RATE, info_bits)
+    rx_in = W.add_noise_active(key, tx, SNR_DB)
+    out, ok, iters = P.rx_frame(CFG, MOD, RATE, rx_in)
+    return out, ok
+
+
+def main():
+    code = ldpc.get_code(RATE)
+    rng = np.random.default_rng(0)
+    info = jnp.asarray(rng.integers(0, 2, size=(BATCH, code.k)).astype(np.float32))
+    keys = jax.random.split(jax.random.PRNGKey(0), ITERS + 2)
+
+    # Warmup / compile + correctness check.
+    out, ok = _step(info, keys[0])
+    ok_rate = float(np.asarray(ok).mean())
+    bit_ok = bool((np.asarray(out) == np.asarray(info, np.uint8)).all())
+    jax.block_until_ready(_step(info, keys[1]))
+
+    t0 = time.perf_counter()
+    for i in range(ITERS):
+        out, ok = _step(info, keys[2 + i])
+    jax.block_until_ready((out, ok))
+    dt = time.perf_counter() - t0
+
+    pps = BATCH * ITERS / dt
+    result = {
+        "metric": "ofdm_dqpsk_r12_frame_pipelines_per_sec",
+        "value": round(pps, 1),
+        "unit": "pipelines/s/chip",
+        "vs_baseline": round(pps / TARGET_PIPELINES_PER_SEC, 3),
+    }
+    # Guard: a fast but wrong pipeline is worthless.
+    if ok_rate < 0.99 or not bit_ok:
+        result["decode_ok_rate"] = ok_rate
+        result["value"] = 0.0
+        result["vs_baseline"] = 0.0
+    print(json.dumps(result))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -47,7 +47,7 @@ class DemodState(NamedTuple):
     """Scan carry == OFDMDemodulator::Impl tracked state, batched on [B]."""
     freq_offset_hz: jnp.ndarray          # [B] f32
     freq_offset_filtered: jnp.ndarray    # [B] f32
-    freq_phase: jnp.ndarray              # [B] f64 CFO-correction phase accum
+    freq_phase: jnp.ndarray              # [B] f32 CFO-correction phase accum
     channel_estimate: jnp.ndarray        # [B, N] c64
     dbpsk_prev: jnp.ndarray              # [B, C] c64
     pilot_phase_correction: jnp.ndarray  # [B] c64
@@ -68,7 +68,7 @@ def init_state(config: ModemConfig, B: int, cfo_hz, initial_phase) -> DemodState
     cm = carriers_mod.carrier_map(config)
     N, C, Np = config.fft_size, len(cm.data_idx), max(len(cm.pilot_idx), 1)
     cfo = jnp.broadcast_to(jnp.asarray(cfo_hz, jnp.float32), (B,))
-    phase = jnp.broadcast_to(jnp.asarray(initial_phase, jnp.float64), (B,))
+    phase = jnp.broadcast_to(jnp.asarray(initial_phase, jnp.float32), (B,))
     ones_c = jnp.ones((B,), jnp.complex64)
     return DemodState(
         freq_offset_hz=cfo,
@@ -101,15 +101,14 @@ def to_baseband_fd(config: ModemConfig, state: DemodState,
     L = sym_samples.shape[-1]
     N, cp = config.fft_size, config.cyclic_prefix
     t = sym_index * L + jnp.arange(L)
-    osc = mixer_ops.osc(config.center_freq, config.sample_rate, t)  # [L]
+    osc = mixer_ops.osc_int(config.center_freq, config.sample_rate, t)  # [L]
 
-    cfo = state.freq_offset_hz.astype(jnp.float64)
-    phase_inc = -2.0 * np.pi * cfo / config.sample_rate           # [B]
-    i = jnp.arange(L, dtype=jnp.float64)
+    phase_inc = jnp.float32(-2.0 * np.pi / config.sample_rate) * state.freq_offset_hz
+    i = jnp.arange(L, dtype=jnp.float32)
     corr_phase = state.freq_phase[:, None] + phase_inc[:, None] * i
-    corr = jnp.exp(1j * jnp.mod(corr_phase, 2 * np.pi).astype(jnp.float32))
+    corr = jnp.exp(1j * corr_phase).astype(jnp.complex64)
     active = (jnp.abs(state.freq_offset_hz) > 0.01)[:, None]
-    corr = jnp.where(active, corr, 1.0).astype(jnp.complex64)
+    corr = jnp.where(active, corr, jnp.complex64(1.0))
 
     bb = sym_samples.astype(jnp.complex64) * jnp.conj(osc)[None, :] * corr
     fd = jnp.fft.fft(bb[:, cp:cp + N], axis=-1).astype(jnp.complex64)

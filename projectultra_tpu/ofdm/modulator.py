@@ -59,18 +59,26 @@ def map_bits_to_symbols(config: ModemConfig, mod: Modulation,
     weights = (1 << jnp.arange(bc - 1, -1, -1, dtype=jnp.int32))
     words = (words * weights).sum(-1)  # [B, S, C]
 
+    # Carriers whose bits lie entirely past the input are left EMPTY (complex
+    # zero), matching modulator.cpp:453-456 — only partially-filled carriers
+    # get zero-bit padding.
+    first_bit = (np.arange(S * C).reshape(S, C)) * bc
+    filled = jnp.asarray(first_bit < nbits)[None, :, :]
+
     if mod == Modulation.DBPSK:
         cum = jnp.cumsum(words, axis=1) % 2
-        return jnp.where(cum == 0, 1.0 + 0j, -1.0 + 0j).astype(jnp.complex64)
-    if mod == Modulation.DQPSK:
+        syms = jnp.where(cum == 0, 1.0 + 0j, -1.0 + 0j).astype(jnp.complex64)
+    elif mod == Modulation.DQPSK:
         cum = jnp.cumsum(words, axis=1) % 4
-        return jnp.asarray(con.DQPSK_PHASES)[cum]
-    if mod == Modulation.D8PSK:
+        syms = jnp.asarray(con.DQPSK_PHASES)[cum]
+    elif mod == Modulation.D8PSK:
         # Cumulative angle: each step is word*45deg + 22.5deg.
         ang = words.astype(jnp.float32) * (np.pi / 4) + np.pi / 8
         cum = jnp.cumsum(ang, axis=1)
-        return (jnp.cos(cum) + 1j * jnp.sin(cum)).astype(jnp.complex64)
-    return jnp.asarray(con.table(mod))[words]
+        syms = (jnp.cos(cum) + 1j * jnp.sin(cum)).astype(jnp.complex64)
+    else:
+        syms = jnp.asarray(con.table(mod))[words]
+    return jnp.where(filled, syms, jnp.complex64(0.0))
 
 
 def symbols_to_passband(config: ModemConfig, syms: jnp.ndarray,
@@ -92,14 +100,15 @@ def symbols_to_passband(config: ModemConfig, syms: jnp.ndarray,
     td = _ifft_cp(fd, cp)                                 # [B, S, CP+N]
     td = jnp.pad(td, ((0, 0), (0, 0), (0, guard)))        # guard zeros
 
-    t = t_offset + jnp.arange(S * sym_len).reshape(S, sym_len)
-    osc = mixer_ops.osc(config.center_freq + config.tx_cfo_hz,
-                        config.sample_rate, t)            # [S, sym_len]
+    # Static frequency + static offsets -> host-constant oscillator table.
+    osc = jnp.asarray(mixer_ops.osc_fixed(
+        config.center_freq + config.tx_cfo_hz, config.sample_rate,
+        S * sym_len, offset=t_offset).reshape(S, sym_len))
     out = (td * osc[None]).real * config.output_scale
     return out.reshape(B, S * sym_len).astype(jnp.float32)
 
 
-@functools.partial(jax.jit, static_argnames=("config", "mod"))
+@functools.partial(jax.jit, static_argnames=("config", "mod", "t_offset"))
 def modulate(config: ModemConfig, mod: Modulation, bits: jnp.ndarray,
              t_offset: int = 0) -> jnp.ndarray:
     """Batched OFDMModulator::modulate — [B, nbits] -> [B, samples]."""
@@ -135,7 +144,13 @@ def generate_training(config: ModemConfig, count: int) -> np.ndarray:
 @functools.lru_cache(maxsize=None)
 def generate_preamble(config: ModemConfig) -> np.ndarray:
     """Schmidl-Cox preamble (generatePreamble, modulator.cpp:479-531):
-    silence(N+CP) + 4x STS + 2x LTS; constant per config."""
+    silence(N+CP) + 4x STS + 2x LTS; constant per config.
+
+    Quirk preserved from the reference: STS is mixed ONCE (t in [0, N+CP))
+    and the identical buffer is repeated 4x; LTS is mixed once at
+    t in [N+CP, 2(N+CP)) and repeated 2x.  The mixer therefore advances only
+    2 symbol lengths over the whole preamble; modulate() continues from
+    there (preamble_data_t_offset)."""
     N, cp = config.fft_size, config.cyclic_prefix
     plen = N + cp
     scale = config.output_scale
@@ -147,21 +162,16 @@ def generate_preamble(config: ModemConfig) -> np.ndarray:
         osc = mixer_ops.osc_fixed(fc, config.sample_rate, plen, offset=t0)
         return ((one * osc).real * scale).astype(np.float32)
 
-    sts_fd = carriers_mod.sts_freq_domain(config)
-    lts_fd = carriers_mod.lts_freq_domain(config)
-
-    out = [np.zeros(plen, np.float32)]
-    t = 0
-    for _ in range(4):
-        out.append(sym_to_real(sts_fd, t)); t += plen
-    for _ in range(2):
-        out.append(sym_to_real(lts_fd, t)); t += plen
-    return np.concatenate(out)
+    sts = sym_to_real(carriers_mod.sts_freq_domain(config), 0)
+    lts = sym_to_real(carriers_mod.lts_freq_domain(config), plen)
+    return np.concatenate([np.zeros(plen, np.float32)] + [sts] * 4 + [lts] * 2)
 
 
 def preamble_data_t_offset(config: ModemConfig) -> int:
-    """Mixer sample index at which modulate() continues after the preamble."""
-    return 6 * (config.fft_size + config.cyclic_prefix)
+    """Mixer sample index at which modulate() continues after the preamble
+    (the reference mixer advances only one STS + one LTS; see
+    generate_preamble)."""
+    return 2 * (config.fft_size + config.cyclic_prefix)
 
 
 def samples_per_symbol(config: ModemConfig) -> int:

@@ -1,11 +1,19 @@
-"""NCO / frequency-shift phase ramps, computed analytically.
+"""NCO / frequency-shift phase ramps, drift-free without float64.
 
-The reference uses an incremental NCO (src/dsp/filters.cpp:228-262) whose
-float32 phase accumulator wraps at 2*pi.  On TPU we generate the oscillator
-as a closed-form phase ramp exp(j*2*pi*f*t/fs) evaluated in float64 and cast
-to complex64 — drift-free, branch-free, and trivially batchable.  For the
-modem's fixed center frequency (1500 Hz at 48 kHz = exactly fs/32) the ramp
-is exactly periodic with period 32 samples.
+The reference uses an incremental float32 NCO (src/dsp/filters.cpp:228-262).
+On TPU we avoid both the sequential accumulator and float64 (which XLA:TPU
+emulates slowly) with two tricks:
+
+* integer-modular phase for integer frequencies: phase(t) =
+  2*pi*((fc * (t mod fs)) mod fs)/fs is EXACT in int32 for fc*fs < 2^31 —
+  the modem's 1500 Hz/48 kHz mixer is exactly periodic with period 32;
+* split-index phase for traced float frequencies (CFO ramps): with
+  t = q*fs + r, frac(f*t/fs) = frac(f*q) + f*r/fs keeps every float32
+  intermediate small enough that the phase error stays < 1e-3 rad over
+  multi-second buffers.
+
+TX oscillators (static frequency, static length) are precomputed on host in
+float64 as complex64 constant tables.
 """
 
 from __future__ import annotations
@@ -13,35 +21,39 @@ from __future__ import annotations
 import jax.numpy as jnp
 import numpy as np
 
+TWO_PI = np.float32(2.0 * np.pi)
 
-def osc(freq_hz, sample_rate: float, t):
-    """exp(+j*2*pi*f*t/fs) for integer sample indices t (array).
 
-    freq_hz may be a scalar or a batch-shaped array broadcastable against t.
-    Phase is computed in f64 then reduced mod 2*pi before the f32 cos/sin.
+def osc_int(freq_hz: int, sample_rate: int, t) -> jnp.ndarray:
+    """exp(+j*2*pi*fc*t/fs) for integer fc, fs and int32 sample indices t.
+
+    Exact: all arithmetic is integer-modular.  Requires fc*fs < 2^31.
     """
-    t = jnp.asarray(t)
-    phase = (2.0 * np.pi) * jnp.asarray(freq_hz, jnp.float64) * t / sample_rate
-    phase = jnp.mod(phase, 2.0 * np.pi).astype(jnp.float32)
+    t = jnp.asarray(t, jnp.int32)
+    tm = jnp.mod(t, sample_rate)
+    num = jnp.mod(freq_hz * tm, sample_rate)
+    phase = TWO_PI * num.astype(jnp.float32) / np.float32(sample_rate)
     return jnp.exp(1j * phase).astype(jnp.complex64)
 
 
 def osc_fixed(freq_hz: float, sample_rate: float, n: int, offset: int = 0) -> np.ndarray:
-    """Host-side constant oscillator table for a fixed frequency."""
+    """Host-side constant oscillator table (float64 phase, complex64 out)."""
     t = np.arange(offset, offset + n, dtype=np.float64)
     phase = np.mod(2.0 * np.pi * freq_hz * t / sample_rate, 2.0 * np.pi)
     return np.exp(1j * phase).astype(np.complex64)
 
 
-def cfo_correction(cfo_hz, sample_rate: float, t, initial_phase=0.0):
-    """Reference CFO correction ramp (channel_equalizer.cpp:19-56):
-    exp(j*(initial_phase - 2*pi*cfo*t/fs)), gated to identity when |cfo| <=
-    0.01 Hz exactly like the C++ (the correction multiply is skipped there).
+def osc_traced(freq_hz, sample_rate: int, t) -> jnp.ndarray:
+    """exp(+j*2*pi*f*t/fs) for traced (possibly per-batch) float frequency.
+
+    Uses the split-index trick: t = q*fs + r with integer q, r so that
+    frac(f*t/fs) = frac(f*q) + f*r/fs never multiplies f by a large number.
+    freq_hz broadcasts against t.
     """
-    t = jnp.asarray(t)
-    cfo = jnp.asarray(cfo_hz, jnp.float64)
-    phase = (jnp.asarray(initial_phase, jnp.float64)
-             - 2.0 * np.pi * cfo * t / sample_rate)
-    corr = jnp.exp(1j * jnp.mod(phase, 2.0 * np.pi).astype(jnp.float32))
-    active = jnp.abs(cfo).astype(jnp.float32) > 0.01
-    return jnp.where(active, corr, jnp.complex64(1.0)).astype(jnp.complex64)
+    t = jnp.asarray(t, jnp.int32)
+    q = (t // sample_rate).astype(jnp.float32)
+    r = (t % sample_rate).astype(jnp.float32)
+    f = jnp.asarray(freq_hz, jnp.float32)
+    cycles = jnp.mod(f * q, 1.0) + f * r / np.float32(sample_rate)
+    phase = TWO_PI * jnp.mod(cycles, 1.0)
+    return jnp.exp(1j * phase).astype(jnp.complex64)

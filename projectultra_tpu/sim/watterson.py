@@ -27,6 +27,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..ops import mixer as mixer_ops
+
 
 @dataclasses.dataclass(frozen=True)
 class ChannelConfig:
@@ -112,13 +114,10 @@ def apply_cfo_hilbert(samples: jnp.ndarray, cfo_hz, sample_rate: float = 48000.0
     mult[1:n_fft // 2] = 2.0
     mult[n_fft // 2 + 1:] = 0.0
     analytic = jnp.fft.ifft(x * jnp.asarray(mult), axis=-1)[..., :T]
-    t = jnp.arange(T, dtype=jnp.float64)
-    cfo = jnp.asarray(cfo_hz, jnp.float64)
-    phase = jnp.mod(2.0 * np.pi * cfo[..., None] * t / sample_rate,
-                    2.0 * np.pi).astype(jnp.float32)
-    rot = jnp.exp(1j * phase)
+    cfo = jnp.asarray(cfo_hz, jnp.float32)
+    rot = mixer_ops.osc_traced(cfo[..., None], int(sample_rate), jnp.arange(T))
     out = (analytic * rot).real.astype(jnp.float32)
-    active = jnp.abs(cfo)[..., None].astype(jnp.float32) > 0.001
+    active = jnp.abs(cfo)[..., None] > 0.001
     return jnp.where(active, out, samples)
 
 

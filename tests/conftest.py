@@ -7,7 +7,9 @@ dry-runs the multi-chip path via __graft_entry__.dryrun_multichip).
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# NOTE: the environment pre-sets JAX_PLATFORMS=axon (single real TPU via
+# tunnel); tests force the CPU backend with 8 virtual devices.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -17,6 +19,11 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 import jax  # noqa: E402
+
+# The axon sitecustomize hook calls jax.config.update("jax_platforms",
+# "axon,cpu") at interpreter startup, overriding JAX_PLATFORMS; force CPU
+# back for the test suite.
+jax.config.update("jax_platforms", "cpu")
 
 # Persistent compile cache: the LDPC while_loop and scan pipelines are slow to
 # compile on CPU; cache them across test runs.
