@@ -1,0 +1,105 @@
+"""MC-DPSK golden parity + loopback tests.
+
+Reference: src/psk/multi_carrier_dpsk.hpp; golden vectors dumped from the
+unmodified reference (tests/data/golden/golden_mcdpsk_*).
+"""
+
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from projectultra_tpu.config import CodeRate
+from projectultra_tpu.fec import ldpc
+from projectultra_tpu.ops import ldpc as ldpc_ops
+from projectultra_tpu.psk import mc_dpsk as MC
+from projectultra_tpu.sim import watterson as W
+from projectultra_tpu.utils.bits import bytes_to_bits
+
+CFG = MC.MCDPSKConfig()
+
+
+def _meta(golden_dir):
+    lines = open(os.path.join(golden_dir, "golden_mcdpsk_meta.txt")).read().split("\n")
+    payload = bytes.fromhex(lines[0].split()[1])
+    hdr = lines[1].split()
+    sizes = dict(zip(hdr[::2], hdr[1::2]))
+    soft = np.array([float(x) for x in lines[2].split()[1:]], np.float32)
+    return payload, sizes, soft
+
+
+def test_tx_matches_reference(golden_dir):
+    payload, sizes, _ = _meta(golden_dir)
+    golden = np.fromfile(os.path.join(golden_dir, "golden_mcdpsk_tx.f32"),
+                         dtype=np.float32)
+    tr_n, ref_n = int(sizes["training"]), int(sizes["ref"])
+    gt, gr, gd = golden[:tr_n], golden[tr_n:tr_n + ref_n], golden[tr_n + ref_n:]
+
+    tr = MC.generate_training(CFG)
+    ref = MC.generate_reference(CFG)
+    assert np.abs(tr - gt).max() < 2e-4
+    assert np.abs(ref - gr).max() < 2e-4
+
+    bits = jnp.asarray(bytes_to_bits(payload)[None, :].astype(np.float32))
+    dat = np.asarray(MC.modulate(CFG, bits))[0]
+    assert dat.shape[0] == gd.shape[0]
+    assert np.abs(dat - gd).max() < 2e-3
+
+
+def test_soft_bits_match_reference(golden_dir):
+    """Clean-channel demod LLRs match the C++ demodulator."""
+    payload, sizes, gsoft = _meta(golden_dir)
+    golden = np.fromfile(os.path.join(golden_dir, "golden_mcdpsk_tx.f32"),
+                         dtype=np.float32)
+    samples = jnp.asarray(golden[None, :])
+    n_sym = MC.num_symbols_for_bits(CFG, len(payload) * 8)
+    llrs = np.asarray(MC.demodulate_presynced(
+        CFG, samples, jnp.zeros(1), jnp.zeros(1), n_sym))[0]
+    assert llrs.shape[0] == len(gsoft)
+    assert np.abs(llrs - gsoft).max() < 0.05
+
+
+def _mc_loopback(channel_fn, cfo_for_rx=0.0, train_abs=0.0, B=4, seed=0,
+                 snr_check=True):
+    code = ldpc.get_code(CodeRate.R1_4)
+    rng = np.random.default_rng(seed)
+    info = rng.integers(0, 2, size=(B, code.k)).astype(np.float32)
+    cw = ldpc_ops.encode(code, jnp.asarray(info))        # [B, 648]
+    data = MC.modulate(CFG, cw)
+    pre = np.concatenate([MC.generate_training(CFG), MC.generate_reference(CFG)])
+    tx = jnp.concatenate(
+        [jnp.broadcast_to(jnp.asarray(pre), (B, len(pre))), data], axis=-1)
+    rx_in = channel_fn(tx)
+    n_sym = MC.num_symbols_for_bits(CFG, 648)
+    llrs = MC.demodulate_presynced(
+        CFG, rx_in, jnp.full((B,), cfo_for_rx), jnp.full((B,), train_abs), n_sym)
+    out, ok, _ = ldpc_ops.decode(code, llrs[:, :648])
+    match = (np.asarray(out) == info.astype(np.uint8)).all(-1)
+    return np.asarray(ok), match
+
+
+def test_loopback_clean():
+    ok, match = _mc_loopback(lambda tx: tx)
+    assert ok.all() and match.all()
+
+
+def test_loopback_awgn_snr5():
+    """MC-DPSK AWGN SNR=5 -> 100% decode (regression_matrix.sh:137-146)."""
+    key = jax.random.PRNGKey(3)
+    ok, match = _mc_loopback(lambda tx: W.add_noise_active(key, tx, 5.0), B=8)
+    assert ok.all() and match.all()
+
+
+def test_loopback_awgn_snr5_cfo30():
+    """MC-DPSK AWGN SNR=5 CFO=30 Hz -> 100% (regression_matrix.sh:143-146).
+    The CFO ramp starts at the training start (train_abs=0)."""
+    key = jax.random.PRNGKey(4)
+    cfo = 30.0
+
+    def chan(tx):
+        shifted = W.apply_cfo_hilbert(tx, jnp.full((tx.shape[0],), cfo))
+        return W.add_noise_active(key, shifted, 5.0)
+
+    ok, match = _mc_loopback(chan, cfo_for_rx=cfo, B=8)
+    assert ok.all() and match.all()
