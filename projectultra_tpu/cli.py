@@ -1,0 +1,217 @@
+"""``ultra`` CLI: frame-level TX/RX preserving the reference's commands.
+
+Reference: src/main.cpp (ultra ptx|prx|info).  Same flags, same stdout f32
+audio framing, same stderr reporting — a drop-in for `ultra ptx | ultra prx`
+pipelines.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import numpy as np
+
+
+def _configure_backend():
+    """Single-frame CLI work is latency-bound: default to the CPU backend
+    unless ULTRA_TPU=1 (batch sweeps and benches use the TPU directly)."""
+    if os.environ.get("ULTRA_TPU") == "1":
+        return
+    import jax
+    try:
+        jax.config.update("jax_platforms", "cpu")
+    except Exception:
+        pass
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.expanduser("~/.cache/projectultra_tpu_jax"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+
+USAGE = """ProjectUltra-TPU - High-Speed HF Sound Modem
+
+Usage: ultra [options] <command>
+
+Commands:
+  ptx [msg]       Protocol TX - send v2 frame:
+                    ptx ping         -> PING probe (chirp)
+                    ptx connect      -> CONNECT (with callsigns)
+                    ptx disconnect   -> DISCONNECT (end session)
+                    ptx "Hello"      -> DATA (text message)
+  prx [file]      Protocol RX - decode v2 frames (from file or stdin)
+  info            Show modem capabilities
+
+Options:
+  -s <call>       Source callsign (default: N0CALL)
+  -d <call>       Destination callsign (default: CQ)
+  -o <file>       Output to file instead of stdout
+  -w <waveform>   Waveform: ofdm, dpsk (default: ofdm)
+"""
+
+INFO = """=== ProjectUltra-TPU HF Modem ===
+
+Signal Parameters:
+  Sample rate:    48000 Hz
+  Center freq:    1500 Hz
+  Bandwidth:      ~2.8 kHz
+  OFDM carriers:  30
+  LDPC codeword:  648 bits
+
+Waveforms:
+  OFDM    High throughput, good SNR (>17 dB)
+  DPSK    Single-carrier, low SNR (-11 to 17 dB)
+
+Code Rates:
+  R1/4    20 info bytes, most robust
+  R1/2    40 info bytes
+  R2/3    54 info bytes
+  R3/4    60 info bytes
+  R5/6    67 info bytes, highest throughput
+"""
+
+
+def _waveform_mode(name: str):
+    from .protocol.frame_v2 import WaveformMode
+    return WaveformMode.MC_DPSK if name == "dpsk" else WaveformMode.OFDM_COX
+
+
+def run_ptx(message, output_file, src, dst, waveform):
+    from .modem.engine import ModemEngine
+    from .protocol import frame_v2 as F
+
+    print(f"Protocol TX: {src} -> {dst}", file=sys.stderr)
+    modem = ModemEngine()
+    modem.set_waveform_mode(_waveform_mode(waveform))
+
+    if not message or message == "ping":
+        frame_type, samples = "PING", modem.transmit_ping()
+    elif message == "connect":
+        frame_type = "CONNECT"
+        samples = modem.transmit(
+            F.ConnectFrame.make_connect(src, dst, 0xFF, 0x00).serialize())
+    elif message == "disconnect":
+        frame_type = "DISCONNECT"
+        samples = modem.transmit(
+            F.ConnectFrame.make_disconnect(src, dst).serialize())
+    else:
+        frame_type = "DATA"
+        samples = modem.transmit(
+            F.DataFrame.make_data(src, dst, 1, message).serialize())
+
+    print(f"  Frame: {frame_type}", file=sys.stderr)
+    print(f"  Samples: {len(samples)} ({len(samples) / 48000.0} sec)",
+          file=sys.stderr)
+
+    raw = samples.astype(np.float32).tobytes()
+    if output_file:
+        with open(output_file, "wb") as f:
+            f.write(raw)
+        print(f"  Written to: {output_file}", file=sys.stderr)
+    else:
+        sys.stdout.buffer.write(raw)
+    return 0
+
+
+def run_prx(input_file, waveform):
+    from .modem.engine import ModemEngine
+    from .protocol import frame_v2 as F
+
+    print(f"Protocol RX{' from ' + input_file if input_file else ''}",
+          file=sys.stderr)
+    modem = ModemEngine()
+    modem.set_waveform_mode(_waveform_mode(waveform))
+
+    def on_ping(snr):
+        print(f"  [PING] Detected! (SNR={snr} dB)", file=sys.stderr)
+
+    def on_frame(frame):
+        h = frame.header
+        print(f"  [{h.type.name}] ", end="", file=sys.stderr)
+        if h.total_cw == 1:
+            ctrl = F.ControlFrame.deserialize(frame.frame_bytes)
+            print(f"seq={ctrl.seq}" if ctrl else "", file=sys.stderr)
+        else:
+            print(f"codewords={h.total_cw}", file=sys.stderr)
+        cf = F.ConnectFrame.deserialize(frame.frame_bytes)
+        if cf:
+            print(f"    {cf.src_callsign} -> {cf.dst_callsign}", file=sys.stderr)
+            return
+        df = F.DataFrame.deserialize(frame.frame_bytes)
+        if df:
+            print(f'    Message: "{df.payload_as_text()}"', file=sys.stderr)
+
+    modem.on_ping = on_ping
+    modem.on_frame = on_frame
+
+    src = open(input_file, "rb") if input_file else sys.stdin.buffer
+    total = 0
+    try:
+        while True:
+            chunk = src.read(960 * 4)
+            if not chunk:
+                break
+            samples = np.frombuffer(chunk, dtype=np.float32)
+            modem.feed_audio(samples)
+            total += len(samples)
+    finally:
+        if input_file:
+            src.close()
+
+    modem.poll()
+
+    print("\n=== RX Statistics ===", file=sys.stderr)
+    print(f"  Audio: {total} samples ({total / 48000.0} sec)", file=sys.stderr)
+    print(f"  Frames: {modem.frames_received}", file=sys.stderr)
+    print(f"  PINGs: {modem.pings_received}", file=sys.stderr)
+    return 0
+
+
+def main(argv=None):
+    argv = list(sys.argv[1:] if argv is None else argv)
+    output_file = None
+    command = None
+    positional = None
+    src, dst = "N0CALL", "CQ"
+    waveform = "ofdm"
+
+    i = 0
+    while i < len(argv):
+        a = argv[i]
+        if a == "-o" and i + 1 < len(argv):
+            output_file = argv[i + 1]; i += 2
+        elif a == "-s" and i + 1 < len(argv):
+            src = argv[i + 1]; i += 2
+        elif a == "-d" and i + 1 < len(argv):
+            dst = argv[i + 1]; i += 2
+        elif a == "-w" and i + 1 < len(argv):
+            waveform = argv[i + 1]; i += 2
+        elif a in ("-h", "--help"):
+            print(USAGE, file=sys.stderr)
+            return 0
+        elif not a.startswith("-"):
+            if command is None:
+                command = a
+            elif positional is None:
+                positional = a
+            i += 1
+        else:
+            i += 1
+
+    if command is None:
+        print(USAGE, file=sys.stderr)
+        return 1
+    _configure_backend()
+    if command == "info":
+        print(INFO, end="")
+        return 0
+    if command == "ptx":
+        return run_ptx(positional, output_file, src, dst, waveform)
+    if command == "prx":
+        return run_prx(positional, waveform)
+    print(f"Unknown command: {command}", file=sys.stderr)
+    print(USAGE, file=sys.stderr)
+    return 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

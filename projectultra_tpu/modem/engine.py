@@ -1,0 +1,343 @@
+"""ModemEngine: host-side TX/RX orchestration around the device kernels.
+
+Reference: src/gui/modem/{modem_engine.cpp, modem_rx.cpp, modem_rx_decode.cpp}.
+
+The reference runs 3 POSIX threads (audio feed / acquisition / decode) around
+one streaming buffer.  Here the host keeps the same roles without threads:
+``feed_audio`` appends to the RX buffer and ``poll`` runs one acquisition +
+decode pass (the CLI and tests drive it synchronously; a real-time deployment
+would call ``poll`` from its audio callback cadence).  All hot math — chirp
+matched filters, waveform demodulation, LDPC — runs as batched JAX programs
+on the device.
+
+TX frame assembly parity (modem_engine.cpp:233-587):
+  v2 frame -> per-CW LDPC (DATA at negotiated rate, else R1/4) ->
+  per-CW channel interleave (OFDM waveforms only) -> waveform preamble +
+  modulate -> 150 ms lead-in + 2x576 tail -> peak-normalize to 0.8.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Optional
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..config import ModemConfig, Modulation, CodeRate
+from ..fec import ldpc
+from ..fec.interleave import channel_interleaver
+from ..ofdm import carriers as carriers_mod
+from ..ofdm import modulator as ofdm_mod
+from ..ofdm import pipeline as ofdm_pipeline
+from ..protocol import frame_v2 as F
+from ..protocol.frame_v2 import WaveformMode
+from ..psk import mc_dpsk as MC
+from ..sync import chirp as chirp_mod
+from ..utils.bits import bytes_to_bits
+
+LEAD_IN_SAMPLES = 48000 * 150 // 1000
+TAIL_SAMPLES = 576 * 2
+PEAK_SCALE = 0.8
+PING_RMS_THRESHOLD = 0.05   # signal-after-chirp gate (multi_carrier_dpsk.hpp:506)
+
+
+@dataclasses.dataclass
+class DecodedFrame:
+    """One decoded-over-the-air frame delivered to callbacks."""
+    frame_bytes: bytes
+    header: F.HeaderInfo
+    cw_ok: list
+    snr_db: float = 0.0
+    cfo_hz: float = 0.0
+
+
+class ModemEngine:
+    def __init__(self, config: ModemConfig | None = None,
+                 mc_config: MC.MCDPSKConfig | None = None):
+        self.config = config or ModemConfig()
+        # ModemEngine uses the level-10 MC-DPSK preset: 13 carriers
+        # (modem_engine.cpp:73).
+        self.mc_config = mc_config or MC.level10()
+        self.chirp_config = self.mc_config.chirp_config()
+
+        # Waveform/mode state (modem_engine.hpp:171-181).
+        self.waveform_mode = WaveformMode.OFDM_COX
+        self.connect_waveform = WaveformMode.MC_DPSK
+        self.last_rx_waveform = WaveformMode.MC_DPSK
+        self.disconnect_waveform = WaveformMode.MC_DPSK
+        self.connected = False
+        self.handshake_complete = False
+        self.use_connected_waveform_once = False
+        self.data_modulation = Modulation.QPSK
+        self.data_code_rate = CodeRate.R1_2
+        self.interleaving_enabled = True
+
+        # RX state.
+        self._rx_buffer = np.zeros(0, np.float32)
+        self._rx_consumed = 0  # absolute sample index of buffer[0]
+        self.on_ping: Optional[Callable[[float], None]] = None
+        self.on_frame: Optional[Callable[[DecodedFrame], None]] = None
+        self.frames_received = 0
+        self.pings_received = 0
+
+    # ------------------------------------------------------------------ TX
+
+    def set_waveform_mode(self, mode: WaveformMode):
+        self.waveform_mode = mode
+
+    def _active_tx_waveform(self) -> WaveformMode:
+        """4-way priority (modem_engine.cpp:372-397)."""
+        if self.use_connected_waveform_once:
+            return self.disconnect_waveform
+        if not self.connected:
+            return self.connect_waveform
+        if not self.handshake_complete:
+            return self.last_rx_waveform
+        return self.waveform_mode
+
+    def transmit(self, data: bytes) -> np.ndarray:
+        """Frame bytes -> float32 audio (modem_engine.cpp:233-587)."""
+        if not data:
+            return np.zeros(0, np.float32)
+        is_v2 = len(data) >= 2 and data[0] == 0x55 and data[1] == 0x4C
+        is_data = is_v2 and len(data) >= 3 and self.connected and \
+            0x30 <= data[2] <= 0x33
+
+        active = self._active_tx_waveform()
+        if self.use_connected_waveform_once:
+            self.use_connected_waveform_once = False
+
+        tx_rate = self.data_code_rate if is_data else CodeRate.R1_4
+        if is_v2:
+            cws = F.encode_frame_with_ldpc(data, tx_rate)
+            to_modulate = self._maybe_interleave(cws, active)
+        else:
+            rate = self.data_code_rate if self.connected else CodeRate.R1_4
+            code = ldpc.get_code(rate if rate in ldpc.CODE_PARAMS else CodeRate.R1_2)
+            encoded = ldpc.encode_bytes_np(code, data)
+            n = F.LDPC_CODEWORD_BYTES
+            cws = [encoded[i:i + n] for i in range(0, len(encoded), n)]
+            to_modulate = self._maybe_interleave(cws, active)
+
+        tx_mod = self.data_modulation if (self.connected or is_data) \
+            else Modulation.DQPSK
+
+        preamble, modulated = self._modulate_waveform(active, to_modulate, tx_mod)
+
+        out = np.concatenate([
+            np.zeros(LEAD_IN_SAMPLES, np.float32), preamble, modulated,
+            np.zeros(TAIL_SAMPLES, np.float32)])
+        peak = np.abs(out).max()
+        if peak > 0:
+            out = out * (PEAK_SCALE / peak)
+        return out.astype(np.float32)
+
+    def _maybe_interleave(self, cws: list[bytes], wf: WaveformMode) -> bytes:
+        """Per-codeword channel interleave for OFDM waveforms only
+        (modem_engine.cpp:292-310; DPSK never interleaves)."""
+        use = self.interleaving_enabled and wf in (WaveformMode.OFDM_COX,
+                                                   WaveformMode.OFDM_CHIRP)
+        if not use:
+            return b"".join(cws)
+        bps = self._ofdm_bits_per_symbol()
+        ci = channel_interleaver(bps, F.LDPC_CODEWORD_BITS)
+        return b"".join(ci.interleave(cw) for cw in cws)
+
+    def _ofdm_bits_per_symbol(self) -> int:
+        cfg = self._chirp_ofdm_config() \
+            if self._active_tx_waveform() == WaveformMode.OFDM_CHIRP else self.config
+        cm = carriers_mod.carrier_map(cfg)
+        from ..config import bits_per_symbol as bps_of
+        mod = Modulation.DQPSK if cfg.use_pilots is False else self.data_modulation
+        return len(cm.data_idx) * bps_of(mod)
+
+    def _chirp_ofdm_config(self) -> ModemConfig:
+        cfg = self.config.replace(modulation=Modulation.DQPSK, use_pilots=False)
+        return cfg
+
+    def _modulate_waveform(self, wf: WaveformMode, payload: bytes,
+                           tx_mod: Modulation):
+        bits = jnp.asarray(bytes_to_bits(payload)[None, :].astype(np.float32))
+        if wf == WaveformMode.MC_DPSK:
+            pre = np.concatenate([
+                chirp_mod.generate(self.chirp_config),
+                MC.generate_training(self.mc_config),
+                MC.generate_reference(self.mc_config)])
+            data = np.asarray(MC.modulate(self.mc_config, bits))[0]
+            return pre.astype(np.float32), data
+        if wf == WaveformMode.OFDM_CHIRP:
+            cfg = self._chirp_ofdm_config()
+            pre = np.concatenate([
+                chirp_mod.generate(self.chirp_config),
+                ofdm_mod.generate_training(cfg, 2)])
+            data = np.asarray(ofdm_mod.modulate(
+                cfg, Modulation.DQPSK, bits,
+                t_offset=2 * cfg.symbol_duration))[0]
+            return pre.astype(np.float32), data
+        # OFDM_COX (Schmidl-Cox)
+        pre = ofdm_mod.generate_preamble(self.config)
+        data = np.asarray(ofdm_mod.modulate(
+            self.config, tx_mod, bits,
+            t_offset=ofdm_mod.preamble_data_t_offset(self.config)))[0]
+        return pre.astype(np.float32), data
+
+    def transmit_ping(self) -> np.ndarray:
+        """PING = bare chirp, peak-scaled (modem_engine.cpp:550-575)."""
+        out = chirp_mod.generate(self.chirp_config).copy()
+        peak = np.abs(out).max()
+        if peak > 0:
+            out = out * (PEAK_SCALE / peak)
+        return out.astype(np.float32)
+
+    # ------------------------------------------------------------------ RX
+
+    def feed_audio(self, samples: np.ndarray):
+        self._rx_buffer = np.concatenate(
+            [self._rx_buffer, np.asarray(samples, np.float32)])
+
+    def poll(self) -> int:
+        """One acquisition+decode pass over the buffered audio; returns the
+        number of events (frames + pings) delivered."""
+        events = 0
+        while True:
+            n = self._acquire_and_decode_once()
+            if n == 0:
+                break
+            events += n
+        return events
+
+    def _acquire_and_decode_once(self) -> int:
+        buf = self._rx_buffer
+        cc = self.chirp_config
+        if len(buf) < cc.total_samples + 4000:
+            return 0
+        det = {k: np.asarray(v)[0] for k, v in chirp_mod.detect_dual_chirp(
+            cc, jnp.asarray(buf[None, :])).items()}
+        if not bool(det["success"]):
+            # keep a chirp-length tail for boundary-spanning preambles
+            keep = min(len(buf), cc.total_samples + 8000)
+            self._consume(len(buf) - keep)
+            return 0
+
+        tr_start = int(det["down_chirp_start"]) + cc.chirp_samples + cc.gap_samples
+        cfo = float(det["cfo_hz"])
+
+        # Signal after the chirp? (PING = chirp only.)
+        probe = buf[tr_start:tr_start + 4096]
+        rms = float(np.sqrt((probe ** 2).mean())) if len(probe) else 0.0
+        if rms <= PING_RMS_THRESHOLD:
+            self.pings_received += 1
+            if self.on_ping:
+                self.on_ping(0.0)
+            self._consume(int(det["up_chirp_start"]) + cc.total_samples)
+            return 1
+
+        wf = self.waveform_mode if self.waveform_mode == WaveformMode.OFDM_CHIRP \
+            else WaveformMode.MC_DPSK
+        frame = self._decode_frame(wf, tr_start, cfo)
+        if frame is None:
+            # false positive / incomplete: drop the chirp and retry later
+            self._consume(int(det["up_chirp_start"]) + cc.total_samples)
+            return 0
+        self.frames_received += 1
+        if self.on_frame:
+            self.on_frame(frame)
+        return 1
+
+    def _consume(self, n: int):
+        n = max(0, min(n, len(self._rx_buffer)))
+        self._rx_buffer = self._rx_buffer[n:]
+        self._rx_consumed += n
+
+    def _decode_frame(self, wf: WaveformMode, tr_start: int,
+                      cfo: float) -> Optional[DecodedFrame]:
+        """Decode CW0 at R1/4, learn total_cw, decode everything
+        (modem_rx_decode.cpp:51-115, 159-530)."""
+        buf = self._rx_buffer
+        rate0 = CodeRate.R1_4
+
+        def demod(n_cw: int, rate: CodeRate) -> Optional[np.ndarray]:
+            nbits = F.LDPC_CODEWORD_BITS * n_cw
+            if wf == WaveformMode.MC_DPSK:
+                n_sym = MC.num_symbols_for_bits(self.mc_config, nbits)
+                pre_n = self.mc_config.training_samples + self.mc_config.ref_samples
+                need = tr_start + pre_n + n_sym * self.mc_config.samples_per_symbol
+                if len(buf) < need:
+                    return None
+                span = buf[tr_start:need]
+                llrs = MC.demodulate_presynced(
+                    self.mc_config, jnp.asarray(span[None, :]),
+                    jnp.asarray([cfo], np.float32),
+                    jnp.asarray([float(tr_start)], np.float32), n_sym)
+                return np.asarray(llrs)[0][:nbits]
+            # OFDM_CHIRP
+            cfg = self._chirp_ofdm_config()
+            n_sym = ofdm_pipeline.num_data_symbols(cfg, Modulation.DQPSK, n_cw)
+            need = tr_start + (2 + n_sym) * cfg.symbol_duration
+            if len(buf) < need:
+                return None
+            span = buf[tr_start:need]
+            from ..ofdm import demodulator as demod_mod
+            phase = chirp_mod.initial_cfo_phase(
+                self.chirp_config, jnp.asarray([cfo], np.float32),
+                jnp.asarray([tr_start], jnp.int32))
+            llrs, _ = demod_mod.demodulate_presynced(
+                cfg, Modulation.DQPSK, jnp.asarray(span[None, :]),
+                jnp.asarray([cfo], np.float32), phase,
+                training_symbols=2, num_data_symbols=n_sym)
+            out = np.asarray(llrs)[0][:nbits]
+            if self.interleaving_enabled:
+                bps = self._bits_per_ofdm_symbol_chirp()
+                ci = channel_interleaver(bps, F.LDPC_CODEWORD_BITS)
+                out = np.concatenate([
+                    ci.deinterleave_soft(out[i * 648:(i + 1) * 648])
+                    for i in range(n_cw)])
+            return out
+
+        llrs0 = demod(1, rate0)
+        if llrs0 is None:
+            return None
+        ok, data = F.decode_codewords_with_ldpc([llrs0[:648]], rate0)
+        if not ok[0]:
+            return None
+        info = F.parse_header(data[0])
+        if not info.valid:
+            return None
+        total_cw = max(1, info.total_cw)
+
+        if total_cw > 1:
+            llrs = demod(total_cw, rate0)
+            if llrs is None:
+                return None
+            blocks = [llrs[i * 648:(i + 1) * 648] for i in range(total_cw)]
+            oks, datas = F.decode_codewords_with_ldpc(blocks, rate0)
+        else:
+            oks, datas = ok, data
+
+        if info.is_control:
+            expected = F.CONTROL_SIZE
+        else:
+            expected = F.HEADER_SIZE + info.payload_len + F.CRC_SIZE
+        frame_bytes = F.reassemble_codewords(
+            [d if o else b"\0" * F.BYTES_PER_CODEWORD
+             for o, d in zip(oks, datas)], expected)
+
+        # Consume through the end of the decoded frame.
+        if wf == WaveformMode.MC_DPSK:
+            pre_n = self.mc_config.training_samples + self.mc_config.ref_samples
+            n_sym = MC.num_symbols_for_bits(self.mc_config, 648 * total_cw)
+            end = tr_start + pre_n + n_sym * self.mc_config.samples_per_symbol
+        else:
+            cfg = self._chirp_ofdm_config()
+            n_sym = ofdm_pipeline.num_data_symbols(cfg, Modulation.DQPSK, total_cw)
+            end = tr_start + (2 + n_sym) * cfg.symbol_duration
+        self._consume(end)
+
+        return DecodedFrame(frame_bytes=frame_bytes, header=info,
+                            cw_ok=oks, cfo_hz=cfo)
+
+    def _bits_per_ofdm_symbol_chirp(self) -> int:
+        cfg = self._chirp_ofdm_config()
+        cm = carriers_mod.carrier_map(cfg)
+        return len(cm.data_idx) * 2  # DQPSK

@@ -84,6 +84,21 @@ DQPSK_PHASES = np.array([np.pi / 4, 3 * np.pi / 4, -3 * np.pi / 4, -np.pi / 4],
                         np.float32)
 
 
+def _level(n: int) -> MCDPSKConfig:
+    return MCDPSKConfig(num_carriers=n)
+
+
+# Speed-level presets (multi_carrier_dpsk.hpp:704-785).
+def level5(): return _level(3)
+def level6(): return _level(4)
+def level7(): return _level(6)
+def level8(): return _level(8)
+def level9(): return _level(10)
+def level10(): return _level(13)     # ModemEngine default (modem_engine.cpp:73)
+def level11_ultra(): return _level(20)
+def level12_ultra(): return _level(30)
+
+
 @functools.lru_cache(maxsize=None)
 def _carrier_tables(cfg: MCDPSKConfig):
     """COS/SIN [C, L] tables: cos/sin(i * 2*pi*f_c/fs), float32 constants."""
