@@ -94,13 +94,14 @@ def init_state(config: ModemConfig, B: int, cfo_hz, initial_phase) -> DemodState
 # ---------------------------------------------------------------------------
 
 def to_baseband_fd(config: ModemConfig, state: DemodState,
-                   sym_samples: jnp.ndarray, sym_index) -> tuple[jnp.ndarray, DemodState]:
+                   sym_samples: jnp.ndarray, t0) -> tuple[jnp.ndarray, DemodState]:
     """toBaseband + extractSymbol (channel_equalizer.cpp:19-71) for one
-    symbol: [B, L] passband -> [B, N] frequency domain.  Advances the CFO
+    symbol: [B, L] passband -> [B, N] frequency domain.  ``t0`` is the sample
+    index of this window since the last mixer reset.  Advances the CFO
     correction phase by L samples (only when |cfo| > 0.01, like the C++)."""
     L = sym_samples.shape[-1]
     N, cp = config.fft_size, config.cyclic_prefix
-    t = sym_index * L + jnp.arange(L)
+    t = t0 + jnp.arange(L)
     osc = mixer_ops.osc_int(config.center_freq, config.sample_rate, t)  # [L]
 
     phase_inc = jnp.float32(-2.0 * np.pi / config.sample_rate) * state.freq_offset_hz
@@ -136,14 +137,17 @@ def update_channel_estimate(config: ModemConfig, state: DemodState,
     alpha = jnp.where(state.snr_symbol_count == 0, 1.0, 0.9)[:, None]
 
     h_ls = fd[:, pilot_idx] / pilot_seq[None, :]                  # [B, Np]
-    h_avg = h_ls.mean(-1)
 
-    # Carrier phase recovery on first symbol.
-    need_init = ~state.carrier_phase_initialized & (jnp.abs(h_avg) > 0.01)
-    cpc = jnp.where(need_init, jnp.conj(h_avg) / jnp.abs(h_avg),
-                    state.carrier_phase_correction)
-    initialized = state.carrier_phase_initialized | need_init
-    h_ls = h_ls * cpc[:, None]
+    # DELIBERATE DEVIATION from channel_equalizer.cpp:348-363: the
+    # reference's "carrier phase recovery" strips the first symbol's average
+    # pilot phase out of H — which REINJECTS that constant phase into every
+    # equalized symbol (eq = conj(H*cpc)*rx keeps e^{j*avg_phase}).  That is
+    # harmless at the reference's validated operating points (true CFO ~ 0,
+    # sample-exact LTS timing) but rotates the whole constellation past a
+    # decision boundary once timing + CFO offsets stack up.  Plain conj(H)
+    # equalization cancels constant phases exactly, so we keep cpc == 1.
+    cpc = state.carrier_phase_correction
+    initialized = state.carrier_phase_initialized
 
     signal_power = (jnp.abs(h_ls) ** 2).mean(-1)
 
@@ -370,11 +374,15 @@ def demodulate_symbol(config: ModemConfig, mod: Modulation, state: DemodState,
 # ---------------------------------------------------------------------------
 
 def estimate_channel_from_lts(config: ModemConfig, state: DemodState,
-                              training: jnp.ndarray) -> DemodState:
+                              training: jnp.ndarray,
+                              t0_base: int = 0) -> DemodState:
     """(channel_equalizer.cpp:77-328): LS estimates from each training
     symbol; data carriers take the LAST symbol's H (closest in time to the
     first data symbol), pilots take the average; SNR seeded from |H|avg^2 /
-    noise_variance; snr_symbol_count set to the training count."""
+    noise_variance; snr_symbol_count set to the training count.
+
+    training: [B, n_sym, L] (L may be N+CP for guard-less preamble LTS);
+    windows are assumed contiguous in time starting at t0_base."""
     cm = carriers_mod.carrier_map(config)
     B, n_sym, L = training.shape
     tx_data = cm.sync_seq[np.arange(len(cm.data_idx)) % len(cm.sync_seq)]
@@ -384,7 +392,7 @@ def estimate_channel_from_lts(config: ModemConfig, state: DemodState,
     h_data_last = None
     h_pilot_sum = jnp.zeros((B, max(len(cm.pilot_idx), 1)), jnp.complex64)
     for s in range(n_sym):
-        fd, state = to_baseband_fd(config, state, training[:, s], s)
+        fd, state = to_baseband_fd(config, state, training[:, s], t0_base + s * L)
         h_data_last = fd[:, jnp.asarray(cm.data_idx)] / tx_data[None, :]
         if len(cm.pilot_idx):
             h_pilot_sum = h_pilot_sum + fd[:, jnp.asarray(cm.pilot_idx)] / jnp.asarray(cm.pilot_seq)[None, :]
@@ -434,20 +442,30 @@ def demodulate_presynced(config: ModemConfig, mod: Modulation,
 
     has_pilots = len(carriers_mod.carrier_map(config).pilot_idx) > 0
 
+    state, llrs = _scan_data_symbols(config, mod, state, data,
+                                     t0_base=training_symbols * L)
+    return llrs, state
+
+
+def _scan_data_symbols(config: ModemConfig, mod: Modulation, state: DemodState,
+                       data: jnp.ndarray, t0_base):
+    """lax.scan over [B, S, L] data symbols starting at mixer time t0_base."""
+    B, S, L = data.shape
+    has_pilots = len(carriers_mod.carrier_map(config).pilot_idx) > 0
+
     def step(carry, xs):
         state = carry
         sym, s_idx = xs
-        fd, state = to_baseband_fd(config, state, sym, training_symbols + s_idx)
+        fd, state = to_baseband_fd(config, state, sym, t0_base + s_idx * L)
         if has_pilots:
             state = update_channel_estimate(config, state, fd)
         eq, cnv = equalize(config, mod, state, fd)
         llrs, state = demodulate_symbol(config, mod, state, eq, cnv)
         return state, llrs
 
-    xs = (jnp.moveaxis(data, 1, 0), jnp.arange(num_data_symbols))
+    xs = (jnp.moveaxis(data, 1, 0), jnp.arange(S))
     state, llrs = jax.lax.scan(step, state, xs)
-    llrs = jnp.moveaxis(llrs, 0, 1).reshape(B, -1)   # [B, S*C*bc]
-    return llrs, state
+    return state, jnp.moveaxis(llrs, 0, 1).reshape(B, -1)
 
 
 def num_symbols_for_bits(config: ModemConfig, mod: Modulation, nbits: int) -> int:

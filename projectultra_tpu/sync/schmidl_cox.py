@@ -1,0 +1,256 @@
+"""Schmidl-Cox preamble acquisition, batched on device.
+
+Reference: src/ofdm/ofdm_sync.cpp + the SEARCHING state machine in
+src/ofdm/demodulator.cpp:462-600.  TPU-native redesign (SURVEY.md §7 hard
+part #1 — "stream sync inside fixed shapes"):
+
+* the reference slides an O(N log N) per-offset routine (window FFT ->
+  analytic signal -> half-symbol correlation) every 8 samples; here ONE
+  global FFT-Hilbert transform produces the analytic signal and the
+  half-symbol correlation P(d) = sum conj(a[d+i]) a[d+i+N/2] at EVERY offset
+  via a cumulative-sum sliding window — O(T log T) total;
+* plateau confirmation (>=15 of the 8-strided offsets in a 300 window above
+  0.90) becomes windowed counts over the same grid;
+* LTS fine timing is an FFT matched filter against the passband LTS
+  template with a masked argmax over the +-search window.
+
+Deviations (documented): the reference recomputes the analytic signal and
+removes DC per N-sample window; we use one global analytic transform with
+global DC removal — the same operator modulo window-edge effects, verified
+equivalent on the regression operating points.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import ModemConfig
+from ..ofdm import carriers as carriers_mod
+from ..ops import mixer as mixer_ops
+
+PLATEAU_THRESHOLD = 0.90
+PLATEAU_SEARCH_WINDOW = 300
+MIN_PLATEAU_SAMPLES = 15
+SEARCH_STEP = 8
+
+
+def analytic_signal(samples: jnp.ndarray) -> jnp.ndarray:
+    """FFT Hilbert transform over the whole buffer (ofdm_sync.cpp:56-84)."""
+    T = samples.shape[-1]
+    n_fft = 1 << (T - 1).bit_length()
+    X = jnp.fft.fft(samples.astype(jnp.complex64), n=n_fft, axis=-1)
+    mult = np.ones(n_fft, np.float32)
+    mult[0] = 0.0            # drop DC entirely (reference removes per-window DC)
+    mult[1:n_fft // 2] = 2.0
+    mult[n_fft // 2 + 1:] = 0.0
+    return jnp.fft.ifft(X * jnp.asarray(mult), axis=-1)[..., :T]
+
+
+def _window_sum(x: jnp.ndarray, w: int) -> jnp.ndarray:
+    """[..., T] -> [..., T-w+1] sliding sums, numerically stable.
+
+    A plain global cumsum in float32 loses ~all mantissa bits over 100k+
+    samples (window differences of two huge numbers), so sums are computed
+    blockwise: with block size w, the window starting at p = b*w + j is
+    suffix(block b, j) + prefix(block b+1, j) — every term is a <=w-element
+    accumulation.
+    """
+    T = x.shape[-1]
+    nb = -(-T // w)
+    pad = nb * w - T
+    xp = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, pad + w)])
+    xb = xp.reshape(*x.shape[:-1], nb + 1, w)
+    pre = jnp.cumsum(xb, axis=-1)                       # prefix sums in block
+    total = pre[..., -1:]
+    suf = total - jnp.concatenate(
+        [jnp.zeros_like(pre[..., :1]), pre[..., :-1]], axis=-1)
+    nxt = jnp.concatenate(
+        [jnp.zeros_like(pre[..., :1, :]), pre[..., 1:, :]], axis=-2)
+    prev_pre = jnp.concatenate(
+        [jnp.zeros_like(nxt[..., :1]), nxt[..., :-1]], axis=-1)
+    out = (suf[..., :-1, :] + prev_pre[..., 1:, :]).reshape(*x.shape[:-1], -1)
+    return out[..., :T - w + 1]
+
+
+def sc_metric(config: ModemConfig, samples: jnp.ndarray):
+    """Schmidl-Cox |P|/sqrt(R1 R2) and P at every offset.
+
+    Returns (corr [B, n_off], P [B, n_off]) where offset d corresponds to a
+    candidate STS start (the FFT window begins at d + CP).
+    """
+    N, cp = config.fft_size, config.cyclic_prefix
+    half = N // 2
+    a = analytic_signal(samples)
+    u = jnp.conj(a[..., :-half]) * a[..., half:]
+    e = jnp.abs(a) ** 2
+    P_all = _window_sum(u, half)                       # [..., T-N+1]
+    R1_all = _window_sum(e[..., :-half], half)
+    R2_all = _window_sum(e[..., half:], half)
+    T = samples.shape[-1]
+    n_off = T - N - cp + 1
+    sl = (Ellipsis, slice(cp, cp + n_off))
+    P = P_all[sl]
+    R1 = R1_all[sl]
+    R2 = R2_all[sl]
+    denom = jnp.sqrt(jnp.maximum(R1 * R2, 0.0))
+    corr = jnp.where(denom > 1e-10, jnp.abs(P) / jnp.maximum(denom, 1e-30), 0.0)
+    return corr, P
+
+
+@functools.lru_cache(maxsize=None)
+def lts_passband_template(config: ModemConfig) -> np.ndarray:
+    """Passband LTS template [CP | LTS] mixed at fc (demodulator.cpp:100-134).
+    Complex (I + jQ) for phase-invariant magnitude correlation."""
+    fd = carriers_mod.lts_freq_domain(config)
+    td = np.fft.ifft(fd).astype(np.complex64)
+    cp = config.cyclic_prefix
+    bb = np.concatenate([td[-cp:], td])
+    osc = mixer_ops.osc_fixed(config.center_freq, config.sample_rate, len(bb))
+    mixed = bb * osc
+    return mixed.astype(np.complex64)  # real=I template, imag=Q template
+
+
+@functools.partial(jax.jit, static_argnames=("config", "sync_threshold"))
+def detect_preamble(config: ModemConfig, samples: jnp.ndarray,
+                    sync_threshold: float = 0.80):
+    """Batched SEARCHING logic: Schmidl-Cox plateau -> coarse CFO -> LTS fine
+    timing (demodulator.cpp:474-599).
+
+    Returns dict of [B] arrays: found, data_start (first data-symbol sample),
+    cfo_hz, peak_corr, lts_corr, lts_start.
+    """
+    B, T = samples.shape
+    N, cp = config.fft_size, config.cyclic_prefix
+    plen = N + cp
+
+    corr, P = sc_metric(config, samples)
+    n_off = corr.shape[-1]
+
+    # Energy gate (hasMinimumEnergy, ofdm_sync.cpp:20-50): window energy must
+    # exceed 4x the tracked noise floor.  Batch equivalent of the sequential
+    # EMA floor: floor = max(0.1 * low-quantile energy, 1e-10) — silence is
+    # rejected, all-signal buffers pass (matching the EMA's 0.1x first-energy
+    # initialization).
+    # Energy of the exact FFT window the correlation runs on ([p+cp, p+cp+N)).
+    e_fft = _window_sum(samples * samples, N) / N
+    e_all = e_fft[:, cp:cp + n_off]
+    floor = jnp.maximum(0.1 * jnp.quantile(e_all, 0.10, axis=-1,
+                                           keepdims=True), 1e-10)
+    energy_ok = e_all >= 4.0 * floor
+    # Also reject windows >40 dB below the buffer peak: true silence only
+    # carries the FFT-Hilbert's numerical ringing, which is tiny but
+    # self-correlated (the per-window C++ transform sees exact zeros there).
+    energy_ok &= e_all >= 1e-4 * e_all.max(-1, keepdims=True)
+    corr = jnp.where(energy_ok, corr, 0.0)
+
+    # 8-strided candidate grid, like the reference's coarse loop.
+    grid = jnp.arange(0, n_off, SEARCH_STEP)
+    gcorr = corr[:, grid]                                # [B, G]
+
+    # Plateau count: in [g, g+300], strided by 8 -> 38 grid points.
+    win_pts = PLATEAU_SEARCH_WINDOW // SEARCH_STEP + 1
+    above = (gcorr >= PLATEAU_THRESHOLD).astype(jnp.float32)
+    counts = _window_sum(above, win_pts)                 # [B, G-win+1]
+    Gc = counts.shape[-1]
+    cand = (gcorr[:, :Gc] > sync_threshold) & (counts >= MIN_PLATEAU_SAMPLES)
+    # Leave room for the full preamble + LTS search beyond the candidate.
+    max_start = n_off - 6 * plen - 2 * plen
+    cand = cand & (grid[None, :Gc] < jnp.maximum(max_start, 1))
+
+    found_sc = cand.any(-1)
+    first = jnp.argmax(cand, axis=-1)                    # first candidate
+    idxb = jnp.arange(B)
+
+    # Peak within the plateau window after the first candidate.
+    rel = jnp.arange(win_pts)
+    win_idx = jnp.clip(first[:, None] + rel[None, :], 0, gcorr.shape[-1] - 1)
+    wcorr = gcorr[idxb[:, None], win_idx]
+    peak_rel = jnp.argmax(wcorr, axis=-1)
+    sync_off = grid[jnp.clip(first + peak_rel, 0, len(grid) - 1)]
+    peak_corr = wcorr[idxb, peak_rel]
+
+    # Coarse CFO from P at the sync offset (ofdm_sync.cpp:230-258).
+    phase = jnp.angle(P[idxb, sync_off])
+    cfo = phase * config.sample_rate / (np.pi * N)
+    max_cfo = config.sample_rate / N
+    cfo = jnp.clip(cfo, -max_cfo, max_cfo)
+
+    # LTS fine timing: matched filter around sync_off + 4*plen
+    # (ofdm_sync.cpp:386-466), search [-3*plen, +plen/2].
+    tmpl = lts_passband_template(config)
+    L = len(tmpl)
+    e_ref = float((np.abs(tmpl) ** 2).sum()) * 0.5
+    n_fft = 1 << int(T - 1).bit_length()
+    S = jnp.fft.fft(samples.astype(jnp.complex64), n=n_fft, axis=-1)
+    Tf = jnp.fft.fft(jnp.conj(jnp.asarray(tmpl)), n=n_fft)
+    mf = jnp.abs(jnp.fft.ifft(S * jnp.conj(Tf), axis=-1))[:, :T - L + 1]
+    energy = _window_sum(samples * samples, L)
+    nmf = jnp.where(energy * e_ref > 1e-12,
+                    mf / jnp.sqrt(jnp.maximum(energy * e_ref, 1e-30)), 0.0)
+
+    coarse_lts = sync_off + 4 * plen
+    pos = jnp.arange(nmf.shape[-1])[None, :]
+    win = (pos >= (coarse_lts - 3 * plen)[:, None]) & \
+          (pos <= (coarse_lts + plen // 2)[:, None])
+    lts_start = jnp.argmax(jnp.where(win, nmf, -1.0), axis=-1).astype(jnp.int32)
+    lts_corr = nmf[idxb, lts_start]
+    lts_thresh = 0.05 if config.fft_size >= 1024 else 0.35
+    lts_ok = lts_corr >= lts_thresh
+
+    found = found_sc & lts_ok
+    data_start = lts_start + 2 * plen   # consume both LTS symbols
+
+    return {"found": found, "data_start": data_start, "cfo_hz": cfo,
+            "peak_corr": peak_corr, "lts_corr": lts_corr,
+            "lts_start": lts_start, "sync_off": sync_off}
+
+
+def decode_ofdm_cox(config: ModemConfig, mod, samples: jnp.ndarray,
+                    n_codewords: int, sync_threshold: float = 0.80):
+    """Full streaming OFDM_COX RX for aligned-batch frames: detect preamble,
+    then demodulate from data_start with unity channel estimate and pilot
+    tracking (the streaming path never uses the LTS for channel estimation —
+    updateChannelEstimate's first-symbol alpha=1.0 initializes it).
+
+    Assumes all frames in the batch share the same data_start (true for the
+    synthetic batched sweeps); returns (llrs [B, nbits], det dict).
+    """
+    from ..config import bits_per_symbol
+    from ..ofdm import demodulator as demod_mod
+    from ..ofdm import pipeline as ofdm_pipeline
+
+    det = detect_preamble(config, samples, sync_threshold)
+    # Start at the FIRST LTS and treat both LTS symbols as training — the
+    # LTS-derived channel estimate then absorbs the CFO phase accumulated
+    # since the stream start, leaving only the (small) drift after the LTS.
+    # This reuses the chirp path's presynced machinery and is strictly more
+    # robust than the reference's streaming path, which discards the LTS for
+    # channel estimation and therefore only supports coherent modes at
+    # near-zero true CFO (channel_equalizer.cpp:348-363 folds the constant
+    # phase back into the equalized symbols via carrier_phase_correction).
+    #
+    # Mixer bookkeeping: LTS symbols are N+CP long (no symbol guard) and the
+    # TX mixer ran [plen, 2*plen) over the (repeated) LTS with data starting
+    # at phase(2*plen) == phase(0).  With the RX mixer reset at the first
+    # LTS, per-segment time offsets s*plen for the LTS and 2*plen + s*sym_len
+    # for data reproduce the reference's phase alignment exactly.
+    from ..ofdm.demodulator import (init_state, estimate_channel_from_lts,
+                                    _scan_data_symbols)
+
+    start_lts = int(np.asarray(det["lts_start"])[0])
+    plen = config.fft_size + config.cyclic_prefix
+    B = samples.shape[0]
+    S = ofdm_pipeline.num_data_symbols(config, mod, n_codewords)
+    lts = samples[:, start_lts:start_lts + 2 * plen].reshape(B, 2, plen)
+    data_start = start_lts + 2 * plen
+    data = samples[:, data_start:data_start + S * config.symbol_duration]
+    data = data.reshape(B, S, config.symbol_duration)
+
+    state = init_state(config, B, det["cfo_hz"], 0.0)
+    state = estimate_channel_from_lts(config, state, lts, t0_base=0)
+    _, llrs = _scan_data_symbols(config, mod, state, data, t0_base=2 * plen)
+    return llrs, det
