@@ -255,7 +255,12 @@ class ModemEngine:
         """Decode CW0 at R1/4, learn total_cw, decode everything
         (modem_rx_decode.cpp:51-115, 159-530)."""
         buf = self._rx_buffer
-        rate0 = CodeRate.R1_4
+        # TX uses R1/4 for control/pre-negotiation frames and the negotiated
+        # rate for connected DATA frames (ALL codewords, modem_engine.cpp:270);
+        # probe CW0 with R1/4 first, then the negotiated rate.
+        candidate_rates = [CodeRate.R1_4]
+        if self.connected and self.data_code_rate not in candidate_rates:
+            candidate_rates.append(self.data_code_rate)
 
         def demod(n_cw: int, rate: CodeRate) -> Optional[np.ndarray]:
             nbits = F.LDPC_CODEWORD_BITS * n_cw
@@ -295,14 +300,18 @@ class ModemEngine:
                     for i in range(n_cw)])
             return out
 
-        llrs0 = demod(1, rate0)
+        llrs0 = demod(1, CodeRate.R1_4)
         if llrs0 is None:
             return None
-        ok, data = F.decode_codewords_with_ldpc([llrs0[:648]], rate0)
-        if not ok[0]:
-            return None
-        info = F.parse_header(data[0])
-        if not info.valid:
+        info = None
+        for rate in candidate_rates:
+            ok, data = F.decode_codewords_with_ldpc([llrs0[:648]], rate)
+            if ok[0]:
+                hdr = F.parse_header(data[0].ljust(F.BYTES_PER_CODEWORD, b"\0"))
+                if hdr.valid:
+                    info, rate0 = hdr, rate
+                    break
+        if info is None:
             return None
         total_cw = max(1, info.total_cw)
 
@@ -319,9 +328,9 @@ class ModemEngine:
             expected = F.CONTROL_SIZE
         else:
             expected = F.HEADER_SIZE + info.payload_len + F.CRC_SIZE
+        bpc = F.bytes_per_codeword(rate0)
         frame_bytes = F.reassemble_codewords(
-            [d if o else b"\0" * F.BYTES_PER_CODEWORD
-             for o, d in zip(oks, datas)], expected)
+            [d if o else b"\0" * bpc for o, d in zip(oks, datas)], expected)
 
         # Consume through the end of the decoded frame.
         if wf == WaveformMode.MC_DPSK:

@@ -1,0 +1,461 @@
+"""Connection manager: PING probe -> CONNECT handshake -> ARQ data -> teardown.
+
+Reference: src/protocol/{connection.hpp, connection.cpp,
+connection_handlers.cpp}.  Host-side FSM:
+
+  DISCONNECTED -> PROBING (PING x5) -> CONNECTING (CONNECT x retries)
+               -> CONNECTED (ARQ data, keepalives) -> DISCONNECTING
+
+Mode negotiation (connection_handlers.cpp:negotiateMode): capability
+bitmap intersection, preference honoring, SNR-threshold AUTO selection
+(<0 dB MFSK, <17 dB MC_DPSK, else OFDM_COX).  Data mode from the SNR table
+(recommendDataMode, :13-46), carried in CONNECT_ACK.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+from typing import Callable, Optional
+
+from ..config import Modulation, CodeRate
+from . import frame_v2 as F
+from .arq import ARQConfig, ARQMode, SelectiveRepeatARQ, create_arq
+from .file_transfer import FileTransferController, PayloadType
+from .frame_v2 import WaveformMode, ModeCapabilities
+
+
+class ConnectionState(enum.IntEnum):
+    DISCONNECTED = 0
+    PROBING = 1
+    CONNECTING = 2
+    CONNECTED = 3
+    DISCONNECTING = 4
+
+
+DPSK_ATTEMPTS = 5
+KEEPALIVE_INTERVAL_MS = 60000
+KEEPALIVE_MAX_MISSED = 3
+
+
+@dataclasses.dataclass
+class ConnectionConfig:
+    """(connection.hpp:25-41)"""
+    arq: ARQConfig = dataclasses.field(default_factory=ARQConfig)
+    connect_timeout_ms: int = 60000
+    disconnect_timeout_ms: int = 30000
+    connect_retries: int = 10
+    auto_accept: bool = True
+    mode_capabilities: int = int(ModeCapabilities.ALL)
+    preferred_mode: WaveformMode = WaveformMode.AUTO
+    forced_modulation: Modulation = Modulation.AUTO
+    forced_code_rate: CodeRate = CodeRate.AUTO
+    arq_mode: ARQMode = ARQMode.SELECTIVE_REPEAT
+
+
+def recommend_data_mode(snr_db: float) -> tuple[Modulation, CodeRate]:
+    """SNR -> (modulation, rate) table (connection_handlers.cpp:13-46)."""
+    if snr_db >= 30.0:
+        return Modulation.QAM16, CodeRate.R3_4
+    if snr_db >= 25.0:
+        return Modulation.QAM16, CodeRate.R2_3
+    if snr_db >= 20.0:
+        return Modulation.DQPSK, CodeRate.R2_3
+    if snr_db >= 16.0:
+        return Modulation.DQPSK, CodeRate.R1_2
+    if snr_db >= 12.0:
+        return Modulation.DQPSK, CodeRate.R1_4
+    return Modulation.DBPSK, CodeRate.R1_4
+
+
+_MODE_BITS = {
+    WaveformMode.OFDM_COX: ModeCapabilities.OFDM_COX,
+    WaveformMode.OTFS_EQ: ModeCapabilities.OTFS_EQ,
+    WaveformMode.OTFS_RAW: ModeCapabilities.OTFS_RAW,
+    WaveformMode.MFSK: ModeCapabilities.MFSK,
+    WaveformMode.MC_DPSK: ModeCapabilities.MC_DPSK,
+    WaveformMode.OFDM_CHIRP: ModeCapabilities.OFDM_CHIRP,
+}
+
+
+class Connection:
+    def __init__(self, config: ConnectionConfig | None = None):
+        self.config = config or ConnectionConfig()
+        self.state = ConnectionState.DISCONNECTED
+        self.local_call = ""
+        self.remote_call = ""
+        self.remote_hash = 0
+        self.negotiated_mode = WaveformMode.OFDM_COX
+        self.data_modulation = Modulation.QPSK
+        self.data_code_rate = CodeRate.R1_2
+        self.measured_snr_db = 15.0
+        self.is_initiator = False
+        self.handshake_confirmed = False
+
+        self.arq = create_arq(self.config.arq_mode, self.config.arq)
+        self.file_transfer = FileTransferController()
+
+        # Callbacks (connection.hpp:62-140).
+        self.on_transmit: Optional[Callable[[bytes], None]] = None
+        self.on_connected: Optional[Callable[[], None]] = None
+        self.on_disconnected: Optional[Callable[[str], None]] = None
+        self.on_message_received: Optional[Callable[[str], None]] = None
+        self.on_message_sent: Optional[Callable[[bool], None]] = None
+        self.on_incoming_call: Optional[Callable[[str], None]] = None
+        self.on_data_received: Optional[Callable[[bytes, bool], None]] = None
+        self.on_ping_tx: Optional[Callable[[], None]] = None
+        self.on_ping_received: Optional[Callable[[], None]] = None
+        self.on_state_changed: Optional[Callable[[ConnectionState, str], None]] = None
+        self.on_mode_negotiated: Optional[Callable[[WaveformMode], None]] = None
+        self.on_data_mode_changed: Optional[Callable[[Modulation, CodeRate, float], None]] = None
+
+        self.arq.on_transmit = self._transmit
+        self.arq.on_data_received = self._on_arq_data
+        self.arq.on_send_complete = self._on_arq_send_complete
+
+        self._timer_ms = 0
+        self._retry_count = 0
+        self._keepalive_timer = 0
+        self._keepalives_missed = 0
+        self._pending_remote = ""
+        self._pending_hash = 0
+        self._pending_forced_mod = Modulation.AUTO
+        self._pending_forced_rate = CodeRate.AUTO
+        self.stats_connects_initiated = 0
+        self.stats_connects_received = 0
+        self.stats_connects_failed = 0
+        self.stats_disconnects = 0
+
+    # ------------------------------------------------------------------
+
+    def set_local_callsign(self, call: str):
+        self.local_call = F.sanitize_callsign(call)
+
+    def set_measured_snr(self, snr_db: float):
+        self.measured_snr_db = snr_db
+
+    def _set_state(self, state: ConnectionState, info: str = ""):
+        self.state = state
+        if self.on_state_changed:
+            self.on_state_changed(state, info)
+
+    def _transmit(self, data: bytes):
+        if self.on_transmit:
+            self.on_transmit(data)
+
+    # --- Connect / disconnect -----------------------------------------
+
+    def connect(self, remote_call: str) -> bool:
+        if self.state != ConnectionState.DISCONNECTED or not self.local_call:
+            return False
+        self.remote_call = F.sanitize_callsign(remote_call)
+        self.is_initiator = True
+        self.stats_connects_initiated += 1
+        self._retry_count = 0
+        self._timer_ms = self.config.connect_timeout_ms
+        self._set_state(ConnectionState.PROBING, self.remote_call)
+        if self.on_ping_tx:
+            self.on_ping_tx()
+        return True
+
+    def on_pong_received(self):
+        """(connection_handlers.cpp:52-96): PONG during PROBING -> CONNECTING."""
+        if self.state != ConnectionState.PROBING:
+            if self.state == ConnectionState.DISCONNECTED and self.on_ping_received:
+                self.on_ping_received()
+            return
+        self._set_state(ConnectionState.CONNECTING, self.remote_call)
+        self._timer_ms = self.config.connect_timeout_ms
+        self._send_connect()
+
+    def _send_connect(self):
+        frame = F.ConnectFrame.make_connect(
+            self.local_call, self.remote_call,
+            self.config.mode_capabilities, int(self.config.preferred_mode),
+            int(self.config.forced_modulation), int(self.config.forced_code_rate))
+        self._transmit(frame.serialize())
+
+    def disconnect(self):
+        if self.state not in (ConnectionState.CONNECTED,
+                              ConnectionState.CONNECTING):
+            return
+        self._set_state(ConnectionState.DISCONNECTING)
+        self._timer_ms = self.config.disconnect_timeout_ms
+        frame = F.ConnectFrame.make_disconnect(self.local_call, self.remote_call)
+        self._transmit(frame.serialize())
+
+    def accept_call(self):
+        if not self._pending_remote:
+            return
+        self._accept(self._pending_remote, self._pending_hash,
+                     self._pending_forced_mod, self._pending_forced_rate)
+
+    def reject_call(self):
+        if self._pending_hash:
+            nak = F.ConnectFrame.make_connect_nak(
+                self.local_call, self._pending_remote)
+            self._transmit(nak.serialize())
+            self._pending_remote = ""
+            self._pending_hash = 0
+
+    # --- Data ----------------------------------------------------------
+
+    def send_message(self, text: str) -> bool:
+        if self.state != ConnectionState.CONNECTED:
+            return False
+        payload = bytes([int(PayloadType.TEXT_MESSAGE)]) + text.encode()
+        return self.arq.send_data(payload)
+
+    def is_ready_to_send(self) -> bool:
+        return (self.state == ConnectionState.CONNECTED
+                and self.arq.is_ready_to_send())
+
+    def send_file(self, filepath: str) -> bool:
+        if self.state != ConnectionState.CONNECTED:
+            return False
+        if not self.file_transfer.start_send(filepath):
+            return False
+        self._pump_file()
+        return True
+
+    def _pump_file(self):
+        while (self.file_transfer.has_more_chunks()
+               and self.arq.is_ready_to_send()):
+            chunk = self.file_transfer.get_next_chunk()
+            if not chunk:
+                break
+            flags = int(F.Flags.VERSION_V2)
+            if self.file_transfer.has_more_chunks():
+                flags |= int(F.Flags.MORE_FRAG)
+            self.arq.send_data_with_flags(chunk, flags)
+
+    # --- Mode negotiation -----------------------------------------------
+
+    def negotiate_mode(self, remote_caps: int,
+                       remote_pref: WaveformMode) -> WaveformMode:
+        """(connection_handlers.cpp negotiateMode)"""
+        common = self.config.mode_capabilities & remote_caps
+        if common == 0:
+            return WaveformMode.OFDM_COX
+        if remote_pref != WaveformMode.AUTO and \
+                common & int(_MODE_BITS.get(remote_pref, 0)):
+            return remote_pref
+        if self.config.preferred_mode != WaveformMode.AUTO and \
+                common & int(_MODE_BITS.get(self.config.preferred_mode, 0)):
+            return self.config.preferred_mode
+        snr = self.measured_snr_db
+        if snr < 0.0 and common & ModeCapabilities.MFSK:
+            return WaveformMode.MFSK
+        if snr < 17.0 and common & ModeCapabilities.MC_DPSK:
+            return WaveformMode.MC_DPSK
+        for mode, bit in ((WaveformMode.OFDM_COX, ModeCapabilities.OFDM_COX),
+                          (WaveformMode.OTFS_EQ, ModeCapabilities.OTFS_EQ),
+                          (WaveformMode.OTFS_RAW, ModeCapabilities.OTFS_RAW),
+                          (WaveformMode.MC_DPSK, ModeCapabilities.MC_DPSK),
+                          (WaveformMode.MFSK, ModeCapabilities.MFSK)):
+            if common & bit:
+                return mode
+        return WaveformMode.OFDM_COX
+
+    # --- RX frame dispatch ----------------------------------------------
+
+    def on_frame_received(self, frame_data: bytes):
+        if len(frame_data) < 3:
+            return
+        ftype = frame_data[2]
+        if ftype in (int(F.FrameType.CONNECT), int(F.FrameType.CONNECT_ACK),
+                     int(F.FrameType.CONNECT_NAK), int(F.FrameType.DISCONNECT)):
+            cf = F.ConnectFrame.deserialize(frame_data)
+            if cf is None:
+                return
+            if cf.type == F.FrameType.CONNECT:
+                self._handle_connect(cf)
+            elif cf.type == F.FrameType.CONNECT_ACK:
+                self._handle_connect_ack(cf)
+            elif cf.type == F.FrameType.CONNECT_NAK:
+                self._handle_connect_nak(cf)
+            elif cf.type == F.FrameType.DISCONNECT:
+                self._handle_disconnect(cf)
+            return
+        if self.state == ConnectionState.CONNECTED:
+            if not self.handshake_confirmed:
+                self.handshake_confirmed = True
+            self._keepalives_missed = 0
+            self.arq.on_frame_received(frame_data)
+
+    def _handle_connect(self, frame: F.ConnectFrame):
+        src = frame.src_callsign
+        self.stats_connects_received += 1
+        if self.config.auto_accept:
+            self._accept(src or "REMOTE", frame.src_hash,
+                         Modulation(frame.initial_modulation)
+                         if frame.initial_modulation in Modulation._value2member_map_
+                         else Modulation.AUTO,
+                         CodeRate(frame.initial_code_rate)
+                         if frame.initial_code_rate in CodeRate._value2member_map_
+                         else CodeRate.AUTO,
+                         remote_caps=frame.mode_capabilities,
+                         remote_pref=WaveformMode(frame.negotiated_mode)
+                         if frame.negotiated_mode in WaveformMode._value2member_map_
+                         else WaveformMode.AUTO)
+        else:
+            self._pending_remote = src or "REMOTE"
+            self._pending_hash = frame.src_hash
+            self._pending_forced_mod = Modulation(frame.initial_modulation) \
+                if frame.initial_modulation in Modulation._value2member_map_ \
+                else Modulation.AUTO
+            self._pending_forced_rate = CodeRate(frame.initial_code_rate) \
+                if frame.initial_code_rate in CodeRate._value2member_map_ \
+                else CodeRate.AUTO
+            if self.on_incoming_call:
+                self.on_incoming_call(self._pending_remote)
+
+    def _accept(self, remote: str, remote_hash: int,
+                forced_mod: Modulation, forced_rate: CodeRate,
+                remote_caps: int = int(ModeCapabilities.ALL),
+                remote_pref: WaveformMode = WaveformMode.AUTO):
+        self.remote_call = remote
+        self.remote_hash = remote_hash
+        self.is_initiator = False
+        self.handshake_confirmed = False
+        self.negotiated_mode = self.negotiate_mode(remote_caps, remote_pref)
+        snr = self.measured_snr_db
+        rec_mod, rec_rate = recommend_data_mode(snr)
+        if forced_mod != Modulation.AUTO:
+            rec_mod = forced_mod
+        if forced_rate != CodeRate.AUTO:
+            rec_rate = forced_rate
+        self.data_modulation, self.data_code_rate = rec_mod, rec_rate
+        ack = F.ConnectFrame.make_connect_ack_by_hash(
+            self.local_call, remote_hash, int(self.negotiated_mode),
+            rec_mod, rec_rate, snr)
+        self._transmit(ack.serialize())
+        self._enter_connected()
+        if self.on_data_mode_changed:
+            self.on_data_mode_changed(rec_mod, rec_rate, snr)
+
+    def _handle_connect_ack(self, frame: F.ConnectFrame):
+        if self.state != ConnectionState.CONNECTING:
+            return
+        self.negotiated_mode = WaveformMode(frame.negotiated_mode) \
+            if frame.negotiated_mode in WaveformMode._value2member_map_ \
+            else WaveformMode.OFDM_COX
+        if frame.initial_modulation in Modulation._value2member_map_:
+            self.data_modulation = Modulation(frame.initial_modulation)
+        if frame.initial_code_rate in CodeRate._value2member_map_:
+            self.data_code_rate = CodeRate(frame.initial_code_rate)
+        if frame.src_callsign and self.remote_call in ("", "REMOTE"):
+            self.remote_call = frame.src_callsign
+        self.handshake_confirmed = True
+        self._enter_connected()
+        if self.on_data_mode_changed:
+            self.on_data_mode_changed(self.data_modulation, self.data_code_rate,
+                                      F.decode_snr(frame.measured_snr))
+
+    def _handle_connect_nak(self, frame: F.ConnectFrame):
+        if self.state == ConnectionState.CONNECTING:
+            self.stats_connects_failed += 1
+            self._set_state(ConnectionState.DISCONNECTED, "rejected")
+            if self.on_disconnected:
+                self.on_disconnected("rejected")
+
+    def _handle_disconnect(self, frame: F.ConnectFrame):
+        if self.state in (ConnectionState.CONNECTED,
+                          ConnectionState.DISCONNECTING):
+            self.stats_disconnects += 1
+            # ACK the disconnect with our own DISCONNECT (simplified teardown).
+            if self.state == ConnectionState.CONNECTED:
+                ack = F.ConnectFrame.make_disconnect(self.local_call,
+                                                     self.remote_call)
+                self._transmit(ack.serialize())
+            self._set_state(ConnectionState.DISCONNECTED, "remote disconnect")
+            if self.on_disconnected:
+                self.on_disconnected("remote disconnect")
+
+    def _enter_connected(self):
+        self.arq.set_callsigns(self.local_call, self.remote_call)
+        self.arq.reset()
+        self._keepalive_timer = KEEPALIVE_INTERVAL_MS
+        self._keepalives_missed = 0
+        self._set_state(ConnectionState.CONNECTED, self.remote_call)
+        if self.on_mode_negotiated:
+            self.on_mode_negotiated(self.negotiated_mode)
+        if self.on_connected:
+            self.on_connected()
+
+    # --- ARQ plumbing -----------------------------------------------------
+
+    def _on_arq_data(self, payload: bytes):
+        if self.file_transfer.process_payload(payload):
+            return
+        if payload and payload[0] == int(PayloadType.TEXT_MESSAGE):
+            text = payload[1:].decode(errors="replace")
+        else:
+            text = payload.decode(errors="replace")
+        if self.on_message_received:
+            self.on_message_received(text)
+        if self.on_data_received:
+            self.on_data_received(payload, self.arq.last_rx_more_data)
+
+    def _on_arq_send_complete(self, success: bool):
+        if self.file_transfer.is_in_progress():
+            self.file_transfer.on_chunk_acked(success)
+            if success:
+                self._pump_file()
+            return
+        if self.on_message_sent:
+            self.on_message_sent(success)
+
+    # --- Timing ------------------------------------------------------------
+
+    def tick(self, elapsed_ms: int):
+        if self.state == ConnectionState.PROBING:
+            self._timer_ms -= elapsed_ms
+            if self._timer_ms <= 0:
+                self._retry_count += 1
+                if self._retry_count >= self.config.connect_retries:
+                    self.stats_connects_failed += 1
+                    self._set_state(ConnectionState.DISCONNECTED, "timeout")
+                    if self.on_disconnected:
+                        self.on_disconnected("connect timeout")
+                    return
+                self._timer_ms = self.config.connect_timeout_ms
+                if self.on_ping_tx:
+                    self.on_ping_tx()
+        elif self.state == ConnectionState.CONNECTING:
+            self._timer_ms -= elapsed_ms
+            if self._timer_ms <= 0:
+                self._retry_count += 1
+                if self._retry_count >= self.config.connect_retries:
+                    self.stats_connects_failed += 1
+                    self._set_state(ConnectionState.DISCONNECTED, "timeout")
+                    if self.on_disconnected:
+                        self.on_disconnected("connect timeout")
+                    return
+                self._timer_ms = self.config.connect_timeout_ms
+                self._send_connect()
+        elif self.state == ConnectionState.CONNECTED:
+            self.arq.tick(elapsed_ms)
+            self._keepalive_timer -= elapsed_ms
+            if self._keepalive_timer <= 0:
+                self._keepalive_timer = KEEPALIVE_INTERVAL_MS
+                self._keepalives_missed += 1
+                if self._keepalives_missed > KEEPALIVE_MAX_MISSED:
+                    self._set_state(ConnectionState.DISCONNECTED, "keepalive")
+                    if self.on_disconnected:
+                        self.on_disconnected("keepalive timeout")
+                    return
+                ka = F.ControlFrame.make_keepalive(self.local_call,
+                                                   self.remote_call)
+                self._transmit(ka.serialize())
+        elif self.state == ConnectionState.DISCONNECTING:
+            self._timer_ms -= elapsed_ms
+            if self._timer_ms <= 0:
+                self.stats_disconnects += 1
+                self._set_state(ConnectionState.DISCONNECTED, "local disconnect")
+                if self.on_disconnected:
+                    self.on_disconnected("local disconnect")
+
+    @property
+    def is_connected(self) -> bool:
+        return self.state == ConnectionState.CONNECTED

@@ -1,0 +1,103 @@
+"""ProtocolEngine: facade wiring Connection + ARQ to a ModemEngine.
+
+Reference: src/protocol/protocol_engine.{hpp,cpp}.  Bridges the host-side
+protocol FSMs to the modem's audio-level TX/RX:
+
+  Connection.on_transmit -> ModemEngine.transmit (waveform per state)
+  ModemEngine.on_frame   -> Connection.on_frame_received
+  Connection.on_ping_tx  -> ModemEngine.transmit_ping
+  ModemEngine.on_ping    -> Connection.on_pong_received / incoming ping
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import numpy as np
+
+from ..config import Modulation, CodeRate
+from ..modem.engine import ModemEngine, DecodedFrame
+from .connection import Connection, ConnectionConfig, ConnectionState
+from .frame_v2 import WaveformMode
+
+
+class ProtocolEngine:
+    def __init__(self, modem: ModemEngine | None = None,
+                 config: ConnectionConfig | None = None):
+        self.modem = modem or ModemEngine()
+        self.connection = Connection(config)
+
+        # Audio sink: application supplies how TX audio leaves the station
+        # (AudioEngine / channel sim / file).
+        self.on_tx_audio: Optional[Callable[[np.ndarray], None]] = None
+
+        self.connection.on_transmit = self._tx_frame
+        self.connection.on_ping_tx = self._tx_ping
+        self.connection.on_mode_negotiated = self._apply_mode
+        self.connection.on_data_mode_changed = self._apply_data_mode
+        self.connection.on_connected = self._on_connected
+        self.connection.on_disconnected = self._on_disconnected
+
+        self.modem.on_frame = self._on_modem_frame
+        self.modem.on_ping = self._on_modem_ping
+
+    # --- outgoing ---------------------------------------------------------
+
+    def _tx_frame(self, frame_bytes: bytes):
+        audio = self.modem.transmit(frame_bytes)
+        if self.on_tx_audio is not None and len(audio):
+            self.on_tx_audio(audio)
+
+    def _tx_ping(self):
+        audio = self.modem.transmit_ping()
+        if self.on_tx_audio is not None and len(audio):
+            self.on_tx_audio(audio)
+
+    # --- incoming ----------------------------------------------------------
+
+    def feed_audio(self, samples: np.ndarray):
+        self.modem.feed_audio(samples)
+        self.modem.poll()
+
+    def _on_modem_frame(self, frame: DecodedFrame):
+        self.connection.on_frame_received(frame.frame_bytes)
+
+    def _on_modem_ping(self, snr_db: float):
+        if self.connection.state == ConnectionState.PROBING:
+            self.connection.on_pong_received()
+        else:
+            # Someone is calling us: respond with PONG (chirp).
+            if self.connection.state == ConnectionState.DISCONNECTED:
+                self._tx_ping()
+
+    # --- mode plumbing ------------------------------------------------------
+
+    def _apply_mode(self, mode: WaveformMode):
+        self.modem.set_waveform_mode(mode)
+
+    def _apply_data_mode(self, mod: Modulation, rate: CodeRate, snr: float):
+        self.modem.data_modulation = mod
+        self.modem.data_code_rate = rate
+
+    def _on_connected(self):
+        self.modem.connected = True
+        self.modem.handshake_complete = self.connection.handshake_confirmed
+
+    def _on_disconnected(self, reason: str):
+        self.modem.disconnect_waveform = self.modem.waveform_mode
+        self.modem.connected = False
+        self.modem.handshake_complete = False
+
+    # --- passthroughs ---------------------------------------------------
+
+    def connect(self, remote: str) -> bool:
+        return self.connection.connect(remote)
+
+    def disconnect(self):
+        self.connection.disconnect()
+
+    def send_message(self, text: str) -> bool:
+        return self.connection.send_message(text)
+
+    def tick(self, elapsed_ms: int):
+        self.connection.tick(elapsed_ms)

@@ -1,0 +1,200 @@
+"""Protocol stack tests: ARQ, connection FSM, file transfer, and a full
+two-station over-the-air session (cli_simulator semantics).
+
+Reference: tests/test_protocol.cpp, test_selective_repeat.cpp,
+tools/cli_simulator.cpp.
+"""
+
+import numpy as np
+import pytest
+
+from projectultra_tpu.config import Modulation, CodeRate
+from projectultra_tpu.protocol import frame_v2 as F
+from projectultra_tpu.protocol.arq import (ARQConfig, ARQMode, StopAndWaitARQ,
+                                           SelectiveRepeatARQ)
+from projectultra_tpu.protocol.connection import (Connection, ConnectionConfig,
+                                                  ConnectionState,
+                                                  recommend_data_mode)
+from projectultra_tpu.protocol.frame_v2 import WaveformMode
+
+
+def _link(a, b):
+    """Directly connect two ARQ controllers frame-wise."""
+    a.on_transmit = b.on_frame_received
+    b.on_transmit = a.on_frame_received
+
+
+def test_stop_and_wait_roundtrip():
+    a, b = StopAndWaitARQ(), StopAndWaitARQ()
+    a.set_callsigns("W1AW", "VE3ABC")
+    b.set_callsigns("VE3ABC", "W1AW")
+    _link(a, b)
+    got = []
+    b.on_data_received = got.append
+    done = []
+    a.on_send_complete = done.append
+    assert a.send_data(b"hello")
+    assert got == [b"hello"]
+    assert done == [True]
+    assert a.is_ready_to_send()
+
+
+def test_stop_and_wait_retry_then_fail():
+    a = StopAndWaitARQ(ARQConfig(ack_timeout_ms=100, max_retries=2))
+    a.set_callsigns("W1AW", "VE3ABC")
+    sent = []
+    a.on_transmit = sent.append
+    done = []
+    a.on_send_complete = done.append
+    a.send_data(b"x")
+    assert len(sent) == 1
+    a.tick(150)  # timeout -> retry 1
+    a.tick(150)  # retry 2
+    a.tick(150)  # exceeds max_retries -> fail
+    assert len(sent) == 3
+    assert done == [False]
+    assert a.stats.failed == 1
+
+
+def test_selective_repeat_window_and_sack():
+    cfg = ARQConfig(window_size=4)
+    a, b = SelectiveRepeatARQ(cfg), SelectiveRepeatARQ(cfg)
+    a.set_callsigns("W1AW", "VE3ABC")
+    b.set_callsigns("VE3ABC", "W1AW")
+    got = []
+    b.on_data_received = got.append
+
+    # Capture A's frames without delivering, to simulate loss/reorder.
+    a_frames = []
+    a.on_transmit = a_frames.append
+    b.on_transmit = a.on_frame_received
+
+    for i in range(4):
+        assert a.send_data(f"msg{i}".encode())
+    assert not a.is_ready_to_send()
+    assert len(a_frames) == 4
+
+    # Deliver out of order: 1, 0, 3, 2 — receiver reorders.
+    for idx in (1, 0, 3, 2):
+        b.on_frame_received(a_frames[idx])
+    assert got == [b"msg0", b"msg1", b"msg2", b"msg3"]
+    assert b.stats.out_of_order > 0
+    # SACKs flowed back to A: window fully acked.
+    assert a.in_flight == 0
+    assert a.is_ready_to_send()
+
+
+def test_selective_repeat_nack_retransmit():
+    cfg = ARQConfig(window_size=4)
+    a = SelectiveRepeatARQ(cfg)
+    a.set_callsigns("W1AW", "VE3ABC")
+    sent = []
+    a.on_transmit = sent.append
+    a.send_data(b"payload")
+    nack = F.ControlFrame.make_nack("VE3ABC", "W1AW", 0, 0x01)
+    a.on_frame_received(nack.serialize())
+    assert len(sent) == 2  # original + retransmit
+    assert a.stats.retransmissions == 1
+
+
+def test_recommend_data_mode_table():
+    assert recommend_data_mode(31) == (Modulation.QAM16, CodeRate.R3_4)
+    assert recommend_data_mode(26) == (Modulation.QAM16, CodeRate.R2_3)
+    assert recommend_data_mode(21) == (Modulation.DQPSK, CodeRate.R2_3)
+    assert recommend_data_mode(17) == (Modulation.DQPSK, CodeRate.R1_2)
+    assert recommend_data_mode(13) == (Modulation.DQPSK, CodeRate.R1_4)
+    assert recommend_data_mode(5) == (Modulation.DBPSK, CodeRate.R1_4)
+
+
+def test_connection_handshake_frame_level():
+    """CONNECT/CONNECT_ACK exchange at serialized-frame level."""
+    a, b = Connection(), Connection()
+    a.set_local_callsign("W1AW")
+    b.set_local_callsign("VE3ABC")
+    b.set_measured_snr(21.0)
+    # Wire transmit paths directly.
+    a.on_transmit = b.on_frame_received
+    b.on_transmit = a.on_frame_received
+    pings = []
+    a.on_ping_tx = lambda: pings.append(1)
+
+    assert a.connect("VE3ABC")
+    assert a.state == ConnectionState.PROBING
+    assert pings == [1]
+    a.on_pong_received()  # modem detected PONG
+    # CONNECT flowed to B, which auto-accepted with CONNECT_ACK.
+    assert b.state == ConnectionState.CONNECTED
+    assert a.state == ConnectionState.CONNECTED
+    assert b.remote_call == "W1AW" and a.remote_call == "VE3ABC"
+    # SNR 21 -> DQPSK R2/3, MC_DPSK < 17? 21 >= 17 -> OFDM_COX negotiated.
+    assert b.negotiated_mode == WaveformMode.OFDM_COX
+    assert a.data_modulation == Modulation.DQPSK
+    assert a.data_code_rate == CodeRate.R2_3
+
+    # Data both ways via ARQ.
+    got_b, got_a = [], []
+    b.on_message_received = got_b.append
+    a.on_message_received = got_a.append
+    assert a.send_message("hello b")
+    assert got_b == ["hello b"]
+    assert b.send_message("hello a")
+    assert got_a == ["hello a"]
+
+    # Teardown.
+    a.disconnect()
+    assert b.state == ConnectionState.DISCONNECTED
+    a.tick(60000)
+    assert a.state == ConnectionState.DISCONNECTED
+
+
+def test_file_transfer_roundtrip(tmp_path):
+    a, b = Connection(), Connection()
+    a.set_local_callsign("W1AW")
+    b.set_local_callsign("VE3ABC")
+    a.on_transmit = b.on_frame_received
+    b.on_transmit = a.on_frame_received
+    b.file_transfer.receive_dir = str(tmp_path)
+    a.connect("VE3ABC")
+    a.on_pong_received()
+    assert a.is_connected and b.is_connected
+
+    src = tmp_path / "payload.txt"
+    content = b"The quick brown fox jumps over the lazy dog. " * 40
+    src.write_bytes(content)
+    received = []
+    b.file_transfer.on_received = lambda path, ok: received.append((path, ok))
+    assert a.send_file(str(src))
+    assert received and received[0][1]
+    out = open(received[0][0], "rb").read()
+    assert out == content
+
+
+def test_two_station_over_the_air():
+    """Full acoustic session: chirp PING/PONG, CONNECT via MC-DPSK audio,
+    data frames at negotiated rate (cli_simulator.cpp:175-380 semantics)."""
+    from projectultra_tpu.protocol.engine import ProtocolEngine
+
+    a, b = ProtocolEngine(), ProtocolEngine()
+    a.connection.set_local_callsign("W1AW")
+    b.connection.set_local_callsign("VE3ABC")
+    b.connection.set_measured_snr(15.0)
+
+    # Acoustic link: each engine's TX audio is fed into the other's RX.
+    a.on_tx_audio = lambda audio: b.feed_audio(
+        np.concatenate([audio, np.zeros(4000, np.float32)]))
+    b.on_tx_audio = lambda audio: a.feed_audio(
+        np.concatenate([audio, np.zeros(4000, np.float32)]))
+
+    messages_b = []
+    b.connection.on_message_received = messages_b.append
+
+    assert a.connect("VE3ABC")
+    # PING chirp went to B; B (disconnected) answered with PONG chirp;
+    # A (PROBING) took it as PONG and sent CONNECT over MC-DPSK audio;
+    # B auto-accepted with CONNECT_ACK audio.
+    assert a.connection.is_connected, a.connection.state
+    assert b.connection.is_connected, b.connection.state
+    assert b.connection.remote_call == "W1AW"
+
+    assert a.send_message("over the air!")
+    assert messages_b == ["over the air!"]
