@@ -1,0 +1,174 @@
+"""Adaptive OFDM<->OTFS mode selection from preamble channel characterization.
+
+Reference: include/ultra/adaptive_modem.hpp + src/ofdm/adaptive_modem.cpp.
+Pipeline: preamble symbols -> per-symbol LS channel snapshots -> RMS delay
+spread (IFFT of averaged H) + Doppler spread (snapshot variation) -> ITU-R
+F.1487 classification -> mode:
+
+  Flutter (fD >= 5 Hz)              -> OFDM
+  Poor (tau >= 1.5 ms or fD >= 2)   -> OTFS_RAW
+  Moderate                          -> OFDM
+  Good (tau < 0.75 ms, fD < 0.3)    -> OTFS_EQ
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..otfs.otfs import OTFSConfig, sync_sequence, REAL_TO_COMPLEX_SCALE
+from ..ops import mixer as mixer_ops
+
+
+class ModulationMode(enum.IntEnum):
+    OFDM = 0
+    OTFS_EQ = 1
+    OTFS_RAW = 2
+    AUTO = 3
+
+
+@dataclasses.dataclass
+class PreambleChannelEstimate:
+    """(adaptive_modem.hpp:35-84)"""
+    delay_spread_ms: float = 0.0
+    doppler_spread_hz: float = 0.0
+    snr_db: float = 0.0
+    coherence_time_ms: float = 0.0
+
+    @property
+    def is_good(self) -> bool:
+        return self.delay_spread_ms < 0.75 and self.doppler_spread_hz < 0.3
+
+    @property
+    def is_moderate(self) -> bool:
+        return (0.75 <= self.delay_spread_ms < 1.5
+                and 0.3 <= self.doppler_spread_hz < 2.0)
+
+    @property
+    def is_poor(self) -> bool:
+        return self.delay_spread_ms >= 1.5 or self.doppler_spread_hz >= 2.0
+
+    @property
+    def is_flutter(self) -> bool:
+        return self.doppler_spread_hz >= 5.0
+
+    @property
+    def condition(self) -> str:
+        if self.is_flutter:
+            return "Flutter"
+        if self.is_poor:
+            return "Poor"
+        if self.is_moderate:
+            return "Moderate"
+        if self.is_good:
+            return "Good"
+        return "Unknown"
+
+    def recommended_mode(self) -> ModulationMode:
+        """(adaptive_modem.hpp:60-74)"""
+        if self.is_flutter:
+            return ModulationMode.OFDM
+        if self.is_poor:
+            return ModulationMode.OTFS_RAW
+        if self.is_moderate:
+            return ModulationMode.OFDM
+        return ModulationMode.OTFS_EQ
+
+
+class ChannelCharacterizer:
+    """Preamble-based characterizer (adaptive_modem.cpp:80-276), batched."""
+
+    def __init__(self, cfg: OTFSConfig | None = None):
+        self.cfg = cfg or OTFSConfig()
+
+    def characterize(self, preamble: np.ndarray) -> PreambleChannelEstimate:
+        """[T] or [1, T] preamble samples (>=2 sync symbols)."""
+        cfg = self.cfg
+        x = np.asarray(preamble, np.float32).reshape(-1)
+        sym_len = cfg.sym_len
+        n_sym = min(4, len(x) // sym_len)
+        if n_sym < 2:
+            return PreambleChannelEstimate()
+        seq = sync_sequence(cfg)
+
+        H = np.zeros((n_sym, cfg.M), np.complex64)
+        sig_p = noise_p = 0.0
+        count = 0
+        for s in range(n_sym):
+            seg = x[s * sym_len:(s + 1) * sym_len]
+            osc = mixer_ops.osc_fixed(cfg.center_freq, cfg.sample_rate,
+                                      sym_len, offset=s * sym_len)
+            bb = seg * np.conj(osc)
+            fd = np.fft.fft(bb[cfg.cp_length:cfg.cp_length + cfg.fft_size])
+            rx = fd[1:cfg.M + 1] * REAL_TO_COMPLEX_SCALE
+            H[s] = rx * np.conj(seq)   # |seq| = 1
+            sig_p += float((np.abs(rx) ** 2).sum())
+            count += cfg.M
+
+        # SNR from snapshot variation (the reference's residual formula
+        # degenerates to zero for unit-modulus sequences; use the temporal
+        # noise estimate instead — same estimator the OFDM tracker uses).
+        diffs = np.abs(np.diff(H, axis=0)) ** 2
+        noise_p = float(diffs.mean()) / 2.0 if diffs.size else 0.0
+        sig_mean = float((np.abs(H) ** 2).mean())
+        snr_db = 10.0 * np.log10(max(sig_mean, 1e-12)
+                                 / max(noise_p, 1e-12))
+        snr_db = float(np.clip(snr_db, 0.0, 50.0))
+
+        est = PreambleChannelEstimate(snr_db=snr_db)
+        est.delay_spread_ms = self.estimate_delay_spread(H.mean(0))
+        sym_ms = sym_len / cfg.sample_rate * 1000.0
+        est.doppler_spread_hz = self.estimate_doppler(H, sym_ms)
+        est.coherence_time_ms = (500.0 / est.doppler_spread_hz
+                                 if est.doppler_spread_hz > 0.01 else 10000.0)
+        return est
+
+    def estimate_delay_spread(self, H_freq: np.ndarray) -> float:
+        """RMS delay spread from IFFT of H(f) (adaptive_modem.cpp:183-227)."""
+        cfg = self.cfg
+        if len(H_freq) < 4:
+            return 0.0
+        Hp = np.zeros(cfg.fft_size, np.complex64)
+        Hp[:min(len(H_freq), cfg.fft_size // 2)] = \
+            H_freq[:cfg.fft_size // 2]
+        h = np.fft.ifft(Hp)
+        dt_ms = 1000.0 / cfg.sample_rate
+        max_d = min(int(5.0 / dt_ms), len(h) // 2)
+        p = np.abs(h[:max_d]) ** 2
+        tot = p.sum()
+        if tot < 1e-10:
+            return 0.0
+        d = np.arange(max_d) * dt_ms
+        mean = (p * d).sum() / tot
+        var = (p * d * d).sum() / tot - mean * mean
+        return float(np.sqrt(max(0.0, var)))
+
+    def estimate_doppler(self, H: np.ndarray, sym_ms: float) -> float:
+        """Doppler from snapshot-to-snapshot variation
+        (adaptive_modem.cpp:229-276): fD ~ rms(|dH|)/|H| / (2 pi T)."""
+        if H.shape[0] < 2:
+            return 0.0
+        h1 = H[:-1]
+        h2 = H[1:]
+        mask = np.abs(h1) > 0.1
+        if not mask.any():
+            return 0.0
+        var = (np.abs(h2 - h1) ** 2)[mask].sum()
+        pwr = (np.abs(h1) ** 2)[mask].sum()
+        if pwr < 1e-10:
+            return 0.0
+        rms = np.sqrt(var / pwr)
+        fd = rms / (2.0 * np.pi * (sym_ms / 1000.0))
+        return float(np.clip(fd, 0.0, 20.0))
+
+
+def select_mode(preamble: np.ndarray,
+                cfg: OTFSConfig | None = None) -> tuple[ModulationMode,
+                                                        PreambleChannelEstimate]:
+    """One-call adaptive mode selection (AdaptiveModem::selectMode)."""
+    c = ChannelCharacterizer(cfg)
+    est = c.characterize(preamble)
+    return est.recommended_mode(), est

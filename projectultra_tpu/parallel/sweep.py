@@ -1,0 +1,210 @@
+"""Batched decode-rate sweep harness: the regression_matrix workload as
+device programs.
+
+Reference: tests/regression_matrix.sh + tools/test_iwaveform.cpp.  The
+reference runs N sequential frames through one streaming receiver per
+(waveform, SNR, CFO, channel) point; here every point's frame batch runs as
+one fused device program — TX -> harness CFO -> channel -> chirp DETECTION
+(not presynced: per-frame detected positions/CFO feed the demodulators via
+vmap'd dynamic slices) -> demod -> LDPC -> per-frame success.
+
+Anti-cheating rules preserved (docs/TESTING_METHODOLOGY.md:252-292): one
+continuous receiver path per frame, detection runs on the full noisy stream
+(no oracle positions), reproducible seeds.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import ModemConfig, Modulation, CodeRate, bits_per_symbol
+from ..fec import ldpc
+from ..fec.interleave import channel_interleaver
+from ..ofdm import carriers as carriers_mod
+from ..ofdm import demodulator as ofdm_demod
+from ..ofdm import modulator as ofdm_mod
+from ..ofdm import pipeline as ofdm_pipeline
+from ..ops import ldpc as ldpc_ops
+from ..psk import mc_dpsk as MC
+from ..sim import watterson as W
+from ..sync import chirp as chirp_mod
+
+
+@dataclasses.dataclass(frozen=True)
+class SweepPoint:
+    waveform: str              # "MC_DPSK" | "OFDM_CHIRP"
+    snr_db: float
+    cfo_hz: float = 0.0
+    channel: str = "awgn"      # awgn|good|moderate|poor|flutter
+    rate: CodeRate = CodeRate.R1_4
+    frames: int = 5
+
+
+@dataclasses.dataclass
+class SweepResult:
+    point: SweepPoint
+    decode_rate: float
+    ber: float
+    detected_rate: float
+    cfo_err_hz: float
+
+
+def _apply_channel(key, tx: jnp.ndarray, point: SweepPoint) -> jnp.ndarray:
+    """Harness order (test_iwaveform.cpp:505-560): CFO first (Hilbert SSB),
+    then AWGN (active samples) or Watterson preset."""
+    B = tx.shape[0]
+    if abs(point.cfo_hz) > 1e-3:
+        tx = W.apply_cfo_hilbert(tx, jnp.full((B,), point.cfo_hz))
+    if point.channel == "awgn":
+        return W.add_noise_active(key, tx, point.snr_db)
+    cfg = W.PRESETS[point.channel](point.snr_db)
+    return W.watterson(key, tx, cfg)
+
+
+def _vslice(buf: jnp.ndarray, starts: jnp.ndarray, length: int) -> jnp.ndarray:
+    """Per-frame dynamic slice: [B, T] + [B] -> [B, length]."""
+    T = buf.shape[-1]
+    starts = jnp.clip(starts, 0, T - length)
+    return jax.vmap(lambda b, s: jax.lax.dynamic_slice(b, (s,), (length,)))(
+        buf, starts)
+
+
+def run_point_mc_dpsk(point: SweepPoint, mc_cfg: MC.MCDPSKConfig | None = None,
+                      seed: int = 42) -> SweepResult:
+    """MC-DPSK frame sweep with real chirp acquisition per frame."""
+    cfg = mc_cfg or MC.MCDPSKConfig()
+    cc = cfg.chirp_config()
+    code = ldpc.get_code(point.rate)
+    B = point.frames
+    rng = np.random.default_rng(seed)
+    info = rng.integers(0, 2, size=(B, code.k)).astype(np.float32)
+    cw = ldpc_ops.encode(code, jnp.asarray(info))
+
+    lead = 4800
+    pre = np.concatenate([chirp_mod.generate(cc),
+                          MC.generate_training(cfg), MC.generate_reference(cfg)])
+    data = MC.modulate(cfg, cw)
+    tx = jnp.concatenate([
+        jnp.zeros((B, lead)),
+        jnp.broadcast_to(jnp.asarray(pre), (B, len(pre))), data,
+        jnp.zeros((B, 4000))], axis=-1).astype(jnp.float32)
+
+    rx = _apply_channel(jax.random.PRNGKey(seed), tx, point)
+
+    det = chirp_mod.detect_dual_chirp(cc, rx, threshold=cfg.chirp_threshold)
+    tr_start = chirp_mod.training_start(cc, det["down_chirp_start"])
+    n_sym = MC.num_symbols_for_bits(cfg, code.n)
+    span_len = cfg.training_samples + cfg.ref_samples + n_sym * cfg.samples_per_symbol
+    span = _vslice(rx, tr_start, span_len)
+    llrs = MC.demodulate_presynced(cfg, span, det["cfo_hz"],
+                                   tr_start.astype(jnp.float32), n_sym)
+    out, ok, _ = ldpc_ops.decode(code, llrs[:, :code.n])
+
+    found = np.asarray(det["success"])
+    okn = np.asarray(ok) & found
+    match = (np.asarray(out) == info.astype(np.uint8)).all(-1)
+    hard = (np.asarray(llrs[:, :code.n]) < 0).astype(np.uint8)
+    ber = float((hard != np.asarray(cw, np.uint8)).mean())
+    cfo_err = float(np.abs(np.asarray(det["cfo_hz"]) - point.cfo_hz)[found].mean()) \
+        if found.any() else float("nan")
+    return SweepResult(point, float((okn & match).mean()), ber,
+                       float(found.mean()), cfo_err)
+
+
+def run_point_ofdm_chirp(point: SweepPoint, seed: int = 42) -> SweepResult:
+    """OFDM_CHIRP frame sweep with real chirp acquisition per frame."""
+    cfg = ofdm_pipeline.chirp_ofdm_config(rate=point.rate)
+    cc = chirp_mod.ChirpConfig()
+    code = ldpc.get_code(point.rate)
+    B = point.frames
+    rng = np.random.default_rng(seed)
+    info = rng.integers(0, 2, size=(B, code.k)).astype(np.float32)
+    cw = np.asarray(ldpc_ops.encode(code, jnp.asarray(info)))
+
+    cm = carriers_mod.carrier_map(cfg)
+    ci = channel_interleaver(len(cm.data_idx) * 2, code.n)
+    interleaved = cw[:, ci.inv]
+
+    lead = 4800
+    pre = np.concatenate([chirp_mod.generate(cc),
+                          ofdm_mod.generate_training(cfg, 2)])
+    data = ofdm_mod.modulate(cfg, Modulation.DQPSK, jnp.asarray(interleaved),
+                             t_offset=2 * cfg.symbol_duration)
+    tx = jnp.concatenate([
+        jnp.zeros((B, lead)),
+        jnp.broadcast_to(jnp.asarray(pre), (B, len(pre))), data,
+        jnp.zeros((B, 4000))], axis=-1).astype(jnp.float32)
+
+    rx = _apply_channel(jax.random.PRNGKey(seed), tx, point)
+
+    det = chirp_mod.detect_dual_chirp(cc, rx, threshold=0.15)
+    tr_start = chirp_mod.training_start(cc, det["down_chirp_start"])
+    S = ofdm_pipeline.num_data_symbols(cfg, Modulation.DQPSK, 1)
+    span_len = (2 + S) * cfg.symbol_duration
+    span = _vslice(rx, tr_start, span_len)
+    phase = chirp_mod.initial_cfo_phase(cc, det["cfo_hz"], tr_start)
+    llrs, _ = ofdm_demod.demodulate_presynced(
+        cfg, Modulation.DQPSK, span, det["cfo_hz"], phase,
+        training_symbols=2, num_data_symbols=S)
+    deint = llrs[:, :code.n][:, jnp.asarray(ci.perm)]
+    out, ok, _ = ldpc_ops.decode(code, deint)
+
+    found = np.asarray(det["success"])
+    okn = np.asarray(ok) & found
+    match = (np.asarray(out) == info.astype(np.uint8)).all(-1)
+    hard = (np.asarray(deint) < 0).astype(np.uint8)
+    ber = float((hard != cw.astype(np.uint8)).mean())
+    cfo_err = float(np.abs(np.asarray(det["cfo_hz"]) - point.cfo_hz)[found].mean()) \
+        if found.any() else float("nan")
+    return SweepResult(point, float((okn & match).mean()), ber,
+                       float(found.mean()), cfo_err)
+
+
+def run_point(point: SweepPoint, seed: int = 42, **kw) -> SweepResult:
+    if point.waveform == "MC_DPSK":
+        return run_point_mc_dpsk(point, seed=seed, **kw)
+    if point.waveform == "OFDM_CHIRP":
+        return run_point_ofdm_chirp(point, seed=seed)
+    raise ValueError(f"unknown waveform {point.waveform}")
+
+
+# Regression matrix rows (tests/regression_matrix.sh:134-238) with the
+# reference's minimum pass rates.
+REGRESSION_MATRIX = [
+    (SweepPoint("MC_DPSK", 5.0, 0.0, "awgn"), 1.00),
+    (SweepPoint("MC_DPSK", 5.0, 30.0, "awgn"), 1.00),
+    (SweepPoint("MC_DPSK", 0.0, 30.0, "awgn"), 0.60),
+    (SweepPoint("MC_DPSK", 5.0, 0.0, "moderate"), 0.60),
+    (SweepPoint("MC_DPSK", 5.0, 30.0, "moderate"), 0.60),
+    (SweepPoint("MC_DPSK", 15.0, 30.0, "poor"), 0.60),
+    (SweepPoint("OFDM_CHIRP", 17.0, 0.0, "awgn"), 1.00),
+    (SweepPoint("OFDM_CHIRP", 17.0, 30.0, "awgn"), 1.00),
+    (SweepPoint("OFDM_CHIRP", 17.0, 50.0, "awgn"), 1.00),
+    (SweepPoint("OFDM_CHIRP", 15.0, 0.0, "moderate"), 0.80),
+    (SweepPoint("OFDM_CHIRP", 15.0, 30.0, "moderate"), 0.60),
+]
+
+FULL_EXTRA = [
+    (SweepPoint("MC_DPSK", -3.0, 0.0, "awgn", frames=10), 0.80),
+    (SweepPoint("MC_DPSK", 10.0, 0.0, "poor", frames=10), 0.80),
+    (SweepPoint("MC_DPSK", 10.0, 30.0, "poor", frames=10), 0.60),
+    (SweepPoint("OFDM_CHIRP", 15.0, 0.0, "poor", frames=10), 0.40),
+]
+
+
+def run_matrix(rows=None, seed: int = 42, frames: int | None = None):
+    """Run regression rows; returns list of (SweepResult, min_rate, passed)."""
+    rows = rows if rows is not None else REGRESSION_MATRIX
+    out = []
+    for point, min_rate in rows:
+        if frames is not None:
+            point = dataclasses.replace(point, frames=frames)
+        res = run_point(point, seed=seed)
+        out.append((res, min_rate, res.decode_rate >= min_rate))
+    return out
