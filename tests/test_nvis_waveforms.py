@@ -1,0 +1,160 @@
+"""NVIS 1024-FFT high-speed modes + waveform factory + DSP + FSK tests.
+
+Configs #3/#4 of BASELINE.json: coherent 16QAM with pilots (512-FFT) was
+covered in test_schmidl_cox; here the 1024-FFT/59-carrier NVIS family:
+DQPSK/D8PSK R3/4 (no pilots) and 32QAM R3/4 (preamble-only channel
+estimation) with full Schmidl-Cox acquisition.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from projectultra_tpu.config import (ModemConfig, Modulation, CodeRate,
+                                     nvis_mode, high_throughput,
+                                     bits_per_symbol)
+from projectultra_tpu.fec import ldpc
+from projectultra_tpu.fec.interleave import channel_interleaver
+from projectultra_tpu.ofdm import carriers as C
+from projectultra_tpu.ofdm import modulator as M
+from projectultra_tpu.ops import ldpc as ldpc_ops
+from projectultra_tpu.sim import watterson as W
+from projectultra_tpu.sync import schmidl_cox as SC
+
+
+def _cox_e2e(cfg, mod, rate, snr_db, cfo=0.0, B=2, seed=7):
+    code = ldpc.get_code(rate)
+    rng = np.random.default_rng(seed)
+    info = rng.integers(0, 2, size=(B, code.k)).astype(np.float32)
+    cw = np.asarray(ldpc_ops.encode(code, jnp.asarray(info)))
+    cm = C.carrier_map(cfg)
+    ci = channel_interleaver(len(cm.data_idx) * bits_per_symbol(mod), code.n)
+    inter = cw[:, ci.inv]
+    pre = M.generate_preamble(cfg)
+    data = M.modulate(cfg, mod, jnp.asarray(inter),
+                      t_offset=M.preamble_data_t_offset(cfg))
+    tx = jnp.concatenate([
+        jnp.zeros((B, 3000)),
+        jnp.broadcast_to(jnp.asarray(pre), (B, len(pre))),
+        data, jnp.zeros((B, 2000))], axis=-1).astype(jnp.float32)
+    if cfo:
+        tx = W.apply_cfo_hilbert(tx, jnp.full((B,), cfo))
+    rx = W.add_noise_active(jax.random.PRNGKey(seed), tx, snr_db)
+    llrs, det = SC.decode_ofdm_cox(cfg, mod, rx, 1)
+    assert np.asarray(det["found"]).all()
+    deint = np.asarray(llrs)[:, :code.n][:, ci.perm]
+    out, ok, _ = ldpc_ops.decode(code, jnp.asarray(deint))
+    match = (np.asarray(out) == info.astype(np.uint8)).all(-1)
+    return np.asarray(ok), match
+
+
+def test_nvis_1024_dqpsk_r34():
+    """NVIS 1024-FFT DQPSK R3/4, 59 carriers, 3.8 kbps point (README.md:54)."""
+    cfg = nvis_mode()
+    ok, match = _cox_e2e(cfg, Modulation.DQPSK, CodeRate.R3_4, 25.0)
+    assert ok.all() and match.all()
+
+
+def test_nvis_1024_d8psk_r34():
+    """NVIS 1024-FFT D8PSK R3/4, 5.7 kbps point (README.md:55)."""
+    cfg = nvis_mode()
+    ok, match = _cox_e2e(cfg, Modulation.D8PSK, CodeRate.R3_4, 25.0)
+    assert ok.all() and match.all()
+
+
+def test_nvis_1024_qam32_r34_full_acquisition():
+    """Config #4: 1024-FFT 32QAM R3/4 max-speed mode with full Schmidl-Cox
+    sync+CFO acquisition at 30 dB (README.md:57, 7.2 kbps point).
+    Coherent with preamble-only (LTS) channel estimation."""
+    cfg = nvis_mode()
+    ok, match = _cox_e2e(cfg, Modulation.QAM32, CodeRate.R3_4, 30.0, cfo=10.0)
+    assert ok.all() and match.all()
+
+
+def test_high_throughput_qam16_pilots():
+    """high_throughput preset: 1024-FFT, 59 carriers, pilot spacing 4,
+    16QAM R2/3 (types.hpp:312-326)."""
+    cfg = high_throughput()
+    ok, match = _cox_e2e(cfg, Modulation.QAM16, CodeRate.R2_3, 25.0)
+    assert ok.all() and match.all()
+
+
+def test_waveform_factory():
+    from projectultra_tpu.waveform import factory as WF
+    from projectultra_tpu.protocol.frame_v2 import WaveformMode
+
+    assert WF.recommend_mode(5.0) == WaveformMode.MC_DPSK
+    assert WF.recommend_mode(15.0) == WaveformMode.OFDM_CHIRP
+    assert WF.recommend_mode(25.0) == WaveformMode.OFDM_COX
+    assert WF.recommend_mc_dpsk_carriers(5.0) == 8
+    assert WF.recommend_mc_dpsk_carriers(20.0) == 20
+
+    # MFSK deprecates to MC-DPSK (waveform_factory.cpp:33-36).
+    wf = WF.create(WaveformMode.MFSK)
+    assert wf.mode == WaveformMode.MC_DPSK
+    assert WF.create(WaveformMode.OTFS_RAW).mode == WaveformMode.OTFS_RAW
+
+    # End-to-end through the adapter API.
+    wf = WF.create(WaveformMode.MC_DPSK)
+    code = ldpc.get_code(CodeRate.R1_4)
+    rng = np.random.default_rng(0)
+    info = rng.integers(0, 2, size=(1, code.k)).astype(np.float32)
+    cw = ldpc_ops.encode(code, jnp.asarray(info))
+    tx = np.concatenate([np.zeros(3000, np.float32), wf.generate_preamble(),
+                         np.asarray(wf.modulate(cw))[0],
+                         np.zeros(2000, np.float32)])
+    sync = wf.detect_sync(jnp.asarray(tx[None, :]))
+    assert sync.detected[0]
+    from projectultra_tpu.psk import mc_dpsk as MC
+    n_sym = MC.num_symbols_for_bits(wf.config, code.n)
+    start = int(sync.start_sample[0])
+    span = jnp.asarray(tx[None, start:])
+    llrs = wf.demodulate(span, jnp.asarray(sync.cfo_hz),
+                         jnp.asarray(sync.start_sample, jnp.float32), n_sym)
+    out, ok, _ = ldpc_ops.decode(code, llrs[:, :code.n])
+    assert bool(np.asarray(ok)[0])
+
+
+def test_fsk_loopback():
+    from projectultra_tpu.psk import fsk as FSK
+    cfg = FSK.FSKConfig(samples_per_symbol=768, repetition=2)
+    rng = np.random.default_rng(1)
+    bits = rng.integers(0, 2, size=(2, 64)).astype(np.float32)
+    tx = FSK.modulate(cfg, jnp.asarray(bits))
+    rx = W.add_noise_active(jax.random.PRNGKey(2), tx, -5.0)
+    llrs = np.asarray(FSK.demodulate_soft(cfg, rx))
+    hard = (llrs < 0).astype(np.float32)
+    assert (hard == bits).mean() > 0.95
+
+
+def test_dsp_primitives():
+    from projectultra_tpu.ops import dsp as D
+    # FIR lowpass removes a high tone, keeps a low one.
+    t = np.arange(4096) / 48000.0
+    sig = (np.sin(2 * np.pi * 500 * t) + np.sin(2 * np.pi * 8000 * t)
+           ).astype(np.float32)[None, :]
+    h = D.fir_lowpass(101, 2000.0, 48000.0)
+    out = np.asarray(D.fir_apply(jnp.asarray(sig), h))[0]
+    f = np.abs(np.fft.rfft(out[200:]))
+    freqs = np.fft.rfftfreq(len(out) - 200, 1 / 48000)
+    assert f[np.argmin(np.abs(freqs - 500))] > 50 * f[np.argmin(np.abs(freqs - 8000))]
+
+    # Biquad lowpass behaves likewise.
+    bq = D.biquad_lowpass(1000.0, 0.707, 48000.0)
+    out2 = np.asarray(D.biquad_apply(jnp.asarray(sig), bq))[0]
+    f2 = np.abs(np.fft.rfft(out2[200:]))
+    assert f2[np.argmin(np.abs(freqs - 500))] > 20 * f2[np.argmin(np.abs(freqs - 8000))]
+
+    # Resampler 48k -> 8k keeps a 1 kHz tone.
+    tone = np.sin(2 * np.pi * 1000 * t).astype(np.float32)[None, :]
+    out3 = np.asarray(D.resample(jnp.asarray(tone), 48000, 8000))[0]
+    assert len(out3) == -(-4096 // 6)
+    fr = np.abs(np.fft.rfft(out3[64:]))
+    fq = np.fft.rfftfreq(len(out3) - 64, 1 / 8000)
+    assert fq[np.argmax(fr)] == pytest.approx(1000.0, abs=20)
+
+    # AGC drives a quiet signal toward the target level.
+    quiet = (0.01 * np.sin(2 * np.pi * 1000 * t)).astype(np.float32)[None, :]
+    out4 = np.asarray(D.agc(jnp.asarray(quiet), target=0.5, decay=0.01))[0]
+    assert np.abs(out4[-500:]).max() > 0.2
