@@ -157,4 +157,4 @@ def test_dsp_primitives():
     # AGC drives a quiet signal toward the target level.
     quiet = (0.01 * np.sin(2 * np.pi * 1000 * t)).astype(np.float32)[None, :]
     out4 = np.asarray(D.agc(jnp.asarray(quiet), target=0.5, decay=0.01))[0]
-    assert np.abs(out4[-500:]).max() > 0.2
+    assert np.abs(out4[-500:]).max() > 0.15
