@@ -1,0 +1,74 @@
+"""Modem/link statistics and device-side profiling helpers.
+
+Reference: include/ultra/types.hpp:248-260 (ModemStats), connection.hpp:43-50
+(ConnectionStats is in protocol.connection / protocol.arq).  The GUI's live
+observability widgets map to metric dicts + the export helpers in
+utils/observability.py.  Device profiling uses jax.profiler traces.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import dataclasses
+import time
+
+from ..config import Modulation, CodeRate
+
+
+@dataclasses.dataclass
+class ModemStats:
+    """(types.hpp:248-260)"""
+    bytes_sent: int = 0
+    bytes_received: int = 0
+    frames_sent: int = 0
+    frames_received: int = 0
+    frames_retransmitted: int = 0
+    frames_failed: int = 0
+    throughput_bps: float = 0.0
+    current_snr_db: float = 0.0
+    current_modulation: Modulation = Modulation.QPSK
+    current_code_rate: CodeRate = CodeRate.R1_2
+
+
+@dataclasses.dataclass
+class BatchMetrics:
+    """Per-batch device pipeline metrics (the rebuild's replacement for the
+    per-decode callbacks — SURVEY.md §5 'Metrics')."""
+    frames: int = 0
+    decoded: int = 0
+    bit_errors: int = 0
+    total_bits: int = 0
+    ldpc_iterations_mean: float = 0.0
+    snr_estimate_db: float = 0.0
+    cfo_error_hz: float = 0.0
+    pipelines_per_sec: float = 0.0
+
+    @property
+    def fer(self) -> float:
+        return 1.0 - self.decoded / self.frames if self.frames else 0.0
+
+    @property
+    def ber(self) -> float:
+        return self.bit_errors / self.total_bits if self.total_bits else 0.0
+
+
+@contextlib.contextmanager
+def stage_timer(name: str, results: dict | None = None):
+    """Per-stage wall-clock timer (profile_acquisition.cpp equivalent)."""
+    t0 = time.perf_counter()
+    yield
+    dt = time.perf_counter() - t0
+    if results is not None:
+        results[name] = results.get(name, 0.0) + dt
+
+
+@contextlib.contextmanager
+def device_trace(logdir: str):
+    """jax.profiler trace wrapper — the rebuild's tracing framework
+    (SURVEY.md §5 'Tracing/profiling')."""
+    import jax
+    jax.profiler.start_trace(logdir)
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()
