@@ -1,0 +1,113 @@
+#!/usr/bin/env python
+"""Over-the-air throughput per (waveform, modulation, rate).
+
+Reference: tools/test_throughput.cpp — bps = payload_bytes / audio_seconds
+for a representative multi-codeword frame, plus the theoretical symbol-rate
+throughput (types.hpp getTheoreticalThroughput).  Decode is verified at the
+stated SNR so the numbers are honest.
+
+Usage: python tools/test_throughput.py [--cpu] [--codewords N]
+"""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--codewords", type=int, default=8)
+    args = ap.parse_args()
+    if args.cpu:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from projectultra_tpu.config import (ModemConfig, Modulation, CodeRate,
+                                         nvis_mode, bits_per_symbol)
+    from projectultra_tpu.fec import ldpc
+    from projectultra_tpu.fec.interleave import channel_interleaver
+    from projectultra_tpu.ofdm import carriers as C, modulator as M
+    from projectultra_tpu.ofdm import pipeline as P
+    from projectultra_tpu.ops import ldpc as ldpc_ops
+    from projectultra_tpu.sim import watterson as W
+    from projectultra_tpu.sync import schmidl_cox as SC
+    from projectultra_tpu.sync import chirp as chirp_mod
+    from projectultra_tpu.ofdm import demodulator as D
+    from projectultra_tpu.protocol import frame_v2 as F
+
+    LEAD, TAIL = 7200, 1152
+    ncw = args.codewords
+
+    rows = [
+        # (label, config, mod, rate, snr, sync)
+        ("OFDM 512 DQPSK R1/4", P.chirp_ofdm_config(), Modulation.DQPSK, CodeRate.R1_4, 17.0, "chirp"),
+        ("OFDM 512 DQPSK R1/2", P.chirp_ofdm_config(), Modulation.DQPSK, CodeRate.R1_2, 25.0, "chirp"),
+        ("OFDM 512 DQPSK R2/3", P.chirp_ofdm_config(), Modulation.DQPSK, CodeRate.R2_3, 30.0, "chirp"),
+        ("OFDM 512 16QAM R2/3 (pilots)", ModemConfig(), Modulation.QAM16, CodeRate.R2_3, 25.0, "cox"),
+        ("NVIS 1024 DQPSK R3/4", nvis_mode(), Modulation.DQPSK, CodeRate.R3_4, 25.0, "cox"),
+        ("NVIS 1024 D8PSK R3/4", nvis_mode(), Modulation.D8PSK, CodeRate.R3_4, 25.0, "cox"),
+        ("NVIS 1024 16QAM R3/4", nvis_mode(), Modulation.QAM16, CodeRate.R3_4, 30.0, "cox"),
+        ("NVIS 1024 32QAM R3/4", nvis_mode(), Modulation.QAM32, CodeRate.R3_4, 30.0, "cox"),
+    ]
+
+    print(f"{'mode':<32} {'payload':>8} {'audio_s':>8} {'bps':>7} "
+          f"{'theory':>7} {'decode':>7}")
+    for label, cfg, mod, rate, snr, sync in rows:
+        code = ldpc.get_code(rate)
+        payload_bits = code.k * ncw
+        rng = np.random.default_rng(1)
+        info = rng.integers(0, 2, (1, ncw, code.k)).astype(np.float32)
+        cw = np.asarray(ldpc_ops.encode(code, jnp.asarray(info.reshape(ncw, -1))))
+        cm = C.carrier_map(cfg)
+        ci = channel_interleaver(len(cm.data_idx) * bits_per_symbol(mod), code.n)
+        inter = cw[:, ci.inv].reshape(1, -1)
+
+        if sync == "chirp":
+            cc = chirp_mod.ChirpConfig()
+            pre = np.concatenate([chirp_mod.generate(cc),
+                                  M.generate_training(cfg, 2)])
+            t_off = 2 * cfg.symbol_duration
+        else:
+            pre = M.generate_preamble(cfg)
+            t_off = M.preamble_data_t_offset(cfg)
+        data = np.asarray(M.modulate(cfg, mod, jnp.asarray(inter), t_offset=t_off))[0]
+        audio_len = LEAD + len(pre) + len(data) + TAIL
+        audio_s = audio_len / cfg.sample_rate
+        bps = payload_bits / audio_s
+
+        # Verify decode at the stated SNR through the real sync path.
+        tx = np.zeros(audio_len, np.float32)
+        tx[LEAD:LEAD + len(pre)] = pre
+        tx[LEAD + len(pre):LEAD + len(pre) + len(data)] = data
+        rx = W.add_noise_active(jax.random.PRNGKey(2), jnp.asarray(tx[None]), snr)
+        S = P.num_data_symbols(cfg, mod, ncw)
+        if sync == "chirp":
+            det = chirp_mod.detect_dual_chirp(cc, rx, 0.15)
+            start = int(np.asarray(chirp_mod.training_start(
+                cc, det["down_chirp_start"]))[0])
+            span = rx[:, start:start + (2 + S) * cfg.symbol_duration]
+            phase = chirp_mod.initial_cfo_phase(
+                cc, det["cfo_hz"], jnp.asarray([start], jnp.int32))
+            llrs, _ = D.demodulate_presynced(cfg, mod, span, det["cfo_hz"],
+                                             phase, 2, S)
+        else:
+            llrs, det2 = SC.decode_ofdm_cox(cfg, mod, rx, ncw)
+        blocks = np.asarray(llrs)[0][:ncw * code.n].reshape(ncw, code.n)
+        deint = blocks[:, ci.perm]
+        out, ok, _ = ldpc_ops.decode(code, jnp.asarray(deint))
+        decode = float(np.asarray(ok).mean())
+        theory = cfg.theoretical_throughput(mod, rate)
+        print(f"{label:<32} {payload_bits // 8:>7}B {audio_s:>7.2f}s "
+              f"{bps:>7.0f} {theory:>7.0f} {decode:>6.0%}")
+
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
