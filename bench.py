@@ -26,8 +26,8 @@ from projectultra_tpu.sim import watterson as W
 
 TARGET_PIPELINES_PER_SEC = 10_000.0  # BASELINE.md north star
 SNR_DB = 17.0
-BATCH = 1024
-ITERS = 8
+BATCH = 4096   # amortizes the axon tunnel's per-dispatch latency
+ITERS = 16
 
 CFG = P.chirp_ofdm_config()
 MOD = Modulation.DQPSK

@@ -81,6 +81,14 @@ class ModemEngine:
         self.frames_received = 0
         self.pings_received = 0
 
+        # Carrier sense (modem_carrier_sense.cpp:10-45): RMS EMA vs threshold.
+        self._channel_energy = 0.0
+        self.carrier_sense_threshold = 0.05
+        self._energy_smoothing = 0.3
+
+        from ..utils.metrics import ModemStats
+        self.stats = ModemStats()
+
     # ------------------------------------------------------------------ TX
 
     def set_waveform_mode(self, mode: WaveformMode):
@@ -131,6 +139,8 @@ class ModemEngine:
         peak = np.abs(out).max()
         if peak > 0:
             out = out * (PEAK_SCALE / peak)
+        self.stats.frames_sent += 1
+        self.stats.bytes_sent += len(data)
         return out.astype(np.float32)
 
     def _maybe_interleave(self, cws: list[bytes], wf: WaveformMode) -> bytes:
@@ -193,8 +203,21 @@ class ModemEngine:
     # ------------------------------------------------------------------ RX
 
     def feed_audio(self, samples: np.ndarray):
-        self._rx_buffer = np.concatenate(
-            [self._rx_buffer, np.asarray(samples, np.float32)])
+        samples = np.asarray(samples, np.float32)
+        if len(samples):
+            rms = float(np.sqrt((samples * samples).mean()))
+            self._channel_energy = (self._energy_smoothing * rms
+                                    + (1 - self._energy_smoothing)
+                                    * self._channel_energy)
+        self._rx_buffer = np.concatenate([self._rx_buffer, samples])
+
+    def is_channel_busy(self) -> bool:
+        """Listen-before-talk carrier sense (modem_carrier_sense.cpp:26-33)."""
+        return self._channel_energy > self.carrier_sense_threshold
+
+    @property
+    def channel_energy(self) -> float:
+        return self._channel_energy
 
     def poll(self) -> int:
         """One acquisition+decode pass over the buffered audio; returns the
@@ -343,6 +366,10 @@ class ModemEngine:
             end = tr_start + (2 + n_sym) * cfg.symbol_duration
         self._consume(end)
 
+        self.stats.frames_received += 1
+        self.stats.bytes_received += len(frame_bytes)
+        if not all(oks):
+            self.stats.frames_failed += 1
         return DecodedFrame(frame_bytes=frame_bytes, header=info,
                             cw_ok=oks, cfo_hz=cfo)
 
