@@ -246,10 +246,13 @@ class ModemEngine:
         tr_start = int(det["down_chirp_start"]) + cc.chirp_samples + cc.gap_samples
         cfo = float(det["cfo_hz"])
 
-        # Signal after the chirp? (PING = chirp only.)
-        probe = buf[tr_start:tr_start + 4096]
-        rms = float(np.sqrt((probe ** 2).mean())) if len(probe) else 0.0
-        if rms <= PING_RMS_THRESHOLD:
+        # Chirp-only PING vs frame: require STRUCTURED training after the
+        # chirp, not just energy (the reference's absolute RMS gate,
+        # modem_rx.cpp:60-67, misclassifies once the noise floor exceeds it).
+        kind = self._classify_after_chirp(tr_start, cfo)
+        if kind == "wait":
+            return 0
+        if kind == "ping":
             self.pings_received += 1
             if self.on_ping:
                 self.on_ping(0.0)
@@ -258,9 +261,12 @@ class ModemEngine:
 
         wf = self.waveform_mode if self.waveform_mode == WaveformMode.OFDM_CHIRP \
             else WaveformMode.MC_DPSK
-        frame = self._decode_frame(wf, tr_start, cfo)
-        if frame is None:
-            # false positive / incomplete: drop the chirp and retry later
+        status, frame = self._decode_frame(wf, tr_start, cfo)
+        if status == "wait":
+            # Frame still arriving (streaming feed): keep the buffer intact.
+            return 0
+        if status == "fail":
+            # False positive or undecodable: drop the chirp and move on.
             self._consume(int(det["up_chirp_start"]) + cc.total_samples)
             return 0
         self.frames_received += 1
@@ -273,10 +279,46 @@ class ModemEngine:
         self._rx_buffer = self._rx_buffer[n:]
         self._rx_consumed += n
 
-    def _decode_frame(self, wf: WaveformMode, tr_start: int,
-                      cfo: float) -> Optional[DecodedFrame]:
+    def _classify_after_chirp(self, tr_start: int, cfo: float) -> str:
+        """'ping' when no structured training follows the chirp, 'frame' when
+        it does, 'wait' when the stream hasn't delivered enough samples yet."""
+        buf = self._rx_buffer
+        probe = buf[tr_start:tr_start + 2048]
+        if len(probe) < 2048:
+            return "wait"
+        rms = float(np.sqrt((probe ** 2).mean()))
+        if rms <= PING_RMS_THRESHOLD:
+            return "ping"
+        if self.waveform_mode == WaveformMode.OFDM_CHIRP:
+            # LTS training = two identical symbols: repeated-symbol metric.
+            cfg = self._chirp_ofdm_config()
+            L = cfg.symbol_duration
+            if tr_start + 2 * L > len(buf):
+                return "wait"
+            a = buf[tr_start:tr_start + L]
+            b = buf[tr_start + L:tr_start + 2 * L]
+            denom = float(np.linalg.norm(a) * np.linalg.norm(b))
+            score = abs(float(np.dot(a, b))) / denom if denom > 1e-12 else 0.0
+            return "ping" if score < 0.3 else "frame"
+        # MC-DPSK: known (c*s)*90deg training pattern correlation.
+        n = self.mc_config.training_samples
+        if tr_start + n > len(buf):
+            return "wait"
+        seg = buf[tr_start:tr_start + n]
+        seg = np.asarray(MC.apply_cfo_segment(
+            jnp.asarray(seg[None, :]), jnp.asarray([cfo], np.float32),
+            jnp.asarray([-2 * np.pi * cfo * tr_start / 48000.0], np.float32)))
+        score = float(np.asarray(MC.training_score(
+            self.mc_config, jnp.asarray(seg)))[0])
+        return "ping" if score < 0.4 else "frame"
+
+    def _decode_frame(self, wf: WaveformMode, tr_start: int, cfo: float
+                      ) -> tuple[str, Optional[DecodedFrame]]:
         """Decode CW0 at R1/4, learn total_cw, decode everything
-        (modem_rx_decode.cpp:51-115, 159-530)."""
+        (modem_rx_decode.cpp:51-115, 159-530).
+
+        Returns ("ok", frame) | ("wait", None) when more samples are needed |
+        ("fail", None) on undecodable input."""
         buf = self._rx_buffer
         # TX uses R1/4 for control/pre-negotiation frames and the negotiated
         # rate for connected DATA frames (ALL codewords, modem_engine.cpp:270);
@@ -325,7 +367,7 @@ class ModemEngine:
 
         llrs0 = demod(1, CodeRate.R1_4)
         if llrs0 is None:
-            return None
+            return "wait", None
         info = None
         for rate in candidate_rates:
             ok, data = F.decode_codewords_with_ldpc([llrs0[:648]], rate)
@@ -335,13 +377,13 @@ class ModemEngine:
                     info, rate0 = hdr, rate
                     break
         if info is None:
-            return None
+            return "fail", None
         total_cw = max(1, info.total_cw)
 
         if total_cw > 1:
             llrs = demod(total_cw, rate0)
             if llrs is None:
-                return None
+                return "wait", None
             blocks = [llrs[i * 648:(i + 1) * 648] for i in range(total_cw)]
             oks, datas = F.decode_codewords_with_ldpc(blocks, rate0)
         else:
@@ -370,8 +412,8 @@ class ModemEngine:
         self.stats.bytes_received += len(frame_bytes)
         if not all(oks):
             self.stats.frames_failed += 1
-        return DecodedFrame(frame_bytes=frame_bytes, header=info,
-                            cw_ok=oks, cfo_hz=cfo)
+        return "ok", DecodedFrame(frame_bytes=frame_bytes, header=info,
+                                  cw_ok=oks, cfo_hz=cfo)
 
     def _bits_per_ofdm_symbol_chirp(self) -> int:
         cfg = self._chirp_ofdm_config()

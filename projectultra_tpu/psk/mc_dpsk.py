@@ -196,6 +196,22 @@ def apply_cfo_segment(samples: jnp.ndarray, cfo_hz, initial_phase,
     return jnp.where(active, out, samples)
 
 
+def training_score(cfg: MCDPSKConfig, training: jnp.ndarray) -> jnp.ndarray:
+    """Correlation of the received training against the known (c*s)*90deg
+    pattern, in [0, 1].  Used to discriminate chirp-only PINGs from frames —
+    robust at low SNR, unlike the reference's absolute 0.05 RMS gate
+    (modem_rx.cpp:60-67), which misclassifies once the noise floor exceeds it.
+    """
+    corr = correlate_symbols(cfg, training[..., :cfg.training_samples])
+    d = corr[..., 1:, :] * jnp.conj(corr[..., :-1, :])
+    mag = jnp.abs(d)
+    dn = jnp.where(mag > 1e-12, d / jnp.maximum(mag, 1e-30), 0.0)
+    c = jnp.arange(cfg.num_carriers)
+    expected = jnp.exp(1j * (c * (np.pi / 2)).astype(jnp.float32))
+    s = (dn * jnp.conj(expected)).reshape(*dn.shape[:-2], -1)
+    return jnp.abs(s.mean(-1))
+
+
 def estimate_residual_cfo(cfg: MCDPSKConfig, training: jnp.ndarray) -> jnp.ndarray:
     """processTraining (hpp:392-422): residual CFO from the phase error
     between the first two training symbols vs the expected c*90deg step."""

@@ -44,8 +44,12 @@ def main():
     def channel(audio: np.ndarray) -> np.ndarray:
         nonlocal key
         counter[0] += 1
+        # 2000-sample lead models the receiver hearing the band before the
+        # transmission (a CFO-shifted up-chirp peak can land up to
+        # cfo*10 samples BEFORE the chirp itself).
         a = jnp.asarray(np.concatenate(
-            [audio, np.zeros(4000, np.float32)])[None, :])
+            [np.zeros(2000, np.float32), audio,
+             np.zeros(4000, np.float32)])[None, :])
         if args.cfo:
             a = W.apply_cfo_hilbert(a, jnp.asarray([args.cfo]))
         if args.channel == "awgn":
