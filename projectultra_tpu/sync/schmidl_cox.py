@@ -209,6 +209,58 @@ def detect_preamble(config: ModemConfig, samples: jnp.ndarray,
             "lts_start": lts_start, "sync_off": sync_off}
 
 
+def hunt_for_codeword(config: ModemConfig, mod, samples: jnp.ndarray,
+                      data_start: int, rate=None,
+                      offsets=(0, -50, 50, -100, 100, -150, 150)):
+    """LDPC-validated timing hunt (huntForCodeword, ofdm_sync.cpp:469-643).
+
+    The reference trial-demodulates one candidate offset at a time and
+    accepts the first (in the given priority order) whose LDPC-decoded CW0
+    starts with the 0x554C magic.  Here ALL candidate offsets demodulate as
+    one batch (offset = batch dim) and one LDPC batch validates them; the
+    first match in the reference's offset order wins.
+
+    Args: samples [T] or [1, T]; data_start nominal first-data-sample index.
+    Returns (found: bool, best_offset: int).
+    """
+    from ..config import CodeRate, bits_per_symbol
+    from ..fec import ldpc as ldpc_mod
+    from ..fec.interleave import channel_interleaver
+    from ..ofdm import demodulator as demod_mod
+    from ..ofdm import pipeline as ofdm_pipeline
+    from ..ops import ldpc as ldpc_ops
+    from ..utils.bits import bits_to_bytes
+
+    rate = rate or CodeRate.R1_4
+    code = ldpc_mod.get_code(rate)
+    x = jnp.asarray(samples).reshape(-1)
+    S = ofdm_pipeline.num_data_symbols(config, mod, 1)
+    span_len = S * config.symbol_duration
+
+    valid = [o for o in offsets if 0 <= data_start + o
+             and data_start + o + span_len <= x.shape[-1]]
+    if not valid:
+        return False, None
+    starts = jnp.asarray([data_start + o for o in valid], jnp.int32)
+    spans = jax.vmap(
+        lambda s: jax.lax.dynamic_slice(x, (s,), (span_len,)))(starts)
+
+    llrs, _ = demod_mod.demodulate_presynced(
+        config, mod, spans, 0.0, 0.0, training_symbols=0, num_data_symbols=S)
+    cm = carriers_mod.carrier_map(config)
+    ci = channel_interleaver(len(cm.data_idx) * bits_per_symbol(mod), code.n)
+    deint = llrs[:, :code.n][:, jnp.asarray(ci.perm)]
+    info, ok, _ = ldpc_ops.decode(code, deint)
+    info = np.asarray(info)
+    ok = np.asarray(ok)
+    for i, o in enumerate(valid):
+        if ok[i]:
+            first = bits_to_bytes(info[i][:16])
+            if len(first) >= 2 and first[0] == 0x55 and first[1] == 0x4C:
+                return True, o
+    return False, 0
+
+
 def decode_ofdm_cox(config: ModemConfig, mod, samples: jnp.ndarray,
                     n_codewords: int, sync_threshold: float = 0.80):
     """Full streaming OFDM_COX RX for aligned-batch frames: detect preamble,

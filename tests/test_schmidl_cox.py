@@ -106,3 +106,36 @@ def test_no_false_positive_on_noise():
     det = {k: np.asarray(v) for k, v in
            SC.detect_preamble(CFG, jnp.asarray(noise)).items()}
     assert not det["found"].any()
+
+
+def test_hunt_for_codeword_recovers_timing():
+    """LDPC-validated hunt finds the true data start from a wrong nominal
+    position (huntForCodeword semantics, ofdm_sync.cpp:469-643)."""
+    code = ldpc.get_code(CodeRate.R1_4)
+    rng = np.random.default_rng(21)
+    info = rng.integers(0, 2, size=(1, code.k)).astype(np.float32)
+    cw = np.asarray(ldpc_ops.encode(code, jnp.asarray(info)))
+    # Build a v2-looking codeword: set the first two info BYTES to 0x554C.
+    from projectultra_tpu.protocol import frame_v2 as F
+    hdr = F.ControlFrame.make_ack("W1AW", "VE3ABC", 1).serialize()
+    from projectultra_tpu.utils.bits import bytes_to_bits
+    info_bits = np.zeros((1, code.k), np.float32)
+    raw = bytes_to_bits(hdr)[:code.k]
+    info_bits[0, :len(raw)] = raw
+    cw = np.asarray(ldpc_ops.encode(code, jnp.asarray(info_bits)))
+    cm = C.carrier_map(CFG)
+    ci = channel_interleaver(len(cm.data_idx) * 2, 648)
+    inter = cw[:, ci.inv]
+    data = np.asarray(M.modulate(CFG, Modulation.QPSK, jnp.asarray(inter)))[0]
+    lead = 5000
+    sig = np.concatenate([np.zeros(lead, np.float32), data,
+                          np.zeros(2000, np.float32)])
+    # Correct nominal start: offset 0 wins first in the priority order.
+    found, off = SC.hunt_for_codeword(CFG, Modulation.QPSK,
+                                      jnp.asarray(sig), lead)
+    assert found and off == 0
+    # Nominal start 100 samples early (beyond the CP's +-48 tolerance):
+    # the hunt recovers an offset that lands within CP of the truth.
+    found, off = SC.hunt_for_codeword(CFG, Modulation.QPSK,
+                                      jnp.asarray(sig), lead - 100)
+    assert found and off in (50, 100)
