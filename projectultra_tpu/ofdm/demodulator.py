@@ -442,9 +442,62 @@ def demodulate_presynced(config: ModemConfig, mod: Modulation,
 
     has_pilots = len(carriers_mod.carrier_map(config).pilot_idx) > 0
 
+    has_pilots = len(carriers_mod.carrier_map(config).pilot_idx) > 0
+    if is_differential(mod) and not has_pilots:
+        # FAST PATH: with no pilots the carry never changes (H fixed from the
+        # LTS, nv fixed, ppc = 1, the reference's DD block is inert) and the
+        # differential reference is just the previous symbol — so all symbols
+        # demodulate in ONE shot with a shifted-multiply prev chain instead
+        # of a sequential scan.  Bit-identical to the scan path.
+        llrs = _demod_differential_parallel(config, mod, state, data,
+                                            t0_base=training_symbols * L)
+        return llrs, state
     state, llrs = _scan_data_symbols(config, mod, state, data,
                                      t0_base=training_symbols * L)
     return llrs, state
+
+
+def _demod_differential_parallel(config: ModemConfig, mod: Modulation,
+                                 state: DemodState, data: jnp.ndarray,
+                                 t0_base: int) -> jnp.ndarray:
+    """All-symbols-at-once differential demod for the no-pilot configs."""
+    from ..ops import demap as demap_ops
+    cm = carriers_mod.carrier_map(config)
+    B, S, L = data.shape
+    N, cp = config.fft_size, config.cyclic_prefix
+
+    t = t0_base + jnp.arange(S * L).reshape(S, L)
+    osc = mixer_ops.osc_int(config.center_freq, config.sample_rate, t)  # [S, L]
+
+    cfo = state.freq_offset_hz
+    phase_inc = jnp.float32(-2.0 * np.pi / config.sample_rate) * cfo    # [B]
+    i_all = jnp.arange(S * L, dtype=jnp.float32).reshape(S, L)
+    corr_phase = (state.freq_phase[:, None, None]
+                  + phase_inc[:, None, None] * i_all[None])
+    corr = jnp.exp(1j * corr_phase).astype(jnp.complex64)
+    active = (jnp.abs(cfo) > 0.01)[:, None, None]
+    corr = jnp.where(active, corr, jnp.complex64(1.0))
+
+    bb = data.astype(jnp.complex64) * jnp.conj(osc)[None] * corr
+    fd = jnp.fft.fft(bb[..., cp:cp + N], axis=-1)                       # [B,S,N]
+
+    didx = jnp.asarray(cm.data_idx)
+    rx = fd[..., didx]                                                  # [B,S,C]
+    h = state.channel_estimate[:, None, didx]
+    hp = jnp.abs(h) ** 2
+    good = hp > 1e-6
+    ppc = state.pilot_phase_correction[:, None, None]
+    eq = jnp.where(good, rx * jnp.conj(h) / jnp.maximum(hp, 1e-30), rx) * ppc
+    nv = state.noise_variance[:, None, None]
+    cnv = jnp.where(good, nv / jnp.maximum(hp, 1e-30), MAX_CARRIER_NOISE_VAR)
+    cnv = jnp.clip(cnv, MIN_CARRIER_NOISE_VAR, MAX_CARRIER_NOISE_VAR)
+
+    prev = jnp.concatenate([state.dbpsk_prev[:, None, :], eq[:, :-1, :]],
+                           axis=1)
+    nv_eff = cnv * demap_ops.CE_MARGIN.get(mod, 1.0)
+    llrs = demap_ops.demap(mod, eq.astype(jnp.complex64), nv_eff,
+                           prev=prev.astype(jnp.complex64))
+    return llrs.reshape(B, -1)
 
 
 def _scan_data_symbols(config: ModemConfig, mod: Modulation, state: DemodState,

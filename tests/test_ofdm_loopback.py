@@ -135,3 +135,32 @@ def test_loopback_coherent_qam16_pilots():
     out, ok, _ = P.rx_frame(cfg, Modulation.QAM16, CodeRate.R2_3, rx_in)
     assert np.asarray(ok).all()
     np.testing.assert_array_equal(np.asarray(out), info.astype(np.uint8))
+
+
+def test_fast_path_matches_scan_path():
+    """The parallel no-pilot differential demod must match the scan path
+    bit-for-bit (same LLRs)."""
+    from projectultra_tpu.ofdm import demodulator as D
+
+    code = ldpc.get_code(CodeRate.R1_2)
+    rng = np.random.default_rng(17)
+    info = rng.integers(0, 2, size=(2, code.k)).astype(np.float32)
+    tx = P.tx_frame(CHIRP_CFG, Modulation.DQPSK, CodeRate.R1_2, jnp.asarray(info))
+    rx = W.add_noise_active(jax.random.PRNGKey(3), tx, 12.0)
+    rx = W.apply_cfo_hilbert(rx, jnp.asarray([15.0, -20.0]))
+    cfo = jnp.asarray([15.0, -20.0])
+    S = P.num_data_symbols(CHIRP_CFG, Modulation.DQPSK, 1)
+
+    fast, _ = D.demodulate_presynced(CHIRP_CFG, Modulation.DQPSK, rx, cfo, 0.0,
+                                     training_symbols=2, num_data_symbols=S)
+
+    # Scan path, driven directly.
+    B, L = 2, CHIRP_CFG.symbol_duration
+    st = D.init_state(CHIRP_CFG, B, cfo, 0.0)
+    st = D.estimate_channel_from_lts(
+        CHIRP_CFG, st, rx[:, :2 * L].reshape(B, 2, L))
+    data = rx[:, 2 * L:(2 + S) * L].reshape(B, S, L)
+    _, scan = D._scan_data_symbols(CHIRP_CFG, Modulation.DQPSK, st, data,
+                                   t0_base=2 * L)
+    np.testing.assert_allclose(np.asarray(fast), np.asarray(scan),
+                               rtol=0, atol=2e-4)
