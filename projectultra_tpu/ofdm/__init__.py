@@ -1,0 +1,1 @@
+"""OFDM PHY: carriers, constellations, modulator, demodulator, pipeline."""
