@@ -102,6 +102,7 @@ def rayleigh_taps(key, cfg: ChannelConfig, shape: tuple, T: int) -> jnp.ndarray:
     return _ar1_scan(alpha, noise, jnp.complex64(1.0 + 0j))
 
 
+@functools.partial(jax.jit, static_argnames=("sample_rate",))
 def apply_cfo_hilbert(samples: jnp.ndarray, cfo_hz, sample_rate: float = 48000.0
                       ) -> jnp.ndarray:
     """Test-harness CFO (test_iwaveform.cpp:67-112): FFT -> analytic signal
@@ -121,6 +122,7 @@ def apply_cfo_hilbert(samples: jnp.ndarray, cfo_hz, sample_rate: float = 48000.0
     return jnp.where(active, out, samples)
 
 
+@jax.jit
 def add_noise_active(key, samples: jnp.ndarray, snr_db) -> jnp.ndarray:
     """Harness AWGN (test_iwaveform.cpp:42-63): signal power measured over
     active samples only (|s| > 1e-6)."""
