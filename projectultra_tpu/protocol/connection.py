@@ -281,7 +281,42 @@ class Connection:
             if not self.handshake_confirmed:
                 self.handshake_confirmed = True
             self._keepalives_missed = 0
+            if ftype == int(F.FrameType.MODE_CHANGE):
+                ctrl = F.ControlFrame.deserialize(frame_data)
+                if ctrl:
+                    self._handle_mode_change(ctrl)
+                return
+            if ftype == int(F.FrameType.KEEPALIVE):
+                return
             self.arq.on_frame_received(frame_data)
+
+    def request_mode_change(self, mod: Modulation, rate: CodeRate,
+                            reason: int = 2) -> bool:
+        """Mid-session data-mode change (MODE_CHANGE control frame,
+        PROTOCOL_V2.md MODE_CHANGE payload: mod, rate, SNR, reason)."""
+        if self.state != ConnectionState.CONNECTED:
+            return False
+        frame = F.ControlFrame.make_mode_change(
+            self.local_call, self.remote_call, 0, mod, rate,
+            self.measured_snr_db, reason)
+        self.data_modulation, self.data_code_rate = mod, rate
+        if self.on_data_mode_changed:
+            self.on_data_mode_changed(mod, rate, self.measured_snr_db)
+        self._transmit(frame.serialize())
+        return True
+
+    def _handle_mode_change(self, ctrl: F.ControlFrame):
+        mod, rate, snr, reason = ctrl.mode_change_info()
+        if mod != Modulation.AUTO:
+            self.data_modulation = mod
+        if rate != CodeRate.AUTO:
+            self.data_code_rate = rate
+        if self.on_data_mode_changed:
+            self.on_data_mode_changed(self.data_modulation,
+                                      self.data_code_rate, snr)
+        ack = F.ControlFrame.make_ack(self.local_call, self.remote_call,
+                                      ctrl.seq)
+        self._transmit(ack.serialize())
 
     def _handle_connect(self, frame: F.ConnectFrame):
         src = frame.src_callsign

@@ -198,3 +198,29 @@ def test_two_station_over_the_air():
 
     assert a.send_message("over the air!")
     assert messages_b == ["over the air!"]
+
+
+def test_mode_change_mid_session():
+    """MODE_CHANGE control frame updates both ends' data mode
+    (test_mode_change.cpp semantics)."""
+    a, b = Connection(), Connection()
+    a.set_local_callsign("W1AW")
+    b.set_local_callsign("VE3ABC")
+    a.on_transmit = b.on_frame_received
+    b.on_transmit = a.on_frame_received
+    a.connect("VE3ABC")
+    a.on_pong_received()
+    assert a.is_connected and b.is_connected
+
+    changes = []
+    b.on_data_mode_changed = lambda m, r, s: changes.append((m, r))
+    assert a.request_mode_change(Modulation.QAM16, CodeRate.R2_3)
+    assert a.data_modulation == Modulation.QAM16
+    assert b.data_modulation == Modulation.QAM16
+    assert b.data_code_rate == CodeRate.R2_3
+    assert changes and changes[-1] == (Modulation.QAM16, CodeRate.R2_3)
+    # Data still flows after the change.
+    got = []
+    b.on_message_received = got.append
+    assert a.send_message("post-change")
+    assert got == ["post-change"]
