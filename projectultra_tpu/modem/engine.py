@@ -231,6 +231,15 @@ class ModemEngine:
         return events
 
     def _acquire_and_decode_once(self) -> int:
+        # When the negotiated waveform is OFDM_COX, incoming frames carry a
+        # Schmidl-Cox preamble instead of a chirp — try that sync first
+        # (modem_rx.cpp runs the active waveform's acquisition alongside the
+        # chirp detector).  Chirp PINGs still fall through: a chirp's LTS
+        # matched-filter correlation is below the 0.35 gate.
+        if self.waveform_mode == WaveformMode.OFDM_COX:
+            handled = self._try_cox_once()
+            if handled is not None:
+                return handled
         buf = self._rx_buffer
         cc = self.chirp_config
         if len(buf) < cc.total_samples + 4000:
@@ -249,6 +258,11 @@ class ModemEngine:
         # Chirp-only PING vs frame: require STRUCTURED training after the
         # chirp, not just energy (the reference's absolute RMS gate,
         # modem_rx.cpp:60-67, misclassifies once the noise floor exceeds it).
+        # Never consume past the NEXT frame's chirp (a truncated frame's
+        # detection can overestimate its own extent).
+        next_up = int(det["next_up_start"])
+        cap = next_up if next_up >= 0 else len(buf)
+
         kind = self._classify_after_chirp(tr_start, cfo)
         if kind == "wait":
             return 0
@@ -256,7 +270,8 @@ class ModemEngine:
             self.pings_received += 1
             if self.on_ping:
                 self.on_ping(0.0)
-            self._consume(int(det["up_chirp_start"]) + cc.total_samples)
+            self._consume(min(int(det["up_chirp_start"]) + cc.total_samples,
+                              cap))
             return 1
 
         wf = self.waveform_mode if self.waveform_mode == WaveformMode.OFDM_CHIRP \
@@ -266,8 +281,10 @@ class ModemEngine:
             # Frame still arriving (streaming feed): keep the buffer intact.
             return 0
         if status == "fail":
-            # False positive or undecodable: drop the chirp and move on.
-            self._consume(int(det["up_chirp_start"]) + cc.total_samples)
+            # False positive or undecodable (e.g. an interrupted frame):
+            # drop only the UP-chirp — and never past the next frame's chirp.
+            self._consume(min(int(det["up_chirp_start"]) + cc.chirp_samples,
+                              cap))
             return 0
         self.frames_received += 1
         if self.on_frame:
@@ -311,6 +328,129 @@ class ModemEngine:
         score = float(np.asarray(MC.training_score(
             self.mc_config, jnp.asarray(seg)))[0])
         return "ping" if score < 0.4 else "frame"
+
+    def _try_cox_once(self) -> Optional[int]:
+        """One Schmidl-Cox acquisition+decode pass.  Returns the number of
+        delivered events when a preamble was handled (including 0 for
+        wait/fail), or None when no Cox activity was found and the chirp
+        path should proceed."""
+        from ..sync import schmidl_cox as SC
+        buf = self._rx_buffer
+        cfg = self.config
+        plen = cfg.fft_size + cfg.cyclic_prefix
+        if len(buf) < 10 * plen:
+            return None
+        det = {k: np.asarray(v)[0] for k, v in SC.detect_preamble(
+            cfg, jnp.asarray(buf[None, :])).items()}
+        if not bool(det["found"]):
+            return None
+        status, frame = self._decode_frame_cox(int(det["lts_start"]),
+                                               float(det["cfo_hz"]))
+        if status == "wait":
+            return 0
+        if status == "fail":
+            self._consume(int(det["lts_start"]) + 2 * plen)
+            return 0
+        self.frames_received += 1
+        if self.on_frame:
+            self.on_frame(frame)
+        return 1
+
+    def _decode_frame_cox(self, lts_start: int, cfo: float
+                          ) -> tuple[str, Optional[DecodedFrame]]:
+        """OFDM_COX decode from a detected preamble: LTS channel estimate,
+        pilot-tracked data symbols at the negotiated modulation
+        (modem_rx_decode.cpp:159-530 for the CW0-probe/total_cw flow;
+        sync/schmidl_cox.decode_ofdm_cox for the mixer bookkeeping)."""
+        from ..config import bits_per_symbol
+        from ..ofdm import demodulator as demod_mod
+        buf = self._rx_buffer
+        cfg = self.config
+        plen = cfg.fft_size + cfg.cyclic_prefix
+        mod = self.data_modulation  # Cox TX is always post-connect
+        candidate_rates = [CodeRate.R1_4]
+        if self.connected and self.data_code_rate not in candidate_rates:
+            candidate_rates.append(self.data_code_rate)
+
+        cm = carriers_mod.carrier_map(cfg)
+        bps = len(cm.data_idx) * bits_per_symbol(mod)
+        ci = channel_interleaver(bps, F.LDPC_CODEWORD_BITS) \
+            if self.interleaving_enabled else None
+
+        def demod(n_cw: int):
+            S = ofdm_pipeline.num_data_symbols(cfg, mod, n_cw)
+            need = lts_start + 2 * plen + S * cfg.symbol_duration
+            if len(buf) < need:
+                return None, None
+            lts = jnp.asarray(
+                buf[lts_start:lts_start + 2 * plen].reshape(1, 2, plen))
+            data = jnp.asarray(
+                buf[lts_start + 2 * plen:need]
+                .reshape(1, S, cfg.symbol_duration))
+            state = demod_mod.init_state(cfg, 1, cfo, 0.0)
+            state = demod_mod.estimate_channel_from_lts(cfg, state, lts,
+                                                        t0_base=0)
+            state, llrs = demod_mod._scan_data_symbols(cfg, mod, state, data,
+                                                       t0_base=2 * plen)
+            out = np.asarray(llrs)[0][:F.LDPC_CODEWORD_BITS * n_cw]
+            if ci is not None:
+                out = np.concatenate([
+                    ci.deinterleave_soft(out[i * 648:(i + 1) * 648])
+                    for i in range(n_cw)])
+            return out, state
+
+        llrs0, _ = demod(1)
+        if llrs0 is None:
+            return "wait", None
+        info = rate0 = None
+        for rate in candidate_rates:
+            ok, data = F.decode_codewords_with_ldpc([llrs0[:648]], rate)
+            if ok[0]:
+                hdr = F.parse_header(data[0].ljust(F.BYTES_PER_CODEWORD, b"\0"))
+                if hdr.valid:
+                    info, rate0 = hdr, rate
+                    break
+        if info is None:
+            return "fail", None
+        # header.total_cw is sized at R1/4 (the ARQ's makeData default,
+        # frame_v2.cpp:472) but TX splits at the ACTUAL rate
+        # (encodeFrameWithLDPC, frame_v2.cpp:1079) — recompute from
+        # payload_len at the probed rate.
+        total_cw = max(1, info.total_cw) if info.is_control \
+            else F.calculate_codewords(info.payload_len, rate0)
+
+        if total_cw > 1:
+            llrs, st = demod(total_cw)
+            if llrs is None:
+                return "wait", None
+            blocks = [llrs[i * 648:(i + 1) * 648] for i in range(total_cw)]
+            oks, datas = F.decode_codewords_with_ldpc(blocks, rate0)
+        else:
+            _, st = demod(1)
+            oks, datas = ok, data
+
+        if info.is_control:
+            expected = F.CONTROL_SIZE
+        else:
+            expected = F.HEADER_SIZE + info.payload_len + F.CRC_SIZE
+        bpc = F.bytes_per_codeword(rate0)
+        frame_bytes = F.reassemble_codewords(
+            [d if o else b"\0" * bpc for o, d in zip(oks, datas)], expected)
+
+        S = ofdm_pipeline.num_data_symbols(cfg, mod, total_cw)
+        self._consume(lts_start + 2 * plen + S * cfg.symbol_duration)
+
+        self.stats.frames_received += 1
+        self.stats.bytes_received += len(frame_bytes)
+        if not all(oks):
+            self.stats.frames_failed += 1
+        # Per-carrier SNR from the pilot-tracked channel estimate
+        # (channel_equalizer.cpp:591, getEstimatedSNR semantics).
+        snr_db = float(10.0 * np.log10(
+            np.asarray(st.estimated_snr_linear)[0]))
+        self.stats.current_snr_db = snr_db
+        return "ok", DecodedFrame(frame_bytes=frame_bytes, header=info,
+                                  cw_ok=oks, cfo_hz=cfo, snr_db=snr_db)
 
     def _decode_frame(self, wf: WaveformMode, tr_start: int, cfo: float
                       ) -> tuple[str, Optional[DecodedFrame]]:
@@ -378,7 +518,10 @@ class ModemEngine:
                     break
         if info is None:
             return "fail", None
-        total_cw = max(1, info.total_cw)
+        # See _decode_frame_cox: header.total_cw is R1/4-sized; recompute
+        # data-frame codeword counts at the probed rate.
+        total_cw = max(1, info.total_cw) if info.is_control \
+            else F.calculate_codewords(info.payload_len, rate0)
 
         if total_cw > 1:
             llrs = demod(total_cw, rate0)
@@ -412,8 +555,22 @@ class ModemEngine:
         self.stats.bytes_received += len(frame_bytes)
         if not all(oks):
             self.stats.frames_failed += 1
+
+        # SNR estimate from the training sequence (feeds mode negotiation).
+        snr_db = 0.0
+        if wf == WaveformMode.MC_DPSK:
+            n = self.mc_config.training_samples
+            if tr_start + n <= len(buf):
+                seg = np.asarray(MC.apply_cfo_segment(
+                    jnp.asarray(buf[None, tr_start:tr_start + n]),
+                    jnp.asarray([cfo], np.float32),
+                    jnp.asarray([-2 * np.pi * cfo * tr_start / 48000.0],
+                                np.float32)))
+                snr_db = float(np.asarray(MC.estimate_snr_db(
+                    self.mc_config, jnp.asarray(seg)))[0])
+                self.stats.current_snr_db = snr_db
         return "ok", DecodedFrame(frame_bytes=frame_bytes, header=info,
-                                  cw_ok=oks, cfo_hz=cfo)
+                                  cw_ok=oks, cfo_hz=cfo, snr_db=snr_db)
 
     def _bits_per_ofdm_symbol_chirp(self) -> int:
         cfg = self._chirp_ofdm_config()

@@ -60,6 +60,10 @@ class ProtocolEngine:
         self.modem.poll()
 
     def _on_modem_frame(self, frame: DecodedFrame):
+        if frame.snr_db:
+            # Feed the per-frame SNR estimate into mode negotiation
+            # (ModemEngine::getCurrentSNR -> Connection::setMeasuredSNR).
+            self.connection.set_measured_snr(frame.snr_db)
         self.connection.on_frame_received(frame.frame_bytes)
 
     def _on_modem_ping(self, snr_db: float):

@@ -212,6 +212,26 @@ def training_score(cfg: MCDPSKConfig, training: jnp.ndarray) -> jnp.ndarray:
     return jnp.abs(s.mean(-1))
 
 
+def estimate_snr_db(cfg: MCDPSKConfig, training: jnp.ndarray) -> jnp.ndarray:
+    """Per-carrier post-correlation SNR from the training symbols — the
+    reference's getEstimatedSNR semantics (channel_equalizer.cpp:221:
+    |H|^2 / per-carrier noise variance, NOT wideband audio SNR; the two
+    differ by the correlation processing gain 10*log10(N/(2*C))).  After
+    removing the known (c*s)*90deg pattern every snapshot equals the
+    per-carrier channel gain; the across-symbol variance is the noise."""
+    corr = correlate_symbols(cfg, training[..., :cfg.training_samples])
+    S = corr.shape[-2]
+    s = jnp.arange(S)[:, None]
+    c = jnp.arange(cfg.num_carriers)[None, :]
+    pattern = jnp.exp(1j * ((c * s) % 4).astype(jnp.float32) * (np.pi / 2))
+    z = corr * jnp.conj(pattern)                       # [..., S, C]
+    h = z.mean(-2)                                     # per-carrier channel
+    sig = (jnp.abs(h) ** 2).mean(-1)
+    noise = (jnp.abs(z - h[..., None, :]) ** 2).mean((-1, -2))
+    snr = sig / jnp.maximum(noise, 1e-12)
+    return 10.0 * jnp.log10(jnp.clip(snr, 1e-3, 1e5))
+
+
 def estimate_residual_cfo(cfg: MCDPSKConfig, training: jnp.ndarray) -> jnp.ndarray:
     """processTraining (hpp:392-422): residual CFO from the phase error
     between the first two training symbols vs the expected c*90deg step."""

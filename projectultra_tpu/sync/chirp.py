@@ -157,11 +157,30 @@ def detect_dual_chirp(cfg: ChirpConfig, samples: jnp.ndarray,
     search_mask = jnp.arange(n_pos) < (T - L)
 
     cu = jnp.where(search_mask[None, :], corr_up, -1.0)
-    up_pos = jnp.argmax(cu, axis=-1).astype(jnp.int32)
     idxb = jnp.arange(B)
+    # EARLIEST chirp wins, not the globally strongest: with several frames in
+    # one buffer a global argmax would lock onto a later chirp and discard
+    # everything before it (the reference's 100 ms acquisition poll gets
+    # first-wins for free because it sees the stream incrementally).
+    gmax = cu.max(-1)
+    strong = cu >= jnp.maximum(threshold, 0.7 * gmax[:, None])
+    first = jnp.argmax(strong, axis=-1).astype(jnp.int32)
+    # Local peak within +-512 of the first crossing.
+    rel = jnp.arange(-512, 513)
+    widx = jnp.clip(first[:, None] + rel[None, :], 0, cu.shape[-1] - 1)
+    wc = cu[idxb[:, None], widx]
+    up_pos = widx[idxb, jnp.argmax(wc, axis=-1)].astype(jnp.int32)
     up_corr = cu[idxb, up_pos]
-    up_found = up_corr >= threshold
+    up_found = strong.any(-1) & (up_corr >= threshold)
     up_pos = _parabolic_refine(corr_up, up_pos)
+
+    # First strong up-chirp crossing AFTER this one (next frame's chirp):
+    # consumers cap buffer consumption there so a mis-sized consume can
+    # never eat a following frame's preamble.
+    pos_idx0 = jnp.arange(n_pos)[None, :]
+    later = strong & (pos_idx0 >= (up_pos + L)[:, None])
+    has_next = later.any(-1)
+    next_up = jnp.where(has_next, jnp.argmax(later, axis=-1), -1).astype(jnp.int32)
 
     # Down-chirp search window (chirp_sync.hpp:420-438).
     start = up_pos + L // 2
@@ -195,6 +214,7 @@ def detect_dual_chirp(cfg: ChirpConfig, samples: jnp.ndarray,
         "down_chirp_start": down_start,
         "up_correlation": up_corr,
         "down_correlation": jnp.where(down_found, down_corr, 0.0),
+        "next_up_start": next_up,
     }
 
 

@@ -68,6 +68,10 @@ def test_connect_frame_loopback_with_noise_and_cfo():
     cf = F.ConnectFrame.deserialize(frames[0].frame_bytes)
     assert cf is not None
     assert cf.src_callsign == "W1AW" and cf.dst_callsign == "VE3ABC"
+    # Per-frame SNR estimate (feeds mode negotiation): per-carrier
+    # post-correlation SNR ~ wideband 10 dB + 10*log10(512/(2*13)) ~ 23 dB,
+    # less a few dB of residual-CFO phase drift across the training symbols.
+    assert 10.0 < frames[0].snr_db < 29.0, frames[0].snr_db
 
 
 def test_data_frame_loopback_ofdm_chirp():
@@ -86,6 +90,35 @@ def test_data_frame_loopback_ofdm_chirp():
     assert len(frames) == 1
     df = F.DataFrame.deserialize(frames[0].frame_bytes)
     assert df is not None and df.payload_as_text() == "chirp-path message"
+
+
+def _cox_engine():
+    from projectultra_tpu.config import Modulation, CodeRate
+    m = ModemEngine()
+    m.connected = True
+    m.handshake_complete = True
+    m.set_waveform_mode(WaveformMode.OFDM_COX)
+    m.data_modulation = Modulation.QAM16
+    m.data_code_rate = CodeRate.R2_3
+    return m
+
+
+def test_data_frame_loopback_ofdm_cox():
+    """Connected-session data over Schmidl-Cox OFDM at QAM16 R2/3 —
+    the negotiated high-SNR waveform (modem_rx.cpp Cox acquisition)."""
+    tx = _cox_engine().transmit(F.DataFrame.make_data(
+        "W1AW", "VE3ABC", 3, "cox-path message " * 4).serialize())
+    rx = _cox_engine()
+    frames = []
+    rx.on_frame = frames.append
+    audio = np.concatenate([tx, np.zeros(4000, np.float32)])
+    for i in range(0, len(audio), 960):
+        rx.feed_audio(audio[i:i + 960])
+        rx.poll()  # streaming: mid-frame polls must 'wait', not consume
+    assert len(frames) == 1
+    df = F.DataFrame.deserialize(frames[0].frame_bytes)
+    assert df is not None and "cox-path message" in df.payload_as_text()
+    assert frames[0].snr_db > 15.0  # clean loopback: high per-carrier SNR
 
 
 def test_cli_ptx_prx_pipe(tmp_path, capsys):
@@ -128,3 +161,38 @@ def test_decode_reference_cli_audio(golden_dir):
     assert df is not None
     assert df.payload_as_text() == "Interop test message"
     assert df.src_hash == F.hash_callsign("W1AW")
+
+
+def test_back_to_back_frames_in_one_stream():
+    """Two frames in one continuous stream decode as two events
+    (single-receiver rule, TESTING_METHODOLOGY.md:252-292)."""
+    tx_modem = ModemEngine()
+    f1 = F.DataFrame.make_data("W1AW", "VE3ABC", 1, "first frame")
+    f2 = F.DataFrame.make_data("W1AW", "VE3ABC", 2, "second frame")
+    audio = np.concatenate([
+        tx_modem.transmit(f1.serialize()),
+        np.zeros(2000, np.float32),
+        tx_modem.transmit(f2.serialize()),
+        np.zeros(4000, np.float32)])
+    frames, pings = _loopback(audio)
+    assert len(frames) == 2
+    texts = [F.DataFrame.deserialize(fr.frame_bytes).payload_as_text()
+             for fr in frames]
+    assert texts == ["first frame", "second frame"]
+
+
+def test_truncated_frame_then_full_frame():
+    """An interrupted frame must not wedge the receiver: the next complete
+    frame still decodes (mid-frame preemption intent, demodulator.cpp:607)."""
+    tx_modem = ModemEngine()
+    f1 = F.DataFrame.make_data("W1AW", "VE3ABC", 1, "interrupted")
+    full1 = tx_modem.transmit(f1.serialize())
+    truncated = full1[:len(full1) // 2]  # cut mid-data
+    f2 = F.DataFrame.make_data("W1AW", "VE3ABC", 2, "survivor")
+    audio = np.concatenate([truncated, np.zeros(2000, np.float32),
+                            tx_modem.transmit(f2.serialize()),
+                            np.zeros(4000, np.float32)])
+    frames, _ = _loopback(audio)
+    texts = [F.DataFrame.deserialize(fr.frame_bytes).payload_as_text()
+             for fr in frames if F.DataFrame.deserialize(fr.frame_bytes)]
+    assert "survivor" in texts

@@ -91,6 +91,29 @@ def test_loopback_awgn_snr5():
     assert ok.all() and match.all()
 
 
+def test_estimate_snr_db_tracks_true_snr():
+    """SNR estimator tracks the per-carrier post-correlation SNR — the
+    reference's getEstimatedSNR semantics (channel_equalizer.cpp:221:
+    |H|^2 / per-carrier noise variance), which exceeds the wideband audio
+    SNR by the correlation processing gain 10*log10(N / (2*C))."""
+    gain_db = 10.0 * np.log10(CFG.samples_per_symbol / (2.0 * CFG.num_carriers))
+    tr = jnp.broadcast_to(jnp.asarray(MC.generate_training(CFG)),
+                          (3, CFG.training_samples))
+    key = jnp.asarray(jax.random.PRNGKey(7))
+    ests = []
+    for true_snr in (-5.0, 0.0, 5.0):
+        noisy = W.add_noise_active(key, tr, true_snr)
+        est = np.asarray(MC.estimate_snr_db(CFG, noisy))
+        ests.append(est.mean())
+        # Noise-dominated regime: estimator tracks truth + processing gain.
+        assert np.all(np.abs(est - (true_snr + gain_db)) < 3.0), (true_snr, est)
+    assert ests == sorted(ests)  # monotone in true SNR
+    # High SNR saturates at the inter-carrier leakage floor (carriers are not
+    # FFT-bin aligned) — still high enough to negotiate the top OFDM modes.
+    clean = np.asarray(MC.estimate_snr_db(CFG, tr))
+    assert np.all(clean > 22.0), clean
+
+
 def test_loopback_awgn_snr5_cfo30():
     """MC-DPSK AWGN SNR=5 CFO=30 Hz -> 100% (regression_matrix.sh:143-146).
     The CFO ramp starts at the training start (train_abs=0)."""
