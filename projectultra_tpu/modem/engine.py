@@ -166,8 +166,43 @@ class ModemEngine:
         cfg = self.config.replace(modulation=Modulation.DQPSK, use_pilots=False)
         return cfg
 
+    def _otfs_config(self, wf: WaveformMode):
+        from ..otfs.otfs import OTFSConfig
+        return OTFSConfig(tf_equalization=(wf == WaveformMode.OTFS_EQ))
+
+    def _otfs_mod(self, tx_mod: Modulation) -> Modulation:
+        """OTFS carries coherent constellations only; the reference defaults
+        to QPSK (modem_engine.cpp:48)."""
+        if tx_mod in (Modulation.BPSK, Modulation.QPSK, Modulation.QAM16):
+            return tx_mod
+        return Modulation.QPSK
+
+    OTFS_INTER_FRAME_GAP = 480  # samples (modem_engine.cpp:430)
+
     def _modulate_waveform(self, wf: WaveformMode, payload: bytes,
                            tx_mod: Modulation):
+        if wf == WaveformMode.MFSK:
+            # Factory maps MFSK -> MC-DPSK (waveform_factory.cpp:33-36).
+            wf = WaveformMode.MC_DPSK
+        if wf in (WaveformMode.OTFS_EQ, WaveformMode.OTFS_RAW):
+            # One LDPC codeword per OTFS frame, 480-sample inter-frame gaps
+            # (modem_engine.cpp:418-451).
+            from ..otfs import otfs as O
+            ocfg = self._otfs_config(wf)
+            n = F.LDPC_CODEWORD_BYTES
+            chunks = [payload[i:i + n].ljust(n, b"\0")
+                      for i in range(0, len(payload), n)]
+            cw_bits = np.stack([bytes_to_bits(c) for c in chunks]).astype(
+                np.float32)
+            frames = np.asarray(O.frame_tx(ocfg, self._otfs_mod(tx_mod),
+                                           jnp.asarray(cw_bits)))
+            gap = np.zeros(self.OTFS_INTER_FRAME_GAP, np.float32)
+            pieces = []
+            for i in range(len(chunks)):
+                pieces.append(frames[i])
+                if i + 1 < len(chunks):
+                    pieces.append(gap)
+            return np.zeros(0, np.float32), np.concatenate(pieces)
         bits = jnp.asarray(bytes_to_bits(payload)[None, :].astype(np.float32))
         if wf == WaveformMode.MC_DPSK:
             pre = np.concatenate([
@@ -238,6 +273,10 @@ class ModemEngine:
         # matched-filter correlation is below the 0.35 gate.
         if self.waveform_mode == WaveformMode.OFDM_COX:
             handled = self._try_cox_once()
+            if handled is not None:
+                return handled
+        if self.waveform_mode in (WaveformMode.OTFS_EQ, WaveformMode.OTFS_RAW):
+            handled = self._try_otfs_once()
             if handled is not None:
                 return handled
         buf = self._rx_buffer
@@ -355,6 +394,106 @@ class ModemEngine:
         if self.on_frame:
             self.on_frame(frame)
         return 1
+
+    def _try_otfs_once(self) -> Optional[int]:
+        """One OTFS acquisition+decode pass (modem_rx_decode.cpp:700-830
+        flow).  Returns delivered-event count when handled, None when no
+        OTFS frame was found (chirp pings fall through: a chirp's
+        repeated-symbol metric stays far below the 0.98 fine-sync gate)."""
+        from ..otfs import otfs as O
+        buf = self._rx_buffer
+        ocfg = self._otfs_config(self.waveform_mode)
+        if len(buf) < ocfg.frame_len:
+            return None
+        found, start = O.detect_frame(ocfg, jnp.asarray(buf[None, :]))
+        if not bool(np.asarray(found)[0]):
+            return None
+        # The 0.98 fine-sync rule lands within ~half a CP of the true start
+        # (same bias as otfs.cpp:479-500).  OTFS_EQ absorbs that in the
+        # channel estimate; OTFS_RAW cannot (a fractional delay-bin shift
+        # smears the DD grid), so refine to exact alignment with a preamble
+        # matched filter — strictly better than the reference's rule.
+        coarse = int(np.asarray(start)[0])
+        pre = O.generate_preamble(ocfg)
+        lo = max(0, coarse - 96)
+        hi = min(len(buf) - len(pre), coarse + 96)
+        if hi <= lo:
+            return 0  # preamble not fully buffered yet
+        corr = np.correlate(buf[lo:hi + len(pre)], pre, mode="valid")
+        start0 = lo + int(np.argmax(np.abs(corr)))
+        status, frame = self._decode_frame_otfs(ocfg, start0)
+        if status == "wait":
+            return 0
+        if status == "fail":
+            self._consume(start0 + ocfg.frame_len)
+            return 0
+        self.frames_received += 1
+        if self.on_frame:
+            self.on_frame(frame)
+        return 1
+
+    def _decode_frame_otfs(self, ocfg, start: int
+                           ) -> tuple[str, Optional[DecodedFrame]]:
+        """One codeword per OTFS frame; frames separated by 480-sample gaps.
+        CW0 probe -> total_cw -> batched demod of every frame."""
+        from ..otfs import otfs as O
+        buf = self._rx_buffer
+        mod = self._otfs_mod(self.data_modulation)
+        flen, gap = ocfg.frame_len, self.OTFS_INTER_FRAME_GAP
+        candidate_rates = [CodeRate.R1_4]
+        if self.connected and self.data_code_rate not in candidate_rates:
+            candidate_rates.append(self.data_code_rate)
+
+        def spans(n_cw: int) -> Optional[np.ndarray]:
+            need = start + n_cw * flen + (n_cw - 1) * gap
+            if len(buf) < need:
+                return None
+            return np.stack([buf[start + k * (flen + gap):
+                                 start + k * (flen + gap) + flen]
+                             for k in range(n_cw)])
+
+        s1 = spans(1)
+        if s1 is None:
+            return "wait", None
+        llrs = np.asarray(O.demodulate_frame(ocfg, mod, jnp.asarray(s1)))
+        info = rate0 = None
+        for rate in candidate_rates:
+            ok, data = F.decode_codewords_with_ldpc([llrs[0][:648]], rate)
+            if ok[0]:
+                hdr = F.parse_header(data[0].ljust(F.BYTES_PER_CODEWORD, b"\0"))
+                if hdr.valid:
+                    info, rate0 = hdr, rate
+                    break
+        if info is None:
+            return "fail", None
+        total_cw = max(1, info.total_cw) if info.is_control \
+            else F.calculate_codewords(info.payload_len, rate0)
+
+        if total_cw > 1:
+            sall = spans(total_cw)
+            if sall is None:
+                return "wait", None
+            llrs = np.asarray(O.demodulate_frame(ocfg, mod, jnp.asarray(sall)))
+            blocks = [llrs[k][:648] for k in range(total_cw)]
+            oks, datas = F.decode_codewords_with_ldpc(blocks, rate0)
+        else:
+            oks, datas = ok, data
+
+        if info.is_control:
+            expected = F.CONTROL_SIZE
+        else:
+            expected = F.HEADER_SIZE + info.payload_len + F.CRC_SIZE
+        bpc = F.bytes_per_codeword(rate0)
+        frame_bytes = F.reassemble_codewords(
+            [d if o else b"\0" * bpc for o, d in zip(oks, datas)], expected)
+
+        self._consume(start + total_cw * flen + (total_cw - 1) * gap)
+        self.stats.frames_received += 1
+        self.stats.bytes_received += len(frame_bytes)
+        if not all(oks):
+            self.stats.frames_failed += 1
+        return "ok", DecodedFrame(frame_bytes=frame_bytes, header=info,
+                                  cw_ok=oks)
 
     def _decode_frame_cox(self, lts_start: int, cfo: float
                           ) -> tuple[str, Optional[DecodedFrame]]:

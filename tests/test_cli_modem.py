@@ -121,6 +121,37 @@ def test_data_frame_loopback_ofdm_cox():
     assert frames[0].snr_db > 15.0  # clean loopback: high per-carrier SNR
 
 
+@pytest.mark.parametrize("mode", [WaveformMode.OTFS_EQ, WaveformMode.OTFS_RAW])
+def test_data_frame_loopback_otfs(mode):
+    """Connected-session data over OTFS: one LDPC codeword per frame,
+    480-sample gaps (modem_engine.cpp:418-451, modem_rx_decode.cpp:700-830)."""
+    from projectultra_tpu.config import Modulation, CodeRate
+
+    def eng():
+        m = ModemEngine()
+        m.connected = True
+        m.handshake_complete = True
+        m.set_waveform_mode(mode)
+        m.data_modulation = Modulation.QPSK
+        m.data_code_rate = CodeRate.R1_2
+        return m
+
+    tx = eng().transmit(F.DataFrame.make_data(
+        "W1AW", "VE3ABC", 7, "otfs delay-doppler " * 5).serialize())
+    rx = eng()
+    frames = []
+    rx.on_frame = frames.append
+    audio = np.concatenate([np.zeros(3000, np.float32), tx,
+                            np.zeros(3000, np.float32)])
+    for i in range(0, len(audio), 960):
+        rx.feed_audio(audio[i:i + 960])
+        rx.poll()
+    assert len(frames) == 1
+    df = F.DataFrame.deserialize(frames[0].frame_bytes)
+    assert df is not None and "otfs delay-doppler" in df.payload_as_text()
+    assert all(frames[0].cw_ok) and len(frames[0].cw_ok) > 1
+
+
 def test_cli_ptx_prx_pipe(tmp_path, capsys):
     """Full CLI: ptx writes f32 audio, prx decodes it."""
     from projectultra_tpu import cli
