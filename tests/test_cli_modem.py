@@ -152,6 +152,64 @@ def test_data_frame_loopback_otfs(mode):
     assert all(frames[0].cw_ok) and len(frames[0].cw_ok) > 1
 
 
+def test_otfs_eq_under_good_channel_fading():
+    """OTFS_EQ engine decode through a CCIR-Good Watterson channel + AWGN —
+    the adaptive modem's pick for Good channels (adaptive_modem.hpp:287-296)."""
+    from projectultra_tpu.config import Modulation, CodeRate
+
+    def eng():
+        m = ModemEngine()
+        m.connected = True
+        m.handshake_complete = True
+        m.set_waveform_mode(WaveformMode.OTFS_EQ)
+        m.data_modulation = Modulation.QPSK
+        m.data_code_rate = CodeRate.R1_4
+        return m
+
+    tx = eng().transmit(F.DataFrame.make_data(
+        "W1AW", "VE3ABC", 4, "fading otfs").serialize())
+    a = jnp.asarray(np.concatenate(
+        [np.zeros(2000, np.float32), tx, np.zeros(3000, np.float32)])[None, :])
+    a = W.watterson(jax.random.PRNGKey(11), a, W.good())
+    a = W.add_noise_active(jax.random.PRNGKey(12), a, 20.0)
+    rx = eng()
+    frames = []
+    rx.on_frame = frames.append
+    rx.feed_audio(np.asarray(a)[0])
+    rx.poll()
+    assert len(frames) == 1
+    df = F.DataFrame.deserialize(frames[0].frame_bytes)
+    assert df is not None and df.payload_as_text() == "fading otfs"
+
+
+def test_data_frame_loopback_ofdm_cox_nvis():
+    """NVIS profile: 1024-FFT differential Cox OFDM through the engine
+    (ofdm_cox_waveform.hpp 'NVIS 1024-FFT capable'; LTS threshold 0.05)."""
+    from projectultra_tpu.config import Modulation, CodeRate, nvis_mode
+
+    def eng():
+        m = ModemEngine(config=nvis_mode())
+        m.connected = True
+        m.handshake_complete = True
+        m.set_waveform_mode(WaveformMode.OFDM_COX)
+        m.data_modulation = Modulation.DQPSK
+        m.data_code_rate = CodeRate.R3_4
+        return m
+
+    tx = eng().transmit(F.DataFrame.make_data(
+        "W1AW", "VE3ABC", 9, "nvis skywave " * 6).serialize())
+    rx = eng()
+    frames = []
+    rx.on_frame = frames.append
+    audio = np.concatenate([tx, np.zeros(6000, np.float32)])
+    for i in range(0, len(audio), 4096):
+        rx.feed_audio(audio[i:i + 4096])
+    rx.poll()
+    assert len(frames) == 1
+    df = F.DataFrame.deserialize(frames[0].frame_bytes)
+    assert df is not None and "nvis skywave" in df.payload_as_text()
+
+
 def test_cli_ptx_prx_pipe(tmp_path, capsys):
     """Full CLI: ptx writes f32 audio, prx decodes it."""
     from projectultra_tpu import cli
