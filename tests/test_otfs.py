@@ -17,6 +17,31 @@ from projectultra_tpu.utils.bits import bytes_to_bits
 CFG = O.OTFSConfig()
 
 
+def test_tx_matches_reference(golden_dir):
+    """Preamble + one QPSK frame sample-for-sample vs the C++ OTFSModulator
+    (golden dumped from the unmodified reference build)."""
+    import os
+    lines = open(os.path.join(golden_dir, "golden_otfs_meta.txt")).read().split("\n")
+    payload = bytes.fromhex(lines[0].split()[1])
+    sizes = dict(zip(lines[1].split()[::2], lines[1].split()[1::2]))
+    golden = np.fromfile(os.path.join(golden_dir, "golden_otfs_tx.f32"),
+                         dtype=np.float32)
+    pre_n = int(sizes["preamble"])
+    assert pre_n == CFG.preamble_len
+    assert len(golden) - pre_n == CFG.N * CFG.sym_len
+
+    bits = jnp.asarray(bytes_to_bits(payload)[None, :].astype(np.float32))
+    tx = np.asarray(O.frame_tx(CFG, Modulation.QPSK, bits))[0]
+    assert tx.shape[0] == golden.shape[0]
+    assert np.abs(tx - golden).max() < 2e-3
+
+    # RX interop: our demodulator recovers the payload from the C++ audio.
+    llrs = np.asarray(O.demodulate_frame(CFG, Modulation.QPSK,
+                                         jnp.asarray(golden[None, :])))[0]
+    hard = (llrs < 0).astype(np.float32)[:bits.shape[-1]]
+    assert (hard == np.asarray(bits)[0]).all()
+
+
 def test_isfft_sfft_roundtrip():
     rng = np.random.default_rng(0)
     dd = (rng.standard_normal((2, 32, 16)) + 1j * rng.standard_normal((2, 32, 16))
