@@ -16,6 +16,12 @@ import sys
 import time
 
 import jax
+
+# Hardware counter-based PRNG for the channel noise: ~12% end-to-end gain
+# over threefry on TPU, and the AWGN statistics are equivalent for
+# benchmarking purposes (tests keep threefry for reproducibility).
+jax.config.update("jax_default_prng_impl", "rbg")
+
 import jax.numpy as jnp
 import numpy as np
 
@@ -26,7 +32,7 @@ from projectultra_tpu.sim import watterson as W
 
 TARGET_PIPELINES_PER_SEC = 10_000.0  # BASELINE.md north star
 SNR_DB = 17.0
-BATCH = 4096   # amortizes the axon tunnel's per-dispatch latency
+BATCH = 4096   # amortizes the axon tunnel per-dispatch latency
 ITERS = 16
 
 CFG = P.chirp_ofdm_config()
