@@ -63,20 +63,25 @@ def main():
     code = ldpc.get_code(RATE)
     rng = np.random.default_rng(0)
     info = jnp.asarray(rng.integers(0, 2, size=(BATCH, code.k)).astype(np.float32))
-    keys = jax.random.split(jax.random.PRNGKey(0), ITERS)
+    keys_warm = jax.random.split(jax.random.PRNGKey(0), ITERS)
+    keys_timed = jax.random.split(jax.random.PRNGKey(1), ITERS)
 
     # Warmup / compile + correctness check.
-    out, ok = _step(info, keys[0])
+    out, ok = _step(info, keys_warm[0])
     ok_rate = float(np.asarray(ok).mean())
     bit_ok = bool((np.asarray(out) == np.asarray(info, np.uint8)).all())
-    jax.block_until_ready(_step_many(info, keys))
+    jax.block_until_ready(_step_many(info, keys_warm))
 
+    # Time with FRESH keys and full host materialization: the axon tunnel
+    # serves repeated identical dispatches from a cache, so re-timing the
+    # warmup call measures the cache, not the chip.
     t0 = time.perf_counter()
-    probe, oks = _step_many(info, keys)
-    jax.block_until_ready((probe, oks))
+    probe, oks = _step_many(info, keys_timed)
+    oks = np.asarray(oks)
+    np.asarray(probe)
     dt = time.perf_counter() - t0
 
-    ok_rate = min(ok_rate, float(np.asarray(oks).mean()))
+    ok_rate = min(ok_rate, float(oks.mean()))
     pps = BATCH * ITERS / dt
     result = {
         "metric": "ofdm_dqpsk_r12_frame_pipelines_per_sec",
