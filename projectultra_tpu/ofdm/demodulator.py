@@ -457,6 +457,27 @@ def demodulate_presynced(config: ModemConfig, mod: Modulation,
     return llrs, state
 
 
+@functools.lru_cache(maxsize=None)
+def _analysis_tensor(config: ModemConfig, t0_base: int, S: int):
+    """conj(NCO downmix) x DFT rows of the data bins (CP region zeroed), so
+    rx[b,s,c] = sum_l data[b,s,l] * corr * M[s,l,c].  Returned as TWO real
+    f32 [S, L, C] tensors (Mr, Mi): the axon transport rejects (or silently
+    corrupts) multi-dim complex64 host constants, and real einsums ride the
+    MXU directly anyway."""
+    cm = carriers_mod.carrier_map(config)
+    N, cp = config.fft_size, config.cyclic_prefix
+    L = config.symbol_duration
+    osc = mixer_ops.osc_fixed(config.center_freq, config.sample_rate,
+                              S * L, offset=t0_base).reshape(S, L)
+    n_idx = np.arange(L) - cp
+    live = (n_idx >= 0) & (n_idx < N)
+    W = np.exp(-2j * np.pi * np.outer(n_idx % N,
+                                      np.asarray(cm.data_idx, np.float64)) / N)
+    W = np.where(live[:, None], W, 0.0)                    # [L, C]
+    M = np.conj(osc)[:, :, None] * W[None, :, :]
+    return M.real.astype(np.float32), M.imag.astype(np.float32)
+
+
 def _demod_differential_parallel(config: ModemConfig, mod: Modulation,
                                  state: DemodState, data: jnp.ndarray,
                                  t0_base: int) -> jnp.ndarray:
@@ -466,23 +487,26 @@ def _demod_differential_parallel(config: ModemConfig, mod: Modulation,
     B, S, L = data.shape
     N, cp = config.fft_size, config.cyclic_prefix
 
-    t = t0_base + jnp.arange(S * L).reshape(S, L)
-    osc = mixer_ops.osc_int(config.center_freq, config.sample_rate, t)  # [S, L]
-
     cfo = state.freq_offset_hz
     phase_inc = jnp.float32(-2.0 * np.pi / config.sample_rate) * cfo    # [B]
     i_all = jnp.arange(S * L, dtype=jnp.float32).reshape(S, L)
     corr_phase = (state.freq_phase[:, None, None]
                   + phase_inc[:, None, None] * i_all[None])
-    corr = jnp.exp(1j * corr_phase).astype(jnp.complex64)
     active = (jnp.abs(cfo) > 0.01)[:, None, None]
-    corr = jnp.where(active, corr, jnp.complex64(1.0))
+    corr_phase = jnp.where(active, corr_phase, 0.0)
 
-    bb = data.astype(jnp.complex64) * jnp.conj(osc)[None] * corr
-    fd = jnp.fft.fft(bb[..., cp:cp + N], axis=-1)                       # [B,S,N]
-
+    # Analysis as a sparse contraction: only the C data bins are needed, so
+    # downmix + FFT-bin extraction fold into host-constant [S, L, C] real
+    # tensors riding the MXU (XLA's generic TPU FFT is ~10x slower here).
+    zr = data * jnp.cos(corr_phase)                                     # [B,S,L]
+    zi = data * jnp.sin(corr_phase)
+    Mr, Mi = _analysis_tensor(config, t0_base, S)
+    Mr, Mi = jnp.asarray(Mr), jnp.asarray(Mi)
+    hi = jax.lax.Precision.HIGHEST
+    ee = functools.partial(jnp.einsum, "bsl,slc->bsc", precision=hi)
+    rx = jax.lax.complex(ee(zr, Mr) - ee(zi, Mi),
+                         ee(zr, Mi) + ee(zi, Mr))                       # [B,S,C]
     didx = jnp.asarray(cm.data_idx)
-    rx = fd[..., didx]                                                  # [B,S,C]
     h = state.channel_estimate[:, None, didx]
     hp = jnp.abs(h) ** 2
     good = hp > 1e-6

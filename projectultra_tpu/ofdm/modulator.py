@@ -81,31 +81,60 @@ def map_bits_to_symbols(config: ModemConfig, mod: Modulation,
     return jnp.where(filled, syms, jnp.complex64(0.0))
 
 
+@functools.lru_cache(maxsize=None)
+def _synthesis_tensors(config: ModemConfig, t_offset: int, S: int):
+    """Host-constant sparse OFDM synthesis: carrier symbols -> passband.
+
+    The FD grid has only len(data_idx)+len(pilot_idx) nonzero bins, so the
+    IFFT + CP + guard + NCO upmix collapse into one small [S, C, L] tensor
+    contraction that rides the MXU — XLA's generic TPU FFT is ~10x slower
+    than this on the 512-point grids (measured).  Returns (Ar, Ai [S, C, L]
+    f32, pilot_wave [S, L] f32 or None); out = sr@Ar - si@Ai + pilot_wave.
+    """
+    cm = carriers_mod.carrier_map(config)
+    N, cp, guard = config.fft_size, config.cyclic_prefix, config.symbol_guard
+    sym_len = config.symbol_duration
+    L = sym_len
+    n_idx = (np.arange(L) - cp) % N
+    live = np.arange(L) < cp + N                          # guard -> zeros
+
+    def carrier_rows(idx) -> np.ndarray:                  # [len(idx), L]
+        rows = np.exp(2j * np.pi * np.outer(np.asarray(idx, np.float64),
+                                            n_idx) / N) / N
+        return np.where(live[None, :], rows, 0.0)
+
+    osc = mixer_ops.osc_fixed(
+        config.center_freq + config.tx_cfo_hz, config.sample_rate,
+        S * sym_len, offset=t_offset).reshape(S, sym_len)
+
+    A = carrier_rows(cm.data_idx)[None, :, :] * osc[:, None, :] \
+        * config.output_scale                              # [S, C, L]
+    pilot_wave = None
+    if config.use_pilots and len(cm.pilot_idx):
+        p = (np.asarray(cm.pilot_seq)[:, None]
+             * carrier_rows(cm.pilot_idx)).sum(0)          # [L]
+        pilot_wave = (p[None, :] * osc).real.astype(np.float32) \
+            * config.output_scale
+    return (A.real.astype(np.float32), A.imag.astype(np.float32),
+            pilot_wave)
+
+
 def symbols_to_passband(config: ModemConfig, syms: jnp.ndarray,
                         t_offset: int = 0) -> jnp.ndarray:
     """[B, S, C] constellation symbols -> [B, S*sym_len] float32 passband.
 
     Pilots inserted from the fixed pilot sequence; mixer phase continuous
     from sample index t_offset (relative to the last mixer reset)."""
-    cm = carriers_mod.carrier_map(config)
     B, S, C = syms.shape
-    N, cp, guard = config.fft_size, config.cyclic_prefix, config.symbol_guard
-    sym_len = config.symbol_duration
-
-    fd = jnp.zeros((B, S, N), jnp.complex64)
-    fd = fd.at[:, :, cm.data_idx].set(syms)
-    if config.use_pilots and len(cm.pilot_idx):
-        fd = fd.at[:, :, cm.pilot_idx].set(jnp.asarray(cm.pilot_seq))
-
-    td = _ifft_cp(fd, cp)                                 # [B, S, CP+N]
-    td = jnp.pad(td, ((0, 0), (0, 0), (0, guard)))        # guard zeros
-
-    # Static frequency + static offsets -> host-constant oscillator table.
-    osc = jnp.asarray(mixer_ops.osc_fixed(
-        config.center_freq + config.tx_cfo_hz, config.sample_rate,
-        S * sym_len, offset=t_offset).reshape(S, sym_len))
-    out = (td * osc[None]).real * config.output_scale
-    return out.reshape(B, S * sym_len).astype(jnp.float32)
+    Ar, Ai, pilot_wave = _synthesis_tensors(config, t_offset, S)
+    hi = jax.lax.Precision.HIGHEST  # f32 accumulation on the MXU
+    out = jnp.einsum("bsc,scl->bsl", syms.real, jnp.asarray(Ar),
+                     precision=hi) \
+        - jnp.einsum("bsc,scl->bsl", syms.imag, jnp.asarray(Ai),
+                     precision=hi)
+    if pilot_wave is not None:
+        out = out + jnp.asarray(pilot_wave)[None]
+    return out.reshape(B, S * config.symbol_duration).astype(jnp.float32)
 
 
 @functools.partial(jax.jit, static_argnames=("config", "mod", "t_offset"))
