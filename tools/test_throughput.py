@@ -4,7 +4,12 @@
 Reference: tools/test_throughput.cpp — bps = payload_bytes / audio_seconds
 for a representative multi-codeword frame, plus the theoretical symbol-rate
 throughput (types.hpp getTheoreticalThroughput).  Decode is verified at the
-stated SNR so the numbers are honest.
+stated SNR so the numbers are honest.  Covers every row of BASELINE.md's
+link-throughput table, including the high_throughput preset points
+(types.hpp:306-307).  Fading rows average 8 independent Watterson
+realizations; the Good-channel decode rate depends strongly on frame length
+(notch dwell): ~80% at 2 codewords/frame, ~50% at 8 (the reference's "96%"
+row does not state its frame length or realization count).
 
 Usage: python tools/test_throughput.py [--cpu] [--codewords N]
 """
@@ -44,21 +49,29 @@ def main():
     LEAD, TAIL = 7200, 1152
     ncw = args.codewords
 
+    from projectultra_tpu.config import high_throughput
     rows = [
-        # (label, config, mod, rate, snr, sync)
+        # (label, config, mod, rate, snr, sync[, channel])
+        # BASELINE.md link-throughput table, row for row.
         ("OFDM 512 DQPSK R1/4", P.chirp_ofdm_config(), Modulation.DQPSK, CodeRate.R1_4, 17.0, "chirp"),
         ("OFDM 512 DQPSK R1/2", P.chirp_ofdm_config(), Modulation.DQPSK, CodeRate.R1_2, 25.0, "chirp"),
         ("OFDM 512 DQPSK R2/3", P.chirp_ofdm_config(), Modulation.DQPSK, CodeRate.R2_3, 30.0, "chirp"),
         ("OFDM 512 16QAM R2/3 (pilots)", ModemConfig(), Modulation.QAM16, CodeRate.R2_3, 25.0, "cox"),
+        ("OFDM 512 16QAM R3/4 (pilots)", ModemConfig(), Modulation.QAM16, CodeRate.R3_4, 25.0, "cox"),
+        ("OFDM 512 16QAM R5/6 (pilots)", ModemConfig(), Modulation.QAM16, CodeRate.R5_6, 28.0, "cox"),
         ("NVIS 1024 DQPSK R3/4", nvis_mode(), Modulation.DQPSK, CodeRate.R3_4, 25.0, "cox"),
         ("NVIS 1024 D8PSK R3/4", nvis_mode(), Modulation.D8PSK, CodeRate.R3_4, 25.0, "cox"),
         ("NVIS 1024 16QAM R3/4", nvis_mode(), Modulation.QAM16, CodeRate.R3_4, 30.0, "cox"),
         ("NVIS 1024 32QAM R3/4", nvis_mode(), Modulation.QAM32, CodeRate.R3_4, 30.0, "cox"),
+        ("high_throughput 64QAM R3/4 AWGN25", high_throughput(), Modulation.QAM64, CodeRate.R3_4, 25.0, "cox"),
+        ("high_throughput 16QAM R2/3 Good20", high_throughput(), Modulation.QAM16, CodeRate.R2_3, 20.0, "cox", "good"),
     ]
 
     print(f"{'mode':<32} {'payload':>8} {'audio_s':>8} {'bps':>7} "
           f"{'theory':>7} {'decode':>7}")
-    for label, cfg, mod, rate, snr, sync in rows:
+    for row in rows:
+        label, cfg, mod, rate, snr, sync = row[:6]
+        chan = row[6] if len(row) > 6 else "awgn"
         code = ldpc.get_code(rate)
         payload_bits = code.k * ncw
         rng = np.random.default_rng(1)
@@ -85,7 +98,13 @@ def main():
         tx = np.zeros(audio_len, np.float32)
         tx[LEAD:LEAD + len(pre)] = pre
         tx[LEAD + len(pre):LEAD + len(pre) + len(data)] = data
-        rx = W.add_noise_active(jax.random.PRNGKey(2), jnp.asarray(tx[None]), snr)
+        # Average over 8 channel realizations (batch axis) so fading rows
+        # report a rate, not one lucky/unlucky notch placement.
+        reps = 8 if chan != "awgn" else 1
+        rx = jnp.broadcast_to(jnp.asarray(tx[None]), (reps, len(tx)))
+        if chan == "good":
+            rx = W.watterson(jax.random.PRNGKey(3), rx, W.good())
+        rx = W.add_noise_active(jax.random.PRNGKey(2), rx, snr)
         S = P.num_data_symbols(cfg, mod, ncw)
         if sync == "chirp":
             det = chirp_mod.detect_dual_chirp(cc, rx, 0.15)
@@ -97,8 +116,13 @@ def main():
             llrs, _ = D.demodulate_presynced(cfg, mod, span, det["cfo_hz"],
                                              phase, 2, S)
         else:
-            llrs, det2 = SC.decode_ofdm_cox(cfg, mod, rx, ncw)
-        blocks = np.asarray(llrs)[0][:ncw * code.n].reshape(ncw, code.n)
+            # Per-realization sync: fading shifts each lane's fine timing,
+            # so decode_ofdm_cox (shared data_start) runs one lane at a time.
+            llrs = jnp.concatenate(
+                [SC.decode_ofdm_cox(cfg, mod, rx[i:i + 1], ncw)[0]
+                 for i in range(rx.shape[0])])
+        reps_n = np.asarray(llrs).shape[0]
+        blocks = np.asarray(llrs)[:, :ncw * code.n].reshape(reps_n * ncw, code.n)
         deint = blocks[:, ci.perm]
         out, ok, _ = ldpc_ops.decode(code, jnp.asarray(deint))
         decode = float(np.asarray(ok).mean())
