@@ -16,6 +16,8 @@ import sys
 import time
 
 import jax
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_projectultra")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 # Hardware counter-based PRNG for the channel noise: ~12% end-to-end gain
 # over threefry on TPU, and the AWGN statistics are equivalent for

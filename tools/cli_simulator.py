@@ -28,6 +28,9 @@ def main():
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--seed", type=int, default=42)
     args = ap.parse_args()
+    import jax
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_projectultra")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     if args.cpu:
         import jax
         jax.config.update("jax_platforms", "cpu")
