@@ -34,7 +34,7 @@ from projectultra_tpu.sim import watterson as W
 
 TARGET_PIPELINES_PER_SEC = 10_000.0  # BASELINE.md north star
 SNR_DB = 17.0
-BATCH = 4096   # amortizes the axon tunnel per-dispatch latency
+BATCH = 16384  # HBM sweet spot post MXU-contraction rework (32768 regresses)
 ITERS = 16
 
 CFG = P.chirp_ofdm_config()
