@@ -86,26 +86,43 @@ def sync_sequence(cfg: OTFSConfig) -> np.ndarray:
     return (np.cos(ph) + 1j * np.sin(ph)).astype(np.complex64)
 
 
+@functools.lru_cache(maxsize=None)
+def _synthesis_ri(cfg: OTFSConfig, t_offset: int, S: int):
+    """Sparse OFDM synthesis for the OTFS grid: only bins 1..M of the
+    fft_size-point IFFT are live, so IFFT + CP + NCO upmix fold into one
+    [S, M, L] tensor contraction (see ofdm/modulator._synthesis_tensors).
+    Real/imag f32 pair — the device transport rejects complex constants."""
+    N, cp, L = cfg.fft_size, cfg.cp_length, cfg.sym_len
+    n_idx = (np.arange(L) - cp) % N
+    k = np.arange(1, cfg.M + 1, dtype=np.float64)
+    base = np.exp(2j * np.pi * np.outer(k, n_idx) / N) / N      # [M, L]
+    osc = mixer_ops.osc_fixed(cfg.center_freq, cfg.sample_rate,
+                              S * L, offset=t_offset).reshape(S, L)
+    A = base[None, :, :] * osc[:, None, :]                       # [S, M, L]
+    return A.real.astype(np.float32), A.imag.astype(np.float32)
+
+
 def _ofdm_symbols(cfg: OTFSConfig, rows: jnp.ndarray, t_offset: int = 0) -> jnp.ndarray:
     """[..., S, M] TF rows -> [..., S*sym_len] real passband (bins 1..M, CP,
     mixer continuous from t_offset)."""
     S = rows.shape[-2]
-    fd = jnp.zeros((*rows.shape[:-1], cfg.fft_size), jnp.complex64)
-    fd = fd.at[..., 1:cfg.M + 1].set(rows)
-    td = jnp.fft.ifft(fd, axis=-1).astype(jnp.complex64)
-    with_cp = jnp.concatenate([td[..., -cfg.cp_length:], td], axis=-1)
-    osc = jnp.asarray(mixer_ops.osc_fixed(
-        cfg.center_freq, cfg.sample_rate, S * cfg.sym_len,
-        offset=t_offset).reshape(S, cfg.sym_len))
-    out = (with_cp * osc).real
+    Ar, Ai = _synthesis_ri(cfg, t_offset, S)
+    hi = jax.lax.Precision.HIGHEST
+    out = jnp.einsum("...sm,sml->...sl", rows.real, jnp.asarray(Ar),
+                     precision=hi) \
+        - jnp.einsum("...sm,sml->...sl", rows.imag, jnp.asarray(Ai),
+                     precision=hi)
     return out.reshape(*rows.shape[:-2], S * cfg.sym_len).astype(jnp.float32)
 
 
 @functools.lru_cache(maxsize=None)
 def generate_preamble(cfg: OTFSConfig) -> np.ndarray:
-    """4x identical sync symbol, RMS-normalized to 0.1 (otfs.cpp:372-394)."""
-    seq = jnp.asarray(sync_sequence(cfg))[None, None, :]
-    one = np.asarray(_ofdm_symbols(cfg, seq))[0]
+    """4x identical sync symbol, RMS-normalized to 0.1 (otfs.cpp:372-394).
+    Pure host numpy: it is a constant, and eagerly shipping the complex
+    sync sequence through the device transport is unsupported."""
+    seq = sync_sequence(cfg)                                # np complex [M]
+    Ar, Ai = _synthesis_ri(cfg, 0, 1)                        # [1, M, L]
+    one = (seq.real @ Ar[0] - seq.imag @ Ai[0]).astype(np.float32)
     rms = np.sqrt((one ** 2).mean())
     if rms > 0:
         one = one * (PREAMBLE_TARGET_RMS / rms)
@@ -155,12 +172,26 @@ def _rx_tf(cfg: OTFSConfig, samples: jnp.ndarray, t_offset: int = 0) -> jnp.ndar
     B = samples.shape[0]
     S = samples.shape[-1] // cfg.sym_len
     x = samples[:, :S * cfg.sym_len].reshape(B, S, cfg.sym_len)
-    osc = jnp.asarray(mixer_ops.osc_fixed(
-        cfg.center_freq, cfg.sample_rate, S * cfg.sym_len,
-        offset=t_offset).reshape(S, cfg.sym_len))
-    bb = x.astype(jnp.complex64) * jnp.conj(osc)[None]
-    fd = jnp.fft.fft(bb[..., cfg.cp_length:], axis=-1)
-    return (fd[..., 1:cfg.M + 1] * REAL_TO_COMPLEX_SCALE).astype(jnp.complex64)
+    Mr, Mi = _analysis_ri(cfg, t_offset, S)
+    hi = jax.lax.Precision.HIGHEST
+    ee = functools.partial(jnp.einsum, "bsl,slm->bsm", precision=hi)
+    return jax.lax.complex(ee(x, jnp.asarray(Mr)), ee(x, jnp.asarray(Mi)))
+
+
+@functools.lru_cache(maxsize=None)
+def _analysis_ri(cfg: OTFSConfig, t_offset: int, S: int):
+    """conj(NCO) x DFT rows of bins 1..M (CP zeroed) x 2.4 scale, as a
+    real/imag f32 [S, L, M] pair — the analysis dual of _synthesis_ri."""
+    N, cp, L = cfg.fft_size, cfg.cp_length, cfg.sym_len
+    n_idx = np.arange(L) - cp
+    live = n_idx >= 0
+    k = np.arange(1, cfg.M + 1, dtype=np.float64)
+    W = np.exp(-2j * np.pi * np.outer(n_idx % N, k) / N)         # [L, M]
+    W = np.where(live[:, None], W, 0.0) * REAL_TO_COMPLEX_SCALE
+    osc = mixer_ops.osc_fixed(cfg.center_freq, cfg.sample_rate,
+                              S * L, offset=t_offset).reshape(S, L)
+    M_ = np.conj(osc)[:, :, None] * W[None, :, :]                # [S, L, M]
+    return M_.real.astype(np.float32), M_.imag.astype(np.float32)
 
 
 def estimate_channel(cfg: OTFSConfig, preamble: jnp.ndarray) -> jnp.ndarray:
