@@ -521,11 +521,14 @@ class ModemEngine:
             need = lts_start + 2 * plen + S * cfg.symbol_duration
             if len(buf) < need:
                 return None, None
-            lts = jnp.asarray(
-                buf[lts_start:lts_start + 2 * plen].reshape(1, 2, plen))
+            # Image-free demod under CFO for coherent modes
+            # (demodulator.maybe_analytic); the span starts at the LTS so
+            # edge ringing lands in the LTS CP.
+            span = np.asarray(demod_mod.maybe_analytic(
+                mod, jnp.asarray(buf[None, lts_start:need])))[0]
+            lts = jnp.asarray(span[:2 * plen].reshape(1, 2, plen))
             data = jnp.asarray(
-                buf[lts_start + 2 * plen:need]
-                .reshape(1, S, cfg.symbol_duration))
+                span[2 * plen:].reshape(1, S, cfg.symbol_duration))
             state = demod_mod.init_state(cfg, 1, cfo, 0.0)
             state = demod_mod.estimate_channel_from_lts(cfg, state, lts,
                                                         t0_base=0)

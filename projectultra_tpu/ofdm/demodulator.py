@@ -113,6 +113,27 @@ def n_data_bins(config: ModemConfig) -> int:
     return len(carriers_mod.carrier_map(config).data_idx)
 
 
+def analytic_half(samples: jnp.ndarray) -> jnp.ndarray:
+    """Positive-frequency part of a real passband signal (analytic/2):
+    same amplitude as the real signal's +f content, image-free.  No-op for
+    already-complex input."""
+    if jnp.iscomplexobj(samples):
+        return samples
+    from ..sync.schmidl_cox import analytic_signal
+    return (0.5 * analytic_signal(samples)).astype(jnp.complex64)
+
+
+def maybe_analytic(mod: Modulation, samples: jnp.ndarray) -> jnp.ndarray:
+    """analytic_half for COHERENT modulations only.  The real passband's
+    negative-frequency image is bin-aligned (harmless) at zero CFO but leaks
+    ICI that grows with CFO; QAM decision boundaries cannot absorb it, while
+    the differential modes tolerate it across the validated CFO range — and
+    skipping the Hilbert FFT there keeps the headline pipeline FFT-free."""
+    if is_differential(mod):
+        return samples
+    return analytic_half(samples)
+
+
 def to_baseband_fd(config: ModemConfig, state: DemodState,
                    sym_samples: jnp.ndarray, t0) -> tuple[jnp.ndarray, DemodState]:
     """toBaseband + extractSymbol (channel_equalizer.cpp:19-71) for one
@@ -462,6 +483,15 @@ def demodulate_presynced(config: ModemConfig, mod: Modulation,
     L = config.symbol_duration
     state = init_state(config, B, cfo_hz, initial_phase)
 
+    # Coherent modes work on the half-scaled analytic signal: a real
+    # passband carries a negative-frequency image that is FFT-bin-aligned
+    # only at zero CFO — under CFO it leaks ICI into every bin, growing with
+    # the offset (the reference demodulates the real signal and its coherent
+    # modes were only validated near zero CFO).  The 0.5 scale keeps the
+    # positive-frequency amplitude identical to the real signal's, so all
+    # channel/noise/LLR calibrations (and zero-CFO golden parity) hold.
+    samples = maybe_analytic(mod, samples)
+
     if training_symbols > 0:
         tr = samples[:, :training_symbols * L].reshape(B, training_symbols, L)
         state = estimate_channel_from_lts(config, state, tr)
@@ -527,8 +557,12 @@ def _demod_differential_parallel(config: ModemConfig, mod: Modulation,
     # Analysis as a sparse contraction: only the C data bins are needed, so
     # downmix + FFT-bin extraction fold into host-constant [S, L, C] real
     # tensors riding the MXU (XLA's generic TPU FFT is ~10x slower here).
-    zr = data * jnp.cos(corr_phase)                                     # [B,S,L]
-    zi = data * jnp.sin(corr_phase)
+    # data may be real passband or the half-scaled analytic signal.
+    c_ph, s_ph = jnp.cos(corr_phase), jnp.sin(corr_phase)
+    dr = data.real if jnp.iscomplexobj(data) else data
+    di = data.imag if jnp.iscomplexobj(data) else None
+    zr = dr * c_ph if di is None else dr * c_ph - di * s_ph             # [B,S,L]
+    zi = dr * s_ph if di is None else dr * s_ph + di * c_ph
     Mr, Mi = _analysis_tensor(config, t0_base, S)
     Mr, Mi = jnp.asarray(Mr), jnp.asarray(Mi)
     hi = jax.lax.Precision.HIGHEST

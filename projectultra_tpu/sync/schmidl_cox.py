@@ -297,6 +297,10 @@ def decode_ofdm_cox(config: ModemConfig, mod, samples: jnp.ndarray,
     plen = config.fft_size + config.cyclic_prefix
     B = samples.shape[0]
     S = ofdm_pipeline.num_data_symbols(config, mod, n_codewords)
+    # Image-free demodulation under CFO for coherent modes
+    # (see demodulator.maybe_analytic).
+    from ..ofdm.demodulator import maybe_analytic
+    samples = maybe_analytic(mod, samples)
     lts = samples[:, start_lts:start_lts + 2 * plen].reshape(B, 2, plen)
     data_start = start_lts + 2 * plen
     data = samples[:, data_start:data_start + S * config.symbol_duration]

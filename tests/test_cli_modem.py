@@ -152,6 +152,24 @@ def test_data_frame_loopback_otfs(mode):
     assert all(frames[0].cw_ok) and len(frames[0].cw_ok) > 1
 
 
+def test_data_frame_ofdm_cox_with_cfo_and_noise():
+    """Cox engine RX with a real frequency offset: coarse CFO from the
+    Schmidl-Cox metric + LTS channel estimate + pilot tracking."""
+    tx = _cox_engine().transmit(F.DataFrame.make_data(
+        "W1AW", "VE3ABC", 5, "cox cfo path " * 3).serialize())
+    a = jnp.asarray(np.concatenate([tx, np.zeros(4000, np.float32)])[None, :])
+    a = W.apply_cfo_hilbert(a, jnp.asarray([12.0]))
+    a = W.add_noise_active(jax.random.PRNGKey(21), a, 22.0)
+    rx = _cox_engine()
+    frames = []
+    rx.on_frame = frames.append
+    rx.feed_audio(np.asarray(a)[0])
+    rx.poll()
+    assert len(frames) == 1
+    df = F.DataFrame.deserialize(frames[0].frame_bytes)
+    assert df is not None and "cox cfo path" in df.payload_as_text()
+
+
 def test_otfs_eq_under_good_channel_fading():
     """OTFS_EQ engine decode through a CCIR-Good Watterson channel + AWGN —
     the adaptive modem's pick for Good channels (adaptive_modem.hpp:287-296)."""

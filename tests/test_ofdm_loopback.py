@@ -154,12 +154,14 @@ def test_fast_path_matches_scan_path():
     fast, _ = D.demodulate_presynced(CHIRP_CFG, Modulation.DQPSK, rx, cfo, 0.0,
                                      training_symbols=2, num_data_symbols=S)
 
-    # Scan path, driven directly.
+    # Scan path, driven directly (same maybe_analytic input the presynced
+    # entry point uses — a no-op for differential DQPSK).
     B, L = 2, CHIRP_CFG.symbol_duration
+    rxa = D.maybe_analytic(Modulation.DQPSK, rx)
     st = D.init_state(CHIRP_CFG, B, cfo, 0.0)
     st = D.estimate_channel_from_lts(
-        CHIRP_CFG, st, rx[:, :2 * L].reshape(B, 2, L))
-    data = rx[:, 2 * L:(2 + S) * L].reshape(B, S, L)
+        CHIRP_CFG, st, rxa[:, :2 * L].reshape(B, 2, L))
+    data = rxa[:, 2 * L:(2 + S) * L].reshape(B, S, L)
     _, scan = D._scan_data_symbols(CHIRP_CFG, Modulation.DQPSK, st, data,
                                    t0_base=2 * L)
     np.testing.assert_allclose(np.asarray(fast), np.asarray(scan),
