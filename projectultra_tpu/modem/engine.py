@@ -255,30 +255,39 @@ class ModemEngine:
         return self._channel_energy
 
     def poll(self) -> int:
-        """One acquisition+decode pass over the buffered audio; returns the
-        number of events (frames + pings) delivered."""
+        """Acquisition+decode passes over the buffered audio until no more
+        progress is made (no event delivered AND no samples consumed — a
+        failed decode consumes its chirp and the next pass must still run);
+        returns the number of events (frames + pings) delivered."""
         events = 0
         while True:
+            consumed_before = self._rx_consumed
             n = self._acquire_and_decode_once()
-            if n == 0:
-                break
             events += n
+            if n == 0 and self._rx_consumed == consumed_before:
+                break
         return events
 
     def _acquire_and_decode_once(self) -> int:
-        # When the negotiated waveform is OFDM_COX, incoming frames carry a
-        # Schmidl-Cox preamble instead of a chirp — try that sync first
-        # (modem_rx.cpp runs the active waveform's acquisition alongside the
-        # chirp detector).  Chirp PINGs still fall through: a chirp's LTS
-        # matched-filter correlation is below the 0.35 gate.
+        # When the negotiated waveform is OFDM_COX/OTFS, incoming frames
+        # carry that waveform's preamble instead of a chirp — try its sync
+        # first (modem_rx.cpp runs the active waveform's acquisition
+        # alongside the chirp detector).  Chirp PINGs still fall through: a
+        # chirp's LTS matched-filter / repeated-symbol metrics are below the
+        # gates.  A "wait" (preamble found but frame incomplete) must NOT
+        # short-circuit the chirp path: a false preamble near the buffer end
+        # would otherwise block PING detection forever.
+        waveform_waiting = False
         if self.waveform_mode == WaveformMode.OFDM_COX:
             handled = self._try_cox_once()
-            if handled is not None:
+            if isinstance(handled, int):
                 return handled
+            waveform_waiting = handled == "wait"
         if self.waveform_mode in (WaveformMode.OTFS_EQ, WaveformMode.OTFS_RAW):
             handled = self._try_otfs_once()
-            if handled is not None:
+            if isinstance(handled, int):
                 return handled
+            waveform_waiting = handled == "wait"
         buf = self._rx_buffer
         cc = self.chirp_config
         if len(buf) < cc.total_samples + 4000:
@@ -286,6 +295,9 @@ class ModemEngine:
         det = {k: np.asarray(v)[0] for k, v in chirp_mod.detect_dual_chirp(
             cc, jnp.asarray(buf[None, :])).items()}
         if not bool(det["success"]):
+            if waveform_waiting:
+                # A Cox/OTFS frame may still be arriving — keep everything.
+                return 0
             # keep a chirp-length tail for boundary-spanning preambles
             keep = min(len(buf), cc.total_samples + 8000)
             self._consume(len(buf) - keep)
@@ -356,8 +368,12 @@ class ModemEngine:
             denom = float(np.linalg.norm(a) * np.linalg.norm(b))
             score = abs(float(np.dot(a, b))) / denom if denom > 1e-12 else 0.0
             return "ping" if score < 0.3 else "frame"
-        # MC-DPSK: known (c*s)*90deg training pattern correlation.
-        n = self.mc_config.training_samples
+        # MC-DPSK: known (c*s)*90deg training pattern correlation.  Use the
+        # first 4 training symbols (2048 samples, same as the RMS probe) so
+        # classification never needs more lookahead than the probe — a PING
+        # followed by only a little noise must classify, not wait forever.
+        n = min(self.mc_config.training_samples,
+                4 * self.mc_config.samples_per_symbol)
         if tr_start + n > len(buf):
             return "wait"
         seg = buf[tr_start:tr_start + n]
@@ -370,9 +386,10 @@ class ModemEngine:
 
     def _try_cox_once(self) -> Optional[int]:
         """One Schmidl-Cox acquisition+decode pass.  Returns the number of
-        delivered events when a preamble was handled (including 0 for
-        wait/fail), or None when no Cox activity was found and the chirp
-        path should proceed."""
+        delivered events when decisively handled (decoded or failed), the
+        string "wait" when a preamble was found but the frame has not fully
+        arrived (the chirp path still runs, but must not trim the buffer),
+        or None when no Cox activity was found."""
         from ..sync import schmidl_cox as SC
         buf = self._rx_buffer
         cfg = self.config
@@ -386,7 +403,7 @@ class ModemEngine:
         status, frame = self._decode_frame_cox(int(det["lts_start"]),
                                                float(det["cfo_hz"]))
         if status == "wait":
-            return 0
+            return "wait"
         if status == "fail":
             self._consume(int(det["lts_start"]) + 2 * plen)
             return 0
@@ -397,9 +414,10 @@ class ModemEngine:
 
     def _try_otfs_once(self) -> Optional[int]:
         """One OTFS acquisition+decode pass (modem_rx_decode.cpp:700-830
-        flow).  Returns delivered-event count when handled, None when no
-        OTFS frame was found (chirp pings fall through: a chirp's
-        repeated-symbol metric stays far below the 0.98 fine-sync gate)."""
+        flow).  Returns delivered-event count when decisively handled,
+        "wait" when a frame is still arriving, None when no OTFS frame was
+        found (chirp pings fall through: a chirp's repeated-symbol metric
+        stays far below the 0.98 fine-sync gate)."""
         from ..otfs import otfs as O
         buf = self._rx_buffer
         ocfg = self._otfs_config(self.waveform_mode)
@@ -418,12 +436,12 @@ class ModemEngine:
         lo = max(0, coarse - 96)
         hi = min(len(buf) - len(pre), coarse + 96)
         if hi <= lo:
-            return 0  # preamble not fully buffered yet
+            return "wait"  # preamble not fully buffered yet
         corr = np.correlate(buf[lo:hi + len(pre)], pre, mode="valid")
         start0 = lo + int(np.argmax(np.abs(corr)))
         status, frame = self._decode_frame_otfs(ocfg, start0)
         if status == "wait":
-            return 0
+            return "wait"
         if status == "fail":
             self._consume(start0 + ocfg.frame_len)
             return 0

@@ -175,11 +175,14 @@ def correlate_symbols(cfg: MCDPSKConfig, samples: jnp.ndarray) -> jnp.ndarray:
     return (re + 1j * im).astype(jnp.complex64)
 
 
+@functools.partial(jax.jit, static_argnames=("sample_rate",))
 def apply_cfo_segment(samples: jnp.ndarray, cfo_hz, initial_phase,
                       sample_rate: float = 48000.0) -> jnp.ndarray:
     """CFO-correct one segment: analytic signal rotated by
     exp(j*(initial_phase - 2*pi*cfo*i/fs)), real part
-    (applyCFOCorrection, hpp:632-659; zero-delay FFT Hilbert)."""
+    (applyCFOCorrection, hpp:632-659; zero-delay FFT Hilbert).  Jitted:
+    the engine calls it from host code and eager complex ops are
+    unimplemented on the axon backend."""
     T = samples.shape[-1]
     n_fft = 1 << (T - 1).bit_length()
     x = jnp.fft.fft(samples.astype(jnp.complex64), n=n_fft, axis=-1)
@@ -196,6 +199,7 @@ def apply_cfo_segment(samples: jnp.ndarray, cfo_hz, initial_phase,
     return jnp.where(active, out, samples)
 
 
+@functools.partial(jax.jit, static_argnames=("cfg",))
 def training_score(cfg: MCDPSKConfig, training: jnp.ndarray) -> jnp.ndarray:
     """Correlation of the received training against the known (c*s)*90deg
     pattern, in [0, 1].  Used to discriminate chirp-only PINGs from frames —
@@ -212,6 +216,7 @@ def training_score(cfg: MCDPSKConfig, training: jnp.ndarray) -> jnp.ndarray:
     return jnp.abs(s.mean(-1))
 
 
+@functools.partial(jax.jit, static_argnames=("cfg",))
 def estimate_snr_db(cfg: MCDPSKConfig, training: jnp.ndarray) -> jnp.ndarray:
     """Per-carrier post-correlation SNR from the training symbols — the
     reference's getEstimatedSNR semantics (channel_equalizer.cpp:221:
