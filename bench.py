@@ -65,6 +65,16 @@ def main():
     code = ldpc.get_code(RATE)
     rng = np.random.default_rng(0)
     info = jnp.asarray(rng.integers(0, 2, size=(BATCH, code.k)).astype(np.float32))
+
+    # Multi-chip: shard the frame batch over all devices (pure data
+    # parallelism — frames never communicate).  Single-chip runs unchanged.
+    devs = jax.devices()
+    if len(devs) > 1 and BATCH % len(devs) == 0:
+        from jax.sharding import Mesh, NamedSharding, PartitionSpec
+        mesh = Mesh(np.array(devs), ("frames",))
+        info = jax.device_put(
+            info, NamedSharding(mesh, PartitionSpec("frames", None)))
+
     keys_warm = jax.random.split(jax.random.PRNGKey(0), ITERS)
     keys_timed = jax.random.split(jax.random.PRNGKey(1), ITERS)
 
