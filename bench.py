@@ -35,7 +35,7 @@ from projectultra_tpu.sim import watterson as W
 TARGET_PIPELINES_PER_SEC = 10_000.0  # BASELINE.md north star
 SNR_DB = 17.0
 BATCH = 16384  # HBM sweet spot post MXU-contraction rework (32768 regresses)
-ITERS = 16
+ITERS = 256  # one dispatch, ~5 s timed: amortizes the ~100 ms tunnel latency
 
 CFG = P.chirp_ofdm_config()
 MOD = Modulation.DQPSK
