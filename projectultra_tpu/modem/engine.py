@@ -73,9 +73,14 @@ class ModemEngine:
         self.data_code_rate = CodeRate.R1_2
         self.interleaving_enabled = True
 
-        # RX state.
+        # RX state.  The lock guards _rx_buffer swaps between an audio
+        # thread calling feed_audio and a decode thread calling poll
+        # (INV-THREAD-001 / the reference's rx_buffer_mutex_); single-thread
+        # callers pay one uncontended acquire.
+        import threading
         self._rx_buffer = np.zeros(0, np.float32)
         self._rx_consumed = 0  # absolute sample index of buffer[0]
+        self._buf_lock = threading.Lock()
         self.on_ping: Optional[Callable[[float], None]] = None
         self.on_frame: Optional[Callable[[DecodedFrame], None]] = None
         self.frames_received = 0
@@ -244,7 +249,8 @@ class ModemEngine:
             self._channel_energy = (self._energy_smoothing * rms
                                     + (1 - self._energy_smoothing)
                                     * self._channel_energy)
-        self._rx_buffer = np.concatenate([self._rx_buffer, samples])
+        with self._buf_lock:
+            self._rx_buffer = np.concatenate([self._rx_buffer, samples])
 
     def is_channel_busy(self) -> bool:
         """Listen-before-talk carrier sense (modem_carrier_sense.cpp:26-33)."""
@@ -343,9 +349,10 @@ class ModemEngine:
         return 1
 
     def _consume(self, n: int):
-        n = max(0, min(n, len(self._rx_buffer)))
-        self._rx_buffer = self._rx_buffer[n:]
-        self._rx_consumed += n
+        with self._buf_lock:
+            n = max(0, min(n, len(self._rx_buffer)))
+            self._rx_buffer = self._rx_buffer[n:]
+            self._rx_consumed += n
 
     def _classify_after_chirp(self, tr_start: int, cfo: float) -> str:
         """'ping' when no structured training follows the chirp, 'frame' when
