@@ -19,6 +19,7 @@ import enum
 import jax.numpy as jnp
 import numpy as np
 
+from ..config import Modulation, CodeRate
 from ..otfs.otfs import OTFSConfig, sync_sequence, REAL_TO_COMPLEX_SCALE
 from ..ops import mixer as mixer_ops
 
@@ -172,3 +173,62 @@ def select_mode(preamble: np.ndarray,
     c = ChannelCharacterizer(cfg)
     est = c.characterize(preamble)
     return est.recommended_mode(), est
+
+
+class AdaptiveModeController:
+    """SNR-driven (modulation, rate) tracking with hysteresis
+    (src/gui/adaptive_mode.cpp).  Thresholds are calibrated for the
+    pilot-based SNR measurement (higher than channel SNR); 2 dB hysteresis
+    plus a 3-frame stability requirement prevents mode flapping."""
+
+    HYSTERESIS_DB = 2.0
+    MIN_FRAMES_BEFORE_SWITCH = 3
+
+    # (min pilot SNR dB, modulation, rate) — adaptive_mode.cpp:33-57.
+    TABLE = [(38.0, Modulation.QAM64, CodeRate.R5_6),
+             (34.0, Modulation.QAM64, CodeRate.R3_4),
+             (30.0, Modulation.QAM16, CodeRate.R3_4),
+             (26.0, Modulation.QAM16, CodeRate.R2_3),
+             (24.0, Modulation.QPSK, CodeRate.R2_3),
+             (22.0, Modulation.QPSK, CodeRate.R1_2),
+             (18.0, Modulation.BPSK, CodeRate.R1_2)]
+
+    def __init__(self):
+        self.reset()
+
+    def reset(self):
+        self.current_mod = Modulation.QAM64
+        self.current_rate = CodeRate.R3_4
+        self.last_switch_snr = 0.0
+        self.frames_at_current = 0
+
+    @classmethod
+    def recommend(cls, snr_db: float) -> tuple[Modulation, CodeRate]:
+        for thresh, mod, rate in cls.TABLE:
+            if snr_db > thresh:
+                return mod, rate
+        return Modulation.BPSK, CodeRate.R1_4
+
+    def update(self, snr_db: float) -> bool:
+        """Feed a per-frame SNR estimate; True when the mode switched."""
+        rec_mod, rec_rate = self.recommend(snr_db)
+        if rec_mod == self.current_mod and rec_rate == self.current_rate:
+            self.frames_at_current += 1
+            return False
+        snr_change = abs(snr_db - self.last_switch_snr)
+        if (snr_change < self.HYSTERESIS_DB
+                and self.frames_at_current < self.MIN_FRAMES_BEFORE_SWITCH * 10):
+            self.frames_at_current += 1
+            return False
+        if (snr_change >= self.HYSTERESIS_DB
+                or self.frames_at_current >= self.MIN_FRAMES_BEFORE_SWITCH):
+            self.current_mod, self.current_rate = rec_mod, rec_rate
+            self.last_switch_snr = snr_db
+            self.frames_at_current = 0
+            return True
+        self.frames_at_current += 1
+        return False
+
+    @property
+    def mode_string(self) -> str:
+        return f"{self.current_mod.name} {self.current_rate.name[1:].replace('_', '/')}"

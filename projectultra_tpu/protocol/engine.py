@@ -27,6 +27,12 @@ class ProtocolEngine:
         self.modem = modem or ModemEngine()
         self.connection = Connection(config)
 
+        # SNR-driven (modulation, rate) adaptation with hysteresis
+        # (src/gui/adaptive_mode.cpp — the GUI drives this per decoded frame).
+        from ..modem.adaptive import AdaptiveModeController
+        self.adaptive = AdaptiveModeController()
+        self.adaptive_enabled = True
+
         # Audio sink: application supplies how TX audio leaves the station
         # (AudioEngine / channel sim / file).
         self.on_tx_audio: Optional[Callable[[np.ndarray], None]] = None
@@ -64,6 +70,10 @@ class ProtocolEngine:
             # Feed the per-frame SNR estimate into mode negotiation
             # (ModemEngine::getCurrentSNR -> Connection::setMeasuredSNR).
             self.connection.set_measured_snr(frame.snr_db)
+            if (self.adaptive_enabled and self.connection.is_connected
+                    and self.adaptive.update(frame.snr_db)):
+                self.connection.request_mode_change(
+                    self.adaptive.current_mod, self.adaptive.current_rate)
         self.connection.on_frame_received(frame.frame_bytes)
 
     def _on_modem_ping(self, snr_db: float):
@@ -82,6 +92,11 @@ class ProtocolEngine:
     def _apply_data_mode(self, mod: Modulation, rate: CodeRate, snr: float):
         self.modem.data_modulation = mod
         self.modem.data_code_rate = rate
+        # Keep the adaptive controller in sync with externally negotiated
+        # modes so its hysteresis starts from reality.
+        self.adaptive.current_mod = mod
+        self.adaptive.current_rate = rate
+        self.adaptive.frames_at_current = 0
 
     def _on_connected(self):
         self.modem.connected = True

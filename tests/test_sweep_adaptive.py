@@ -67,3 +67,54 @@ def test_characterizer_clean_channel():
     assert est.delay_spread_ms < 0.75
     assert est.is_good
     assert est.recommended_mode() == ModulationMode.OTFS_EQ
+
+
+def test_adaptive_mode_controller_hysteresis():
+    """SNR-driven mod/rate tracking with 2 dB hysteresis + 3-frame stability
+    (adaptive_mode.cpp:60-95)."""
+    from projectultra_tpu.modem.adaptive import AdaptiveModeController
+    from projectultra_tpu.config import Modulation, CodeRate
+
+    c = AdaptiveModeController()
+    assert c.recommend(40.0) == (Modulation.QAM64, CodeRate.R5_6)
+    assert c.recommend(31.0) == (Modulation.QAM16, CodeRate.R3_4)
+    assert c.recommend(10.0) == (Modulation.BPSK, CodeRate.R1_4)
+
+    # Starts at 64QAM R3/4; a big SNR drop switches immediately.
+    assert c.update(20.0)
+    assert (c.current_mod, c.current_rate) == (Modulation.BPSK, CodeRate.R1_2)
+    # Small wobble around the threshold: hysteresis holds the mode.
+    assert not c.update(18.4)   # recommends BPSK R1/2 (same) -> stable
+    assert not c.update(18.3)   # recommends R1/4 but |18.3-20|<2 dB -> hold
+    assert not c.update(18.6)
+    # A real drop switches.
+    assert c.update(12.0)
+    assert (c.current_mod, c.current_rate) == (Modulation.BPSK, CodeRate.R1_4)
+
+
+def test_adaptive_mode_over_the_air():
+    """Per-frame SNR estimates drive MODE_CHANGE through a live session."""
+    import numpy as np
+    from projectultra_tpu.protocol.engine import ProtocolEngine
+    from projectultra_tpu.modem.engine import DecodedFrame
+    from projectultra_tpu.protocol import frame_v2 as F
+    from projectultra_tpu.config import Modulation
+
+    a, b = ProtocolEngine(), ProtocolEngine()
+    a.connection.set_local_callsign("W1AW")
+    b.connection.set_local_callsign("VE3ABC")
+    b.connection.set_measured_snr(21.0)
+    a.connection.on_transmit = b.connection.on_frame_received
+    b.connection.on_transmit = a.connection.on_frame_received
+    a.connection.connect("VE3ABC")
+    a.connection.on_pong_received()
+    assert a.connection.is_connected and b.connection.is_connected
+
+    # Simulate a decoded frame with a high per-frame SNR estimate at A:
+    # the controller switches and A requests a MODE_CHANGE that B applies.
+    ka = F.ControlFrame.make_keepalive("VE3ABC", "W1AW")
+    hdr = F.parse_header(ka.serialize().ljust(F.BYTES_PER_CODEWORD, b"\0"))
+    a._on_modem_frame(DecodedFrame(frame_bytes=ka.serialize(), header=hdr,
+                                   cw_ok=[True], snr_db=39.0))
+    assert a.modem.data_modulation == Modulation.QAM64
+    assert b.modem.data_modulation == Modulation.QAM64
