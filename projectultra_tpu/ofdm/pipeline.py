@@ -74,7 +74,12 @@ def rx_frame(config: ModemConfig, mod: Modulation, rate: CodeRate,
     B = samples.shape[0]
     n = ldpc.BLOCK_LENGTH
     blocks = llrs[:, :n_codewords * n].reshape(B * n_codewords, n)
-    deint = blocks[:, jnp.asarray(perm)]
+    # Permutation as a one-hot MXU matmul (exactly one 1.0 per column, so
+    # f32-HIGHEST is bit-identical to the gather and far faster on TPU).
+    pmat = np.zeros((n, n), np.float32)
+    pmat[np.asarray(perm), np.arange(n)] = 1.0
+    deint = jnp.matmul(blocks, jnp.asarray(pmat),
+                       precision=jax.lax.Precision.HIGHEST)
     info, ok, iters = ldpc_ops.decode(code, deint)
     info = info.reshape(B, n_codewords * code.k)
     ok = ok.reshape(B, n_codewords).all(-1)
