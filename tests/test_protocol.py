@@ -200,6 +200,36 @@ def test_two_station_over_the_air():
     assert messages_b == ["over the air!"]
 
 
+def test_file_transfer_over_the_air(tmp_path):
+    """A file crosses the acoustic link: FILE_START/FILE_DATA chunking,
+    compression, SR-ARQ and reassembly all over modulated audio."""
+    from projectultra_tpu.protocol.engine import ProtocolEngine
+
+    a, b = ProtocolEngine(), ProtocolEngine()
+    a.connection.set_local_callsign("W1AW")
+    b.connection.set_local_callsign("VE3ABC")
+    b.connection.set_measured_snr(15.0)
+    b.connection.file_transfer.receive_dir = str(tmp_path)
+
+    a.on_tx_audio = lambda audio: b.feed_audio(
+        np.concatenate([audio, np.zeros(4000, np.float32)]))
+    b.on_tx_audio = lambda audio: a.feed_audio(
+        np.concatenate([audio, np.zeros(4000, np.float32)]))
+
+    assert a.connect("VE3ABC")
+    assert a.connection.is_connected and b.connection.is_connected
+
+    src = tmp_path / "otaf.txt"
+    content = (b"HF file transfer exercises chunking + ARQ over audio. " * 12)
+    src.write_bytes(content)
+    received = []
+    b.connection.file_transfer.on_received = \
+        lambda path, ok: received.append((path, ok))
+    assert a.connection.send_file(str(src))
+    assert received and received[0][1]
+    assert open(received[0][0], "rb").read() == content
+
+
 def test_mode_change_mid_session():
     """MODE_CHANGE control frame updates both ends' data mode
     (test_mode_change.cpp semantics)."""
