@@ -86,10 +86,15 @@ class ModemEngine:
         self.frames_received = 0
         self.pings_received = 0
 
-        # Carrier sense (modem_carrier_sense.cpp:10-45): RMS EMA vs threshold.
+        # Carrier sense (modem_carrier_sense.cpp:10-45): RMS EMA vs threshold
+        # (modem_engine.hpp:330).
         self._channel_energy = 0.0
-        self.carrier_sense_threshold = 0.05
+        self.carrier_sense_threshold = 0.02
         self._energy_smoothing = 0.3
+        # Half-duplex turnaround (modem_carrier_sense.cpp:48-60): no TX for
+        # turnaround_delay_ms after the last completed RX.
+        self.turnaround_delay_ms = 0
+        self._last_rx_complete_time = 0.0
 
         from ..utils.metrics import ModemStats
         self.stats = ModemStats()
@@ -256,6 +261,14 @@ class ModemEngine:
         """Listen-before-talk carrier sense (modem_carrier_sense.cpp:26-33)."""
         return self._channel_energy > self.carrier_sense_threshold
 
+    def is_turnaround_active(self) -> bool:
+        """Half-duplex turnaround guard (modem_carrier_sense.cpp:48-60)."""
+        if self.turnaround_delay_ms == 0:
+            return False
+        import time
+        return (time.monotonic() - self._last_rx_complete_time) * 1000.0 \
+            < self.turnaround_delay_ms
+
     @property
     def channel_energy(self) -> float:
         return self._channel_energy
@@ -344,6 +357,8 @@ class ModemEngine:
                               cap))
             return 0
         self.frames_received += 1
+        import time as _t
+        self._last_rx_complete_time = _t.monotonic()
         if self.on_frame:
             self.on_frame(frame)
         return 1
@@ -415,6 +430,8 @@ class ModemEngine:
             self._consume(int(det["lts_start"]) + 2 * plen)
             return 0
         self.frames_received += 1
+        import time as _t
+        self._last_rx_complete_time = _t.monotonic()
         if self.on_frame:
             self.on_frame(frame)
         return 1
@@ -453,6 +470,8 @@ class ModemEngine:
             self._consume(start0 + ocfg.frame_len)
             return 0
         self.frames_received += 1
+        import time as _t
+        self._last_rx_complete_time = _t.monotonic()
         if self.on_frame:
             self.on_frame(frame)
         return 1
