@@ -32,7 +32,15 @@ from ..config import ModemConfig
 from ..ofdm import carriers as carriers_mod
 from ..ops import mixer as mixer_ops
 
-PLATEAU_THRESHOLD = 0.90
+# DELIBERATE DEVIATION: the reference gates the Schmidl-Cox plateau at 0.90
+# (demodulator_constants.hpp:51), which caps coherent OFDM acquisition at
+# ~18 dB wideband SNR — the metric's expectation is SNR/(SNR+1), so 15 dB
+# tops out near 0.88 and the reference's own "15 dB minimum OFDM" suite
+# scores 0/16 against its own code (verified by running its
+# test_sync_robustness binary).  0.85 admits 15-16 dB; false positives are
+# still rejected by the energy gates here, the LTS matched filter (0.35),
+# and the LDPC+magic validation downstream.
+PLATEAU_THRESHOLD = 0.85
 PLATEAU_SEARCH_WINDOW = 300
 MIN_PLATEAU_SAMPLES = 15
 SEARCH_STEP = 8
