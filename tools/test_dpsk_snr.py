@@ -38,7 +38,7 @@ def main():
     T = args.trials
     rows = [
         ("DBPSK 31.25bd (robust)", D.robust(), CodeRate.R1_4,
-         [-10.0, -8.0, -5.0, -3.0, 0.0]),
+         [-12.0, -11.0, -10.0, -8.0, -5.0]),
         ("DBPSK 62.5bd (low_snr)", D.low_snr(), CodeRate.R1_4,
          [-8.0, -5.0, -3.0, 0.0, 3.0]),
         ("DQPSK 62.5bd (medium)", D.medium(), CodeRate.R1_4,
