@@ -40,6 +40,7 @@ LEAD_IN_SAMPLES = 48000 * 150 // 1000
 TAIL_SAMPLES = 576 * 2
 PEAK_SCALE = 0.8
 PING_RMS_THRESHOLD = 0.05   # signal-after-chirp gate (multi_carrier_dpsk.hpp:506)
+WEAK_CHIRP_THRESHOLD = 0.08  # second-pass gate: 100% chirp detection at -20 dB
 
 
 @dataclasses.dataclass
@@ -313,6 +314,15 @@ class ModemEngine:
             return 0
         det = {k: np.asarray(v)[0] for k, v in chirp_mod.detect_dual_chirp(
             cc, jnp.asarray(buf[None, :])).items()}
+        if not bool(det["success"]):
+            # Weak-signal second pass (modem_rx.cpp:74 "works down to
+            # -20 dB"): only when NOTHING crossed the 0.15 gate — strong
+            # structured data correlates with the chirp template at up to
+            # ~0.08, so the low gate is unsafe while strong frames are in
+            # the buffer, and safe when they provably are not.
+            det = {k: np.asarray(v)[0] for k, v in chirp_mod.detect_dual_chirp(
+                cc, jnp.asarray(buf[None, :]),
+                threshold=WEAK_CHIRP_THRESHOLD).items()}
         if not bool(det["success"]):
             if waveform_waiting:
                 # A Cox/OTFS frame may still be arriving — keep everything.

@@ -38,6 +38,17 @@ def test_ping_loopback():
     assert len(pings) == 1 and len(frames) == 0
 
 
+def test_ping_detection_at_minus_20db():
+    """PING acquisition at -20 dB via the weak-signal second pass
+    (modem_rx.cpp:74 claims the chirp search works down to -20 dB)."""
+    tx = ModemEngine().transmit_ping()
+    a = jnp.asarray(np.concatenate([np.zeros(3000, np.float32), tx,
+                                    np.zeros(8000, np.float32)])[None, :])
+    a = W.add_noise_active(jax.random.PRNGKey(20), a, -20.0)
+    frames, pings = _loopback(np.asarray(a)[0])
+    assert len(pings) == 1 and len(frames) == 0
+
+
 def test_data_frame_loopback_mc_dpsk():
     """ultra ptx "msg" | ultra prx — disconnected TX goes out via MC-DPSK."""
     tx_modem = ModemEngine()
