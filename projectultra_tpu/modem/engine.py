@@ -583,11 +583,8 @@ class ModemEngine:
             lts = jnp.asarray(span[:2 * plen].reshape(1, 2, plen))
             data = jnp.asarray(
                 span[2 * plen:].reshape(1, S, cfg.symbol_duration))
-            state = demod_mod.init_state(cfg, 1, cfo, 0.0)
-            state = demod_mod.estimate_channel_from_lts(cfg, state, lts,
-                                                        t0_base=0)
-            state, llrs = demod_mod._scan_data_symbols(cfg, mod, state, data,
-                                                       t0_base=2 * plen)
+            llrs, state = demod_mod.demodulate_with_lts(
+                cfg, mod, lts, data, cfo, 0.0, t0_lts=0, t0_data=2 * plen)
             out = np.asarray(llrs)[0][:F.LDPC_CODEWORD_BITS * n_cw]
             if ci is not None:
                 out = np.concatenate([

@@ -113,10 +113,12 @@ def n_data_bins(config: ModemConfig) -> int:
     return len(carriers_mod.carrier_map(config).data_idx)
 
 
+@jax.jit
 def analytic_half(samples: jnp.ndarray) -> jnp.ndarray:
     """Positive-frequency part of a real passband signal (analytic/2):
     same amplitude as the real signal's +f content, image-free.  No-op for
-    already-complex input."""
+    already-complex input.  Jitted: host callers (the modem engine) would
+    otherwise run eager complex FFTs, unimplemented on the accelerator."""
     if jnp.iscomplexobj(samples):
         return samples
     from ..sync.schmidl_cox import analytic_signal
@@ -462,6 +464,25 @@ def estimate_channel_from_lts(config: ModemConfig, state: DemodState,
         estimated_snr_linear=snr,
         snr_symbol_count=jnp.full_like(state.snr_symbol_count, n_sym),
     )
+
+
+@functools.partial(jax.jit, static_argnames=("config", "mod", "t0_lts",
+                                             "t0_data"))
+def demodulate_with_lts(config: ModemConfig, mod: Modulation,
+                        lts: jnp.ndarray, data: jnp.ndarray, cfo_hz,
+                        initial_phase, t0_lts: int = 0,
+                        t0_data: int = 0):
+    """Jitted LTS-channel-estimate + data-scan path for pre-sliced segments
+    (the Cox decoders): lts [B, n_sym, L], data [B, S, sym_len], both cut
+    from the SAME maybe_analytic-converted span.  Jitted as a unit — eager
+    complex state construction is unimplemented on the accelerator backend
+    (INV-TPU-007)."""
+    B = lts.shape[0]
+    state = init_state(config, B, cfo_hz, initial_phase)
+    state = estimate_channel_from_lts(config, state, lts, t0_base=t0_lts)
+    state, llrs = _scan_data_symbols(config, mod, state, data,
+                                     t0_base=t0_data)
+    return llrs, state
 
 
 @functools.partial(jax.jit, static_argnames=("config", "mod", "training_symbols",

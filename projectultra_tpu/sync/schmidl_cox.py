@@ -298,8 +298,7 @@ def decode_ofdm_cox(config: ModemConfig, mod, samples: jnp.ndarray,
     # at phase(2*plen) == phase(0).  With the RX mixer reset at the first
     # LTS, per-segment time offsets s*plen for the LTS and 2*plen + s*sym_len
     # for data reproduce the reference's phase alignment exactly.
-    from ..ofdm.demodulator import (init_state, estimate_channel_from_lts,
-                                    _scan_data_symbols)
+    from ..ofdm.demodulator import demodulate_with_lts
 
     start_lts = int(np.asarray(det["lts_start"])[0])
     plen = config.fft_size + config.cyclic_prefix
@@ -314,7 +313,6 @@ def decode_ofdm_cox(config: ModemConfig, mod, samples: jnp.ndarray,
     data = samples[:, data_start:data_start + S * config.symbol_duration]
     data = data.reshape(B, S, config.symbol_duration)
 
-    state = init_state(config, B, det["cfo_hz"], 0.0)
-    state = estimate_channel_from_lts(config, state, lts, t0_base=0)
-    _, llrs = _scan_data_symbols(config, mod, state, data, t0_base=2 * plen)
+    llrs, _ = demodulate_with_lts(config, mod, lts, data, det["cfo_hz"], 0.0,
+                                  t0_lts=0, t0_data=2 * plen)
     return llrs, det
