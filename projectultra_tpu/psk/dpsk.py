@@ -174,6 +174,7 @@ def correlate_symbols(cfg: DPSKConfig, samples: jnp.ndarray) -> jnp.ndarray:
     return (I + 1j * Q).astype(jnp.complex64)
 
 
+@functools.partial(jax.jit, static_argnames=("cfg",))
 def demodulate_soft(cfg: DPSKConfig, data: jnp.ndarray, prev: jnp.ndarray,
                     cfo_hz=0.0, initial_phase_offset=0.0) -> jnp.ndarray:
     """demodulateSoft (dpsk.hpp:822-878): differential decode with CFO/initial
@@ -206,6 +207,7 @@ def demodulate_soft(cfg: DPSKConfig, data: jnp.ndarray, prev: jnp.ndarray,
     return llrs.reshape(*llrs.shape[:-2], -1)
 
 
+@functools.partial(jax.jit, static_argnames=("cfg",))
 def estimate_cfo_from_training(cfg: DPSKConfig, training: jnp.ndarray) -> jnp.ndarray:
     """(dpsk.hpp:902-950): average deviation of the +pi alternating pattern."""
     corr = correlate_symbols(cfg, training)
@@ -220,6 +222,7 @@ def estimate_cfo_from_training(cfg: DPSKConfig, training: jnp.ndarray) -> jnp.nd
     return avg / (2.0 * np.pi * sym_dur)
 
 
+@functools.partial(jax.jit, static_argnames=("cfg",))
 def set_reference_with_training(cfg: DPSKConfig, training: jnp.ndarray,
                                 ref: jnp.ndarray):
     """(dpsk.hpp:955-1000) -> (prev_symbol, cfo_hz, initial_phase_offset)."""
