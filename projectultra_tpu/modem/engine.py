@@ -51,6 +51,7 @@ class DecodedFrame:
     cw_ok: list
     snr_db: float = 0.0
     cfo_hz: float = 0.0
+    waveform: WaveformMode = WaveformMode.MC_DPSK
 
 
 class ModemEngine:
@@ -547,7 +548,7 @@ class ModemEngine:
         if not all(oks):
             self.stats.frames_failed += 1
         return "ok", DecodedFrame(frame_bytes=frame_bytes, header=info,
-                                  cw_ok=oks)
+                                  cw_ok=oks, waveform=self.waveform_mode)
 
     def _decode_frame_cox(self, lts_start: int, cfo: float
                           ) -> tuple[str, Optional[DecodedFrame]]:
@@ -643,7 +644,8 @@ class ModemEngine:
             np.asarray(st.estimated_snr_linear)[0]))
         self.stats.current_snr_db = snr_db
         return "ok", DecodedFrame(frame_bytes=frame_bytes, header=info,
-                                  cw_ok=oks, cfo_hz=cfo, snr_db=snr_db)
+                                  cw_ok=oks, cfo_hz=cfo, snr_db=snr_db,
+                                  waveform=WaveformMode.OFDM_COX)
 
     def _decode_frame(self, wf: WaveformMode, tr_start: int, cfo: float
                       ) -> tuple[str, Optional[DecodedFrame]]:
@@ -763,7 +765,8 @@ class ModemEngine:
                     self.mc_config, jnp.asarray(seg)))[0])
                 self.stats.current_snr_db = snr_db
         return "ok", DecodedFrame(frame_bytes=frame_bytes, header=info,
-                                  cw_ok=oks, cfo_hz=cfo, snr_db=snr_db)
+                                  cw_ok=oks, cfo_hz=cfo, snr_db=snr_db,
+                                  waveform=wf)
 
     def _bits_per_ofdm_symbol_chirp(self) -> int:
         cfg = self._chirp_ofdm_config()

@@ -70,7 +70,11 @@ class ProtocolEngine:
             # Feed the per-frame SNR estimate into mode negotiation
             # (ModemEngine::getCurrentSNR -> Connection::setMeasuredSNR).
             self.connection.set_measured_snr(frame.snr_db)
+            # The controller's thresholds are calibrated for OFDM pilot SNR
+            # (adaptive_mode.cpp:21-31) — MC-DPSK training estimates live on
+            # a different scale and must not drive mode changes.
             if (self.adaptive_enabled and self.connection.is_connected
+                    and frame.waveform == WaveformMode.OFDM_COX
                     and self.adaptive.update(frame.snr_db)):
                 self.connection.request_mode_change(
                     self.adaptive.current_mod, self.adaptive.current_rate)

@@ -112,9 +112,15 @@ def test_adaptive_mode_over_the_air():
 
     # Simulate a decoded frame with a high per-frame SNR estimate at A:
     # the controller switches and A requests a MODE_CHANGE that B applies.
+    from projectultra_tpu.protocol.frame_v2 import WaveformMode
     ka = F.ControlFrame.make_keepalive("VE3ABC", "W1AW")
     hdr = F.parse_header(ka.serialize().ljust(F.BYTES_PER_CODEWORD, b"\0"))
     a._on_modem_frame(DecodedFrame(frame_bytes=ka.serialize(), header=hdr,
-                                   cw_ok=[True], snr_db=39.0))
+                                   cw_ok=[True], snr_db=39.0,
+                                   waveform=WaveformMode.OFDM_COX))
+    # MC-DPSK-scale estimates must NOT drive the pilot-calibrated controller.
+    a._on_modem_frame(DecodedFrame(frame_bytes=ka.serialize(), header=hdr,
+                                   cw_ok=[True], snr_db=16.0,
+                                   waveform=WaveformMode.MC_DPSK))
     assert a.modem.data_modulation == Modulation.QAM64
     assert b.modem.data_modulation == Modulation.QAM64
