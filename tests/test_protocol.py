@@ -254,3 +254,29 @@ def test_mode_change_mid_session():
     b.on_message_received = got.append
     assert a.send_message("post-change")
     assert got == ["post-change"]
+
+
+def test_many_messages_soak():
+    """200 messages each way over SR-ARQ with keepalive ticks interleaved —
+    seq accounting and window reuse stay consistent over a long session."""
+    a, b = Connection(), Connection()
+    a.set_local_callsign("W1AW")
+    b.set_local_callsign("VE3ABC")
+    a.on_transmit = b.on_frame_received
+    b.on_transmit = a.on_frame_received
+    a.connect("VE3ABC")
+    a.on_pong_received()
+    assert a.is_connected and b.is_connected
+
+    got_b, got_a = [], []
+    b.on_message_received = got_b.append
+    a.on_message_received = got_a.append
+    for i in range(200):
+        assert a.send_message(f"a{i}")
+        assert b.send_message(f"b{i}")
+        if i % 25 == 0:
+            a.tick(1000)
+            b.tick(1000)
+    assert got_b == [f"a{i}" for i in range(200)]
+    assert got_a == [f"b{i}" for i in range(200)]
+    assert a.is_connected and b.is_connected
