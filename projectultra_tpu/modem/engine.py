@@ -97,6 +97,14 @@ class ModemEngine:
         # turnaround_delay_ms after the last completed RX.
         self.turnaround_delay_ms = 0
         self._last_rx_complete_time = 0.0
+        # Observability (getConstellationSymbols): opt-in, costs one extra
+        # demod pass per decoded Cox frame.
+        self.collect_constellation = False
+        self.last_constellation: Optional[np.ndarray] = None
+        # Previous data mode: RX fallback when a MODE_CHANGE crossed a frame
+        # in flight (the frame was modulated at the mode before the switch).
+        self.prev_data_modulation: Optional[Modulation] = None
+        self.prev_data_code_rate: Optional[CodeRate] = None
 
         from ..utils.metrics import ModemStats
         self.stats = ModemStats()
@@ -552,8 +560,22 @@ class ModemEngine:
 
     def _decode_frame_cox(self, lts_start: int, cfo: float
                           ) -> tuple[str, Optional[DecodedFrame]]:
+        """OFDM_COX decode: current data mode first, then the previous mode
+        (a MODE_CHANGE may have crossed this frame in flight)."""
+        st, fr = self._decode_frame_cox_mod(lts_start, cfo,
+                                            self.data_modulation,
+                                            self.data_code_rate)
+        pm, pr = self.prev_data_modulation, self.prev_data_code_rate
+        if (st == "fail" and pm is not None
+                and (pm, pr) != (self.data_modulation, self.data_code_rate)):
+            st, fr = self._decode_frame_cox_mod(lts_start, cfo, pm, pr)
+        return st, fr
+
+    def _decode_frame_cox_mod(self, lts_start: int, cfo: float,
+                              mod: Modulation, data_rate: CodeRate
+                              ) -> tuple[str, Optional[DecodedFrame]]:
         """OFDM_COX decode from a detected preamble: LTS channel estimate,
-        pilot-tracked data symbols at the negotiated modulation
+        pilot-tracked data symbols at the given modulation
         (modem_rx_decode.cpp:159-530 for the CW0-probe/total_cw flow;
         sync/schmidl_cox.decode_ofdm_cox for the mixer bookkeeping)."""
         from ..config import bits_per_symbol
@@ -561,10 +583,9 @@ class ModemEngine:
         buf = self._rx_buffer
         cfg = self.config
         plen = cfg.fft_size + cfg.cyclic_prefix
-        mod = self.data_modulation  # Cox TX is always post-connect
         candidate_rates = [CodeRate.R1_4]
-        if self.connected and self.data_code_rate not in candidate_rates:
-            candidate_rates.append(self.data_code_rate)
+        if self.connected and data_rate not in candidate_rates:
+            candidate_rates.append(data_rate)
 
         cm = carriers_mod.carrier_map(cfg)
         bps = len(cm.data_idx) * bits_per_symbol(mod)
@@ -586,6 +607,11 @@ class ModemEngine:
                 span[2 * plen:].reshape(1, S, cfg.symbol_duration))
             llrs, state = demod_mod.demodulate_with_lts(
                 cfg, mod, lts, data, cfo, 0.0, t0_lts=0, t0_data=2 * plen)
+            if self.collect_constellation:
+                self.last_constellation = np.asarray(
+                    demod_mod.equalized_symbols(
+                        cfg, mod, lts, data, cfo, 0.0,
+                        t0_lts=0, t0_data=2 * plen)).reshape(-1)
             out = np.asarray(llrs)[0][:F.LDPC_CODEWORD_BITS * n_cw]
             if ci is not None:
                 out = np.concatenate([

@@ -485,6 +485,37 @@ def demodulate_with_lts(config: ModemConfig, mod: Modulation,
     return llrs, state
 
 
+@functools.partial(jax.jit, static_argnames=("config", "mod", "t0_lts",
+                                             "t0_data"))
+def equalized_symbols(config: ModemConfig, mod: Modulation,
+                      lts: jnp.ndarray, data: jnp.ndarray, cfo_hz,
+                      initial_phase, t0_lts: int = 0, t0_data: int = 0):
+    """Equalized constellation points [B, S, C] for observability
+    (OFDMDemodulator::getConstellationSymbols; GUI constellation widget).
+    Same pipeline as demodulate_with_lts but returns the equalizer output
+    instead of LLRs."""
+    B = lts.shape[0]
+    L = data.shape[-1]
+    state = init_state(config, B, cfo_hz, initial_phase)
+    state = estimate_channel_from_lts(config, state, lts, t0_base=t0_lts)
+    has_pilots = len(carriers_mod.carrier_map(config).pilot_idx) > 0
+
+    def step(carry, xs):
+        st = carry
+        sym, s_idx = xs
+        fd, st = to_baseband_fd(config, st, sym, t0_data + s_idx * L)
+        if has_pilots:
+            st = update_channel_estimate(config, st, fd)
+        eq, cnv = equalize(config, mod, st, fd)
+        _, st = demodulate_symbol(config, mod, st, eq, cnv)
+        return st, eq
+
+    S = data.shape[1]
+    xs = (jnp.moveaxis(data, 1, 0), jnp.arange(S))
+    _, eq = jax.lax.scan(step, state, xs)
+    return jnp.moveaxis(eq, 0, 1)
+
+
 @functools.partial(jax.jit, static_argnames=("config", "mod", "training_symbols",
                                              "num_data_symbols"))
 def demodulate_presynced(config: ModemConfig, mod: Modulation,

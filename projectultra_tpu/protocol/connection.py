@@ -299,14 +299,22 @@ class Connection:
         frame = F.ControlFrame.make_mode_change(
             self.local_call, self.remote_call, 0, mod, rate,
             self.measured_snr_db, reason)
+        # Transmit FIRST, at the CURRENT mode: applying before transmitting
+        # would modulate the announcement at the new mode, which the peer
+        # cannot demodulate yet — the ends diverge permanently.
+        self._transmit(frame.serialize())
         self.data_modulation, self.data_code_rate = mod, rate
         if self.on_data_mode_changed:
             self.on_data_mode_changed(mod, rate, self.measured_snr_db)
-        self._transmit(frame.serialize())
         return True
 
     def _handle_mode_change(self, ctrl: F.ControlFrame):
         mod, rate, snr, reason = ctrl.mode_change_info()
+        # ACK goes out BEFORE applying: the requester is still listening at
+        # the old mode until it hears this (see request_mode_change).
+        ack = F.ControlFrame.make_ack(self.local_call, self.remote_call,
+                                      ctrl.seq)
+        self._transmit(ack.serialize())
         if mod != Modulation.AUTO:
             self.data_modulation = mod
         if rate != CodeRate.AUTO:
@@ -314,9 +322,6 @@ class Connection:
         if self.on_data_mode_changed:
             self.on_data_mode_changed(self.data_modulation,
                                       self.data_code_rate, snr)
-        ack = F.ControlFrame.make_ack(self.local_call, self.remote_call,
-                                      ctrl.seq)
-        self._transmit(ack.serialize())
 
     def _handle_connect(self, frame: F.ConnectFrame):
         src = frame.src_callsign

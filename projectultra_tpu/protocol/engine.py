@@ -36,6 +36,8 @@ class ProtocolEngine:
         # Audio sink: application supplies how TX audio leaves the station
         # (AudioEngine / channel sim / file).
         self.on_tx_audio: Optional[Callable[[np.ndarray], None]] = None
+        self._tx_queue: list = []
+        self._tx_draining = False
 
         self.connection.on_transmit = self._tx_frame
         self.connection.on_ping_tx = self._tx_ping
@@ -48,16 +50,45 @@ class ProtocolEngine:
         self.modem.on_ping = self._on_modem_ping
 
     # --- outgoing ---------------------------------------------------------
+    #
+    # TX rides a drain queue: protocol callbacks can request transmissions
+    # from inside RX processing (ACKs, mode changes, the next ARQ frame),
+    # and with a synchronous audio link each nested transmit would recurse
+    # one level deeper per exchanged frame.  The queue flattens that — the
+    # reference gets the same effect from its threaded audio TX queue.
 
     def _tx_frame(self, frame_bytes: bytes):
-        audio = self.modem.transmit(frame_bytes)
-        if self.on_tx_audio is not None and len(audio):
-            self.on_tx_audio(audio)
+        self._enqueue_tx(("frame", frame_bytes))
 
     def _tx_ping(self):
-        audio = self.modem.transmit_ping()
-        if self.on_tx_audio is not None and len(audio):
-            self.on_tx_audio(audio)
+        self._enqueue_tx(("ping", None))
+
+    def _enqueue_tx(self, item):
+        # Snapshot the data mode at ENQUEUE time: a MODE_CHANGE applied
+        # between enqueue and drain must not re-modulate frames that the
+        # protocol requested under the old mode (the announcement itself
+        # must leave at the old mode or the peer cannot demodulate it).
+        self._tx_queue.append(item + (self.modem.data_modulation,
+                                      self.modem.data_code_rate))
+        if self._tx_draining:
+            return
+        self._tx_draining = True
+        try:
+            while self._tx_queue:
+                kind, payload, mod, rate = self._tx_queue.pop(0)
+                cur = (self.modem.data_modulation, self.modem.data_code_rate)
+                self.modem.data_modulation = mod
+                self.modem.data_code_rate = rate
+                try:
+                    audio = (self.modem.transmit(payload) if kind == "frame"
+                             else self.modem.transmit_ping())
+                finally:
+                    (self.modem.data_modulation,
+                     self.modem.data_code_rate) = cur
+                if self.on_tx_audio is not None and len(audio):
+                    self.on_tx_audio(audio)
+        finally:
+            self._tx_draining = False
 
     # --- incoming ----------------------------------------------------------
 
@@ -73,12 +104,25 @@ class ProtocolEngine:
             # The controller's thresholds are calibrated for OFDM pilot SNR
             # (adaptive_mode.cpp:21-31) — MC-DPSK training estimates live on
             # a different scale and must not drive mode changes.
+            # Adapt only: (a) on the session INITIATOR — two independent
+            # controllers cross MODE_CHANGE requests and diverge the ends;
+            # (b) while the ARQ is idle — a change straddling in-flight
+            # data frames demodulates them at the wrong mode and costs a
+            # retry round per frame.
+            arq_idle = getattr(self.connection.arq, "in_flight", 0) == 0
             if (self.adaptive_enabled and self.connection.is_connected
+                    and self.connection.is_initiator and arq_idle
                     and frame.waveform == WaveformMode.OFDM_COX
                     and self.adaptive.update(frame.snr_db)):
                 self.connection.request_mode_change(
                     self.adaptive.current_mod, self.adaptive.current_rate)
+        self.modem.last_rx_waveform = frame.waveform
         self.connection.on_frame_received(frame.frame_bytes)
+        # Re-sync modem state: handshake confirmation flips on the first
+        # frame received while CONNECTED (modem_engine's
+        # handshake_complete_ tracks it continuously in the reference).
+        self.modem.connected = self.connection.is_connected
+        self.modem.handshake_complete = self.connection.handshake_confirmed
 
     def _on_modem_ping(self, snr_db: float):
         if self.connection.state == ConnectionState.PROBING:
@@ -94,6 +138,10 @@ class ProtocolEngine:
         self.modem.set_waveform_mode(mode)
 
     def _apply_data_mode(self, mod: Modulation, rate: CodeRate, snr: float):
+        # Remember the outgoing mode: frames already in flight were
+        # modulated with it (RX fallback in _decode_frame_cox).
+        self.modem.prev_data_modulation = self.modem.data_modulation
+        self.modem.prev_data_code_rate = self.modem.data_code_rate
         self.modem.data_modulation = mod
         self.modem.data_code_rate = rate
         # Keep the adaptive controller in sync with externally negotiated

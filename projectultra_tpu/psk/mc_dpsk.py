@@ -216,23 +216,43 @@ def training_score(cfg: MCDPSKConfig, training: jnp.ndarray) -> jnp.ndarray:
     return jnp.abs(s.mean(-1))
 
 
+@functools.lru_cache(maxsize=None)
+def _clean_training_corr(cfg: MCDPSKConfig):
+    """Noise-free per-symbol training correlations [S, C] (complex, as a
+    real/imag f32 pair): includes the deterministic inter-carrier leakage
+    of the non-bin-aligned carriers, so the SNR estimator's residual is
+    noise only, not leakage."""
+    tr = generate_training(cfg)                        # np [S*L]
+    COS, SIN = _carrier_tables(cfg)
+    L = cfg.samples_per_symbol
+    x = tr.reshape(-1, L).astype(np.float64)
+    I = x @ COS.T.astype(np.float64) / L
+    Q = -(x @ SIN.T.astype(np.float64)) / L
+    return I.astype(np.float32), Q.astype(np.float32)
+
+
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def estimate_snr_db(cfg: MCDPSKConfig, training: jnp.ndarray) -> jnp.ndarray:
     """Per-carrier post-correlation SNR from the training symbols — the
     reference's getEstimatedSNR semantics (channel_equalizer.cpp:221:
     |H|^2 / per-carrier noise variance, NOT wideband audio SNR; the two
-    differ by the correlation processing gain 10*log10(N/(2*C))).  After
-    removing the known (c*s)*90deg pattern every snapshot equals the
-    per-carrier channel gain; the across-symbol variance is the noise."""
+    differ by the correlation processing gain 10*log10(N/(2*C))).
+
+    Least-squares fit of a per-carrier channel gain against the KNOWN
+    noise-free training correlations (which include the deterministic
+    inter-carrier leakage): the residual is pure noise, so the estimate
+    does not saturate at the leakage floor."""
     corr = correlate_symbols(cfg, training[..., :cfg.training_samples])
+    cr, ci_ = _clean_training_corr(cfg)
+    clean = jax.lax.complex(jnp.asarray(cr), jnp.asarray(ci_))  # [S, C]
     S = corr.shape[-2]
-    s = jnp.arange(S)[:, None]
-    c = jnp.arange(cfg.num_carriers)[None, :]
-    pattern = jnp.exp(1j * ((c * s) % 4).astype(jnp.float32) * (np.pi / 2))
-    z = corr * jnp.conj(pattern)                       # [..., S, C]
-    h = z.mean(-2)                                     # per-carrier channel
-    sig = (jnp.abs(h) ** 2).mean(-1)
-    noise = (jnp.abs(z - h[..., None, :]) ** 2).mean((-1, -2))
+    clean = clean[:S]
+    # LS per carrier: h = sum_s z*conj(clean) / sum_s |clean|^2.
+    denom = (jnp.abs(clean) ** 2).sum(-2)              # [C]
+    h = (corr * jnp.conj(clean)).sum(-2) / jnp.maximum(denom, 1e-12)
+    resid = corr - h[..., None, :] * clean
+    sig = (jnp.abs(h[..., None, :] * clean) ** 2).mean((-1, -2))
+    noise = (jnp.abs(resid) ** 2).mean((-1, -2))
     snr = sig / jnp.maximum(noise, 1e-12)
     return 10.0 * jnp.log10(jnp.clip(snr, 1e-3, 1e5))
 

@@ -120,6 +120,7 @@ def test_data_frame_loopback_ofdm_cox():
     tx = _cox_engine().transmit(F.DataFrame.make_data(
         "W1AW", "VE3ABC", 3, "cox-path message " * 4).serialize())
     rx = _cox_engine()
+    rx.collect_constellation = True
     frames = []
     rx.on_frame = frames.append
     audio = np.concatenate([tx, np.zeros(4000, np.float32)])
@@ -130,6 +131,14 @@ def test_data_frame_loopback_ofdm_cox():
     df = F.DataFrame.deserialize(frames[0].frame_bytes)
     assert df is not None and "cox-path message" in df.payload_as_text()
     assert frames[0].snr_db > 15.0  # clean loopback: high per-carrier SNR
+    # Observability: equalized constellation collected, points near QAM16.
+    from projectultra_tpu.config import Modulation
+    from projectultra_tpu.ofdm import constellations as con
+    pts = rx.last_constellation
+    assert pts is not None and len(pts) > 100
+    tbl = np.asarray(con.table(Modulation.QAM16))
+    d = np.abs(pts[:, None] - tbl[None, :]).min(-1)
+    assert float(np.median(d)) < 0.1
 
 
 @pytest.mark.parametrize("mode", [WaveformMode.OTFS_EQ, WaveformMode.OTFS_RAW])

@@ -101,17 +101,17 @@ def test_estimate_snr_db_tracks_true_snr():
                           (3, CFG.training_samples))
     key = jnp.asarray(jax.random.PRNGKey(7))
     ests = []
-    for true_snr in (-5.0, 0.0, 5.0):
+    for true_snr in (-5.0, 0.0, 10.0, 20.0, 30.0):
         noisy = W.add_noise_active(key, tr, true_snr)
         est = np.asarray(MC.estimate_snr_db(CFG, noisy))
         ests.append(est.mean())
-        # Noise-dominated regime: estimator tracks truth + processing gain.
+        # Tracks truth + processing gain across the whole range (the LS fit
+        # against the leakage-inclusive clean correlations removes the
+        # inter-carrier-leakage saturation floor).
         assert np.all(np.abs(est - (true_snr + gain_db)) < 3.0), (true_snr, est)
     assert ests == sorted(ests)  # monotone in true SNR
-    # High SNR saturates at the inter-carrier leakage floor (carriers are not
-    # FFT-bin aligned) — still high enough to negotiate the top OFDM modes.
     clean = np.asarray(MC.estimate_snr_db(CFG, tr))
-    assert np.all(clean > 22.0), clean
+    assert np.all(clean > 45.0), clean
 
 
 def test_loopback_awgn_snr5_cfo30():

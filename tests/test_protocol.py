@@ -226,6 +226,12 @@ def test_file_transfer_over_the_air(tmp_path):
     b.connection.file_transfer.on_received = \
         lambda path, ok: received.append((path, ok))
     assert a.connection.send_file(str(src))
+    # Allow ARQ retry timers to fire if a mode change straddled a frame.
+    for _ in range(30):
+        if received:
+            break
+        a.tick(1000)
+        b.tick(1000)
     assert received and received[0][1]
     assert open(received[0][0], "rb").read() == content
 

@@ -44,6 +44,26 @@ def render_waterfall(audio, width=64, lines=12):
     return out
 
 
+def render_constellation(points, size=17):
+    import numpy as np
+    if points is None or len(points) == 0:
+        return []
+    from projectultra_tpu.utils.observability import constellation
+    iq = constellation(points)
+    lim = max(1e-6, float(np.abs(iq).max())) * 1.1
+    grid = [[" "] * (2 * size + 1) for _ in range(size + 1)]
+    for re, im in iq:
+        x = int((re / lim + 1) * size)
+        y = int((1 - im / lim) * size / 2)
+        if 0 <= y <= size and 0 <= x <= 2 * size:
+            grid[y][x] = "o"
+    mid = size // 2
+    for y in range(size + 1):
+        if grid[y][size] == " ":
+            grid[y][size] = "|" if y != mid else "+"
+    return ["".join(row) for row in grid]
+
+
 def render_dashboard(title, station, last_audio, messages):
     c = station.connection
     m = station.modem
@@ -57,6 +77,10 @@ def render_dashboard(title, station, last_audio, messages):
              f"   pings: {m.pings_received}",
              " waterfall (0-3 kHz):"]
     lines += ["   " + w for w in render_waterfall(last_audio)]
+    cpts = render_constellation(m.last_constellation)
+    if cpts:
+        lines.append(" constellation (equalized):")
+        lines += ["   " + c for c in cpts]
     lines.append(" console:")
     lines += [f"   {t}" for t in messages[-4:]] or ["   (empty)"]
     return "\n".join(lines)
@@ -87,6 +111,8 @@ def main():
     a.connection.set_local_callsign("W1AW")
     b.connection.set_local_callsign("VE3ABC")
     b.connection.set_measured_snr(args.snr)
+    a.modem.collect_constellation = True
+    b.modem.collect_constellation = True
 
     last_rx = {"a": None, "b": None}
     console = []
