@@ -597,21 +597,17 @@ class ModemEngine:
             need = lts_start + 2 * plen + S * cfg.symbol_duration
             if len(buf) < need:
                 return None, None
-            # Image-free demod under CFO for coherent modes
-            # (demodulator.maybe_analytic); the span starts at the LTS so
-            # edge ringing lands in the LTS CP.
-            span = np.asarray(demod_mod.maybe_analytic(
-                mod, jnp.asarray(buf[None, lts_start:need])))[0]
-            lts = jnp.asarray(span[:2 * plen].reshape(1, 2, plen))
-            data = jnp.asarray(
-                span[2 * plen:].reshape(1, S, cfg.symbol_duration))
-            llrs, state = demod_mod.demodulate_with_lts(
-                cfg, mod, lts, data, cfo, 0.0, t0_lts=0, t0_data=2 * plen)
+            # Image-free demod under CFO for coherent modes; conversion +
+            # slicing + demod run in ONE jit (demodulator.demodulate_span) —
+            # the span starts at the LTS so edge ringing lands in its CP.
+            span = jnp.asarray(buf[None, lts_start:need])
+            llrs, state = demod_mod.demodulate_span(
+                cfg, mod, span, cfo, 0.0, n_lts=2, S=S)
             if self.collect_constellation:
-                self.last_constellation = np.asarray(
-                    demod_mod.equalized_symbols(
-                        cfg, mod, lts, data, cfo, 0.0,
-                        t0_lts=0, t0_data=2 * plen)).reshape(-1)
+                ri = np.asarray(demod_mod.equalized_symbols_span(
+                    cfg, mod, span, cfo, 0.0, n_lts=2, S=S))
+                self.last_constellation = \
+                    (ri[..., 0] + 1j * ri[..., 1]).reshape(-1)
             out = np.asarray(llrs)[0][:F.LDPC_CODEWORD_BITS * n_cw]
             if ci is not None:
                 out = np.concatenate([

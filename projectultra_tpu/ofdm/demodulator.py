@@ -485,6 +485,43 @@ def demodulate_with_lts(config: ModemConfig, mod: Modulation,
     return llrs, state
 
 
+@functools.partial(jax.jit, static_argnames=("config", "mod", "n_lts", "S"))
+def demodulate_span(config: ModemConfig, mod: Modulation, span: jnp.ndarray,
+                    cfo_hz, initial_phase, n_lts: int, S: int):
+    """[B, T] real span starting at the first LTS -> (llrs, state).
+    Conversion (maybe_analytic) and segment slicing happen INSIDE one jit:
+    round-tripping the converted complex span through the host trips the
+    accelerator transport's complex-array limitations."""
+    span = maybe_analytic(mod, span)
+    plen = config.fft_size + config.cyclic_prefix
+    B = span.shape[0]
+    lts = span[:, :n_lts * plen].reshape(B, n_lts, plen)
+    d0 = n_lts * plen
+    data = span[:, d0:d0 + S * config.symbol_duration].reshape(
+        B, S, config.symbol_duration)
+    return demodulate_with_lts(config, mod, lts, data, cfo_hz, initial_phase,
+                               t0_lts=0, t0_data=d0)
+
+
+@functools.partial(jax.jit, static_argnames=("config", "mod", "n_lts", "S"))
+def equalized_symbols_span(config: ModemConfig, mod: Modulation,
+                           span: jnp.ndarray, cfo_hz, initial_phase,
+                           n_lts: int, S: int):
+    """Constellation variant of demodulate_span -> [B, S, C, 2] f32
+    (real, imag) — the accelerator transport cannot download multi-dim
+    complex arrays, so the split happens inside the jit."""
+    span = maybe_analytic(mod, span)
+    plen = config.fft_size + config.cyclic_prefix
+    B = span.shape[0]
+    lts = span[:, :n_lts * plen].reshape(B, n_lts, plen)
+    d0 = n_lts * plen
+    data = span[:, d0:d0 + S * config.symbol_duration].reshape(
+        B, S, config.symbol_duration)
+    eq = equalized_symbols(config, mod, lts, data, cfo_hz, initial_phase,
+                           t0_lts=0, t0_data=d0)
+    return jnp.stack([eq.real, eq.imag], axis=-1)
+
+
 @functools.partial(jax.jit, static_argnames=("config", "mod", "t0_lts",
                                              "t0_data"))
 def equalized_symbols(config: ModemConfig, mod: Modulation,
