@@ -636,28 +636,40 @@ def _demod_differential_parallel(config: ModemConfig, mod: Modulation,
     N, cp = config.fft_size, config.cyclic_prefix
 
     cfo = state.freq_offset_hz
-    phase_inc = jnp.float32(-2.0 * np.pi / config.sample_rate) * cfo    # [B]
-    i_all = jnp.arange(S * L, dtype=jnp.float32).reshape(S, L)
-    corr_phase = (state.freq_phase[:, None, None]
-                  + phase_inc[:, None, None] * i_all[None])
-    active = (jnp.abs(cfo) > 0.01)[:, None, None]
-    corr_phase = jnp.where(active, corr_phase, 0.0)
-
-    # Analysis as a sparse contraction: only the C data bins are needed, so
-    # downmix + FFT-bin extraction fold into host-constant [S, L, C] real
-    # tensors riding the MXU (XLA's generic TPU FFT is ~10x slower here).
-    # data may be real passband or the half-scaled analytic signal.
-    c_ph, s_ph = jnp.cos(corr_phase), jnp.sin(corr_phase)
-    dr = data.real if jnp.iscomplexobj(data) else data
-    di = data.imag if jnp.iscomplexobj(data) else None
-    zr = dr * c_ph if di is None else dr * c_ph - di * s_ph             # [B,S,L]
-    zi = dr * s_ph if di is None else dr * s_ph + di * c_ph
     Mr, Mi = _analysis_tensor(config, t0_base, S)
     Mr, Mi = jnp.asarray(Mr), jnp.asarray(Mi)
     hi = jax.lax.Precision.HIGHEST
     ee = functools.partial(jnp.einsum, "bsl,slc->bsc", precision=hi)
-    rx = jax.lax.complex(ee(zr, Mr) - ee(zi, Mi),
-                         ee(zr, Mi) + ee(zi, Mr))                       # [B,S,C]
+    dr = data.real if jnp.iscomplexobj(data) else data
+    di = data.imag if jnp.iscomplexobj(data) else None
+
+    # Analysis as a sparse contraction: only the C data bins are needed, so
+    # downmix + FFT-bin extraction fold into host-constant [S, L, C] real
+    # tensors riding the MXU (XLA's generic TPU FFT is ~10x slower here).
+    # data may be real passband or the half-scaled analytic signal.  The
+    # CFO-correction rotation (per-sample trig over [B, S, L] plus a second
+    # einsum pair) only runs when some lane actually has a CFO.
+    def with_cfo(_):
+        phase_inc = jnp.float32(-2.0 * np.pi / config.sample_rate) * cfo
+        i_all = jnp.arange(S * L, dtype=jnp.float32).reshape(S, L)
+        corr_phase = (state.freq_phase[:, None, None]
+                      + phase_inc[:, None, None] * i_all[None])
+        act = (jnp.abs(cfo) > 0.01)[:, None, None]
+        corr_phase = jnp.where(act, corr_phase, 0.0)
+        c_ph, s_ph = jnp.cos(corr_phase), jnp.sin(corr_phase)
+        zr = dr * c_ph if di is None else dr * c_ph - di * s_ph         # [B,S,L]
+        zi = dr * s_ph if di is None else dr * s_ph + di * c_ph
+        return jax.lax.complex(ee(zr, Mr) - ee(zi, Mi),
+                               ee(zr, Mi) + ee(zi, Mr))
+
+    def no_cfo(_):
+        if di is None:
+            return jax.lax.complex(ee(dr, Mr), ee(dr, Mi))
+        return jax.lax.complex(ee(dr, Mr) - ee(di, Mi),
+                               ee(dr, Mi) + ee(di, Mr))
+
+    rx = jax.lax.cond(jnp.any(jnp.abs(cfo) > 0.01), with_cfo, no_cfo,
+                      None)                                             # [B,S,C]
     didx = jnp.asarray(cm.data_idx)
     h = state.channel_estimate[:, None, didx]
     hp = jnp.abs(h) ** 2
