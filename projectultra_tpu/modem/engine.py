@@ -709,10 +709,13 @@ class ModemEngine:
             phase = chirp_mod.initial_cfo_phase(
                 self.chirp_config, jnp.asarray([cfo], np.float32),
                 jnp.asarray([tr_start], jnp.int32))
-            llrs, _ = demod_mod.demodulate_presynced(
+            llrs, st = demod_mod.demodulate_presynced(
                 cfg, Modulation.DQPSK, jnp.asarray(span[None, :]),
                 jnp.asarray([cfo], np.float32), phase,
                 training_symbols=2, num_data_symbols=n_sym)
+            # LTS-seeded per-carrier SNR (ofdm_chirp_waveform.cpp:211).
+            self.stats.current_snr_db = float(10.0 * np.log10(
+                np.asarray(st.estimated_snr_linear)[0]))
             out = np.asarray(llrs)[0][:nbits]
             if self.interleaving_enabled:
                 bps = self._bits_per_ofdm_symbol_chirp()
@@ -786,6 +789,9 @@ class ModemEngine:
                 snr_db = float(np.asarray(MC.estimate_snr_db(
                     self.mc_config, jnp.asarray(seg)))[0])
                 self.stats.current_snr_db = snr_db
+        else:
+            # OFDM_CHIRP: LTS-seeded per-carrier SNR stored by demod().
+            snr_db = self.stats.current_snr_db
         return "ok", DecodedFrame(frame_bytes=frame_bytes, header=info,
                                   cw_ok=oks, cfo_hz=cfo, snr_db=snr_db,
                                   waveform=wf)
