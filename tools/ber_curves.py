@@ -25,6 +25,8 @@ def main():
     ap.add_argument("--frames", type=int, default=2048,
                     help="frames per SNR point")
     ap.add_argument("--json", default="/tmp/ber_curves.json")
+    ap.add_argument("--channel", default="awgn",
+                    choices=["awgn", "good", "moderate", "poor", "flutter"])
     args = ap.parse_args()
     import jax
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_projectultra")
@@ -52,7 +54,7 @@ def main():
          [2.0, 4.0, 6.0, 8.0, 10.0, 12.0, 14.0]),
     ]
 
-    artifact = {"frames_per_point": F, "rows": []}
+    artifact = {"frames_per_point": F, "channel": args.channel, "rows": []}
     total_pipelines = 0
     t_all = time.perf_counter()
     for label, mod, rate, snrs in rows:
@@ -63,9 +65,13 @@ def main():
         info = jnp.asarray(rng.integers(0, 2, (n, code.k)).astype(np.float32))
         snr_vec = jnp.asarray(np.repeat(np.asarray(snrs, np.float32), F))
 
+        preset = None if args.channel == "awgn" else getattr(W, args.channel)
+
         @jax.jit
         def run(info, snr_vec, key):
             tx = P.tx_frame(cfg, mod, rate, info)
+            if preset is not None:
+                tx = W.watterson(jax.random.fold_in(key, 1), tx, preset())
             rx = W.add_noise_active(key, tx, snr_vec)
             out, ok, _ = P.rx_frame(cfg, mod, rate, rx)
             return out, ok
@@ -80,7 +86,7 @@ def main():
 
         ber = bits_err.mean((1, 2))
         fer = 1.0 - oks.mean(1)
-        print(f"--- {label}  ({n} pipelines in {dt:.2f}s) ---")
+        print(f"--- {label} [{args.channel}]  ({n} pipelines in {dt:.2f}s) ---")
         print("SNR:  " + "  ".join(f"{s:6.0f}" for s in snrs))
         print("FER:  " + "  ".join(f"{v:6.4f}" for v in fer))
         print("BER:  " + "  ".join(f"{v:6.4f}" for v in ber))
