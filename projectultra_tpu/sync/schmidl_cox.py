@@ -206,6 +206,17 @@ def detect_preamble(config: ModemConfig, samples: jnp.ndarray,
           (pos <= (coarse_lts + plen // 2)[:, None])
     lts_start = jnp.argmax(jnp.where(win, nmf, -1.0), axis=-1).astype(jnp.int32)
     lts_corr = nmf[idxb, lts_start]
+    # The two LTS symbols are identical, so the matched filter has a
+    # one-symbol ambiguity: under noise/multipath the SECOND symbol's peak
+    # can edge out the first, shifting training and data by a full symbol.
+    # If a comparable peak exists one symbol EARLIER (still in the window),
+    # prefer it.  (The reference's plain argmax has the same ambiguity.)
+    prev_pos = jnp.clip(lts_start - plen, 0, nmf.shape[-1] - 1)
+    prev_corr = nmf[idxb, prev_pos]
+    prev_in_win = (lts_start - plen) >= (coarse_lts - 3 * plen)
+    take_prev = prev_in_win & (prev_corr >= 0.85 * lts_corr)
+    lts_start = jnp.where(take_prev, prev_pos, lts_start)
+    lts_corr = jnp.where(take_prev, prev_corr, lts_corr)
     lts_thresh = 0.05 if config.fft_size >= 1024 else 0.35
     lts_ok = lts_corr >= lts_thresh
 
