@@ -426,16 +426,24 @@ def demodulate_symbol(config: ModemConfig, mod: Modulation, state: DemodState,
 
 def estimate_channel_from_lts(config: ModemConfig, state: DemodState,
                               training: jnp.ndarray,
-                              t0_base: int = 0) -> DemodState:
+                              t0_base: int = 0,
+                              t0_stride: int | None = None) -> DemodState:
     """(channel_equalizer.cpp:77-328): LS estimates from each training
     symbol; data carriers take the LAST symbol's H (closest in time to the
     first data symbol), pilots take the average; SNR seeded from |H|avg^2 /
     noise_variance; snr_symbol_count set to the training count.
 
-    training: [B, n_sym, L] (L may be N+CP for guard-less preamble LTS);
-    windows are assumed contiguous in time starting at t0_base."""
+    training: [B, n_sym, L] (L may be N+CP for guard-less preamble LTS).
+    Symbol s demixes at mixer time t0_base + s * t0_stride (default: the
+    window length L, i.e. contiguously-mixed training like the chirp path's
+    generateTrainingSymbols).  The Cox preamble instead mixed ONE LTS buffer
+    at [plen, 2plen) and repeated it (modulator.cpp:479-531 quirk), so both
+    repeats must demix at the SAME offset (t0_base=plen, t0_stride=0) —
+    otherwise the per-symbol estimates differ by 2*pi*fc*plen/fs (exactly pi
+    for the default config) and the pilot AVERAGE destructively cancels."""
     cm = carriers_mod.carrier_map(config)
     B, n_sym, L = training.shape
+    stride = L if t0_stride is None else t0_stride
     tx_data = cm.sync_seq[np.arange(len(cm.data_idx)) % len(cm.sync_seq)]
     tx_data = jnp.asarray(tx_data)
 
@@ -444,7 +452,8 @@ def estimate_channel_from_lts(config: ModemConfig, state: DemodState,
     h_pilot_sum = jnp.zeros((B, max(len(cm.pilot_idx), 1)), jnp.complex64)
     Cd = len(cm.data_idx)
     for s in range(n_sym):
-        fd, state = to_baseband_fd(config, state, training[:, s], t0_base + s * L)
+        fd, state = to_baseband_fd(config, state, training[:, s],
+                                   t0_base + s * stride)
         h_data_last = fd[:, :Cd] / tx_data[None, :]
         if len(cm.pilot_idx):
             h_pilot_sum = h_pilot_sum + fd[:, Cd:] / jnp.asarray(cm.pilot_seq)[None, :]
@@ -467,11 +476,12 @@ def estimate_channel_from_lts(config: ModemConfig, state: DemodState,
 
 
 @functools.partial(jax.jit, static_argnames=("config", "mod", "t0_lts",
-                                             "t0_data"))
+                                             "t0_data", "t0_lts_stride"))
 def demodulate_with_lts(config: ModemConfig, mod: Modulation,
                         lts: jnp.ndarray, data: jnp.ndarray, cfo_hz,
                         initial_phase, t0_lts: int = 0,
-                        t0_data: int = 0):
+                        t0_data: int = 0,
+                        t0_lts_stride: int | None = None):
     """Jitted LTS-channel-estimate + data-scan path for pre-sliced segments
     (the Cox decoders): lts [B, n_sym, L], data [B, S, sym_len], both cut
     from the SAME maybe_analytic-converted span.  Jitted as a unit — eager
@@ -479,7 +489,8 @@ def demodulate_with_lts(config: ModemConfig, mod: Modulation,
     (INV-TPU-007)."""
     B = lts.shape[0]
     state = init_state(config, B, cfo_hz, initial_phase)
-    state = estimate_channel_from_lts(config, state, lts, t0_base=t0_lts)
+    state = estimate_channel_from_lts(config, state, lts, t0_base=t0_lts,
+                                      t0_stride=t0_lts_stride)
     state, llrs = _scan_data_symbols(config, mod, state, data,
                                      t0_base=t0_data)
     return llrs, state
@@ -499,8 +510,11 @@ def demodulate_span(config: ModemConfig, mod: Modulation, span: jnp.ndarray,
     d0 = n_lts * plen
     data = span[:, d0:d0 + S * config.symbol_duration].reshape(
         B, S, config.symbol_duration)
+    # Cox preamble quirk: TX mixed ONE LTS at [plen, 2plen) and repeated it,
+    # so every repeat demixes at t0 = plen (stride 0) — see
+    # estimate_channel_from_lts.
     return demodulate_with_lts(config, mod, lts, data, cfo_hz, initial_phase,
-                               t0_lts=0, t0_data=d0)
+                               t0_lts=plen, t0_data=d0, t0_lts_stride=0)
 
 
 @functools.partial(jax.jit, static_argnames=("config", "mod", "n_lts", "S"))
@@ -518,15 +532,16 @@ def equalized_symbols_span(config: ModemConfig, mod: Modulation,
     data = span[:, d0:d0 + S * config.symbol_duration].reshape(
         B, S, config.symbol_duration)
     eq = equalized_symbols(config, mod, lts, data, cfo_hz, initial_phase,
-                           t0_lts=0, t0_data=d0)
+                           t0_lts=plen, t0_data=d0, t0_lts_stride=0)
     return jnp.stack([eq.real, eq.imag], axis=-1)
 
 
 @functools.partial(jax.jit, static_argnames=("config", "mod", "t0_lts",
-                                             "t0_data"))
+                                             "t0_data", "t0_lts_stride"))
 def equalized_symbols(config: ModemConfig, mod: Modulation,
                       lts: jnp.ndarray, data: jnp.ndarray, cfo_hz,
-                      initial_phase, t0_lts: int = 0, t0_data: int = 0):
+                      initial_phase, t0_lts: int = 0, t0_data: int = 0,
+                      t0_lts_stride: int | None = None):
     """Equalized constellation points [B, S, C] for observability
     (OFDMDemodulator::getConstellationSymbols; GUI constellation widget).
     Same pipeline as demodulate_with_lts but returns the equalizer output
@@ -534,7 +549,8 @@ def equalized_symbols(config: ModemConfig, mod: Modulation,
     B = lts.shape[0]
     L = data.shape[-1]
     state = init_state(config, B, cfo_hz, initial_phase)
-    state = estimate_channel_from_lts(config, state, lts, t0_base=t0_lts)
+    state = estimate_channel_from_lts(config, state, lts, t0_base=t0_lts,
+                                      t0_stride=t0_lts_stride)
     has_pilots = len(carriers_mod.carrier_map(config).pilot_idx) > 0
 
     def step(carry, xs):

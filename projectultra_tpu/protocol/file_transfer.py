@@ -61,7 +61,9 @@ def compress(data: bytes) -> bytes | None:
 def decompress(data: bytes, expected_size: int) -> bytes | None:
     try:
         out = zlib.decompress(data)
-        return out if len(out) == expected_size or expected_size == 0 else out
+        if expected_size != 0 and len(out) != expected_size:
+            return None
+        return out
     except Exception:
         return None
 

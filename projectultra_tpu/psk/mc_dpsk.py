@@ -118,18 +118,25 @@ def _synth(cfg: MCDPSKConfig, theta: jnp.ndarray) -> jnp.ndarray:
 
 @functools.lru_cache(maxsize=None)
 def generate_training(cfg: MCDPSKConfig) -> np.ndarray:
-    """Training: theta[sym, c] = (c*sym)*90deg (hpp:121-150). Host constant."""
+    """Training: theta[sym, c] = (c*sym)*90deg (hpp:121-150). Host constant.
+
+    ensure_compile_time_eval: the first call for a config may come from
+    INSIDE a jit trace (e.g. estimate_snr_db in an RX-only process) where
+    omnistaging would turn _synth's output into a tracer and np.asarray
+    would raise TracerArrayConversionError."""
     s = np.arange(cfg.training_symbols)[:, None]
     c = np.arange(cfg.num_carriers)[None, :]
     theta = ((c * s) % 4).astype(np.float32) * (np.pi / 2)
-    return np.asarray(_synth(cfg, jnp.asarray(theta)[None]))[0]
+    with jax.ensure_compile_time_eval():
+        return np.asarray(_synth(cfg, jnp.asarray(theta)[None]))[0]
 
 
 @functools.lru_cache(maxsize=None)
 def generate_reference(cfg: MCDPSKConfig) -> np.ndarray:
     """Reference symbol: all carriers at phase 0 (hpp:154-174)."""
     theta = np.zeros((1, cfg.num_carriers), np.float32)
-    return np.asarray(_synth(cfg, jnp.asarray(theta)[None]))[0]
+    with jax.ensure_compile_time_eval():
+        return np.asarray(_synth(cfg, jnp.asarray(theta)[None]))[0]
 
 
 def preamble(cfg: MCDPSKConfig) -> np.ndarray:

@@ -111,8 +111,11 @@ def _corr_all(samples: jnp.ndarray, tmpl: np.ndarray, tmpl_energy: float,
     Tf = jnp.fft.fft(jnp.conj(jnp.asarray(tmpl)), n=n_fft)
     corr = jnp.fft.ifft(S * jnp.conj(Tf), axis=-1)[:, :T - L + 1]
 
-    c = jnp.cumsum(jnp.pad(samples * samples, ((0, 0), (1, 0))), axis=-1)
-    energy = c[:, L:] - c[:, :T - L + 1]
+    # Block-stable sliding energy: a global f32 cumsum difference loses all
+    # windowed-sum precision past ~50k samples (CLAUDE.md invariant), and
+    # chirp buffers are >=105.6k by construction.
+    from projectultra_tpu.sync.schmidl_cox import _window_sum
+    energy = _window_sum(samples * samples, L)
     denom = jnp.sqrt(jnp.maximum(energy * tmpl_energy, 0.0))
     return jnp.where(denom > 1e-10, jnp.abs(corr) / denom, 0.0)
 

@@ -305,10 +305,11 @@ def decode_ofdm_cox(config: ModemConfig, mod, samples: jnp.ndarray,
     # phase back into the equalized symbols via carrier_phase_correction).
     #
     # Mixer bookkeeping: LTS symbols are N+CP long (no symbol guard) and the
-    # TX mixer ran [plen, 2*plen) over the (repeated) LTS with data starting
-    # at phase(2*plen) == phase(0).  With the RX mixer reset at the first
-    # LTS, per-segment time offsets s*plen for the LTS and 2*plen + s*sym_len
-    # for data reproduce the reference's phase alignment exactly.
+    # TX mixer ran [plen, 2*plen) ONCE over the LTS and repeated the buffer,
+    # so BOTH received LTS symbols demix at t0 = plen (stride 0) — demixing
+    # them at 0 and plen would make the two estimates differ by
+    # 2*pi*fc*plen/fs (= pi at the default config) and cancel the pilot
+    # average.  Data starts at mixer phase(2*plen) == phase(0).
     from ..ofdm.demodulator import demodulate_with_lts
 
     start_lts = int(np.asarray(det["lts_start"])[0])
@@ -325,5 +326,6 @@ def decode_ofdm_cox(config: ModemConfig, mod, samples: jnp.ndarray,
     data = data.reshape(B, S, config.symbol_duration)
 
     llrs, _ = demodulate_with_lts(config, mod, lts, data, det["cfo_hz"], 0.0,
-                                  t0_lts=0, t0_data=2 * plen)
+                                  t0_lts=plen, t0_data=2 * plen,
+                                  t0_lts_stride=0)
     return llrs, det
