@@ -45,7 +45,8 @@ Options:
   -s <call>       Source callsign (default: N0CALL)
   -d <call>       Destination callsign (default: CQ)
   -o <file>       Output to file instead of stdout
-  -w <waveform>   Waveform: ofdm, dpsk (default: ofdm)
+  -w <waveform>   Waveform: ofdm, dpsk (single-carrier), mcdpsk
+                  (default: ofdm)
 """
 
 INFO = """=== ProjectUltra-TPU HF Modem ===
@@ -71,8 +72,23 @@ Code Rates:
 
 
 def _waveform_mode(name: str):
+    """CLI waveform names.  Deviation from the reference CLI (main.cpp:94
+    maps dpsk->MC_DPSK because its engine has no single-carrier RX path):
+    here ``dpsk`` selects the actual single-carrier DPSK operating mode
+    (BASELINE config #1); ``mcdpsk`` keeps the reference's mapping."""
     from .protocol.frame_v2 import WaveformMode
-    return WaveformMode.MC_DPSK if name == "dpsk" else WaveformMode.OFDM_COX
+    return {"dpsk": WaveformMode.DPSK,
+            "mcdpsk": WaveformMode.MC_DPSK}.get(name, WaveformMode.OFDM_COX)
+
+
+def _apply_waveform(modem, name: str):
+    mode = _waveform_mode(name)
+    modem.set_waveform_mode(mode)
+    from .protocol.frame_v2 import WaveformMode
+    if mode == WaveformMode.DPSK:
+        # Pre-negotiation TX rides connect_waveform (modem_engine.cpp:372-397);
+        # point it at single-carrier DPSK so `ptx -w dpsk` actually emits it.
+        modem.connect_waveform = WaveformMode.DPSK
 
 
 def run_ptx(message, output_file, src, dst, waveform):
@@ -81,7 +97,7 @@ def run_ptx(message, output_file, src, dst, waveform):
 
     print(f"Protocol TX: {src} -> {dst}", file=sys.stderr)
     modem = ModemEngine()
-    modem.set_waveform_mode(_waveform_mode(waveform))
+    _apply_waveform(modem, waveform)
 
     if not message or message == "ping":
         frame_type, samples = "PING", modem.transmit_ping()
@@ -119,7 +135,7 @@ def run_prx(input_file, waveform):
     print(f"Protocol RX{' from ' + input_file if input_file else ''}",
           file=sys.stderr)
     modem = ModemEngine()
-    modem.set_waveform_mode(_waveform_mode(waveform))
+    _apply_waveform(modem, waveform)
 
     def on_ping(snr):
         print(f"  [PING] Detected! (SNR={snr} dB)", file=sys.stderr)

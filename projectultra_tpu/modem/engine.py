@@ -32,6 +32,7 @@ from ..ofdm import modulator as ofdm_mod
 from ..ofdm import pipeline as ofdm_pipeline
 from ..protocol import frame_v2 as F
 from ..protocol.frame_v2 import WaveformMode
+from ..psk import dpsk as DP
 from ..psk import mc_dpsk as MC
 from ..sync import chirp as chirp_mod
 from ..utils.bits import bytes_to_bits
@@ -62,6 +63,11 @@ class ModemEngine:
         # (modem_engine.cpp:73).
         self.mc_config = mc_config or MC.level10()
         self.chirp_config = self.mc_config.chirp_config()
+        # Single-carrier DPSK data mode: the medium preset (DQPSK 62.5 baud,
+        # raw 125 bps) matches the reference's "DPSK connect mode"
+        # (modem_mode.cpp:114-119); reconfigure via set_dpsk_mode /
+        # set_dpsk_speed_level (setDPSKMode, modem_mode.cpp:294-315).
+        self.dpsk_config = DP.medium()
 
         # Waveform/mode state (modem_engine.hpp:171-181).
         self.waveform_mode = WaveformMode.OFDM_COX
@@ -105,11 +111,42 @@ class ModemEngine:
         # in flight (the frame was modulated at the mode before the switch).
         self.prev_data_modulation: Optional[Modulation] = None
         self.prev_data_code_rate: Optional[CodeRate] = None
+        # Single-carrier DPSK acquisition cache: (abs_data_start, cfo, ipo,
+        # prev) of a found-but-not-yet-complete frame, plus the absolute
+        # buffer length at the last (unsuccessful) search — polls between
+        # samples arriving must not re-run the full preamble search.
+        self._dpsk_pending = None
+        self._dpsk_searched_until = 0
 
         from ..utils.metrics import ModemStats
         self.stats = ModemStats()
 
     # ------------------------------------------------------------------ TX
+
+    # Speed-level presets for the single-carrier DPSK data mode (the GUI's
+    # speed table; dpsk.hpp:1064-1169 preset family).
+    DPSK_SPEED_PRESETS = {
+        0: DP.robust,      # DBPSK 31.25 bd — the -11 dB floor
+        1: DP.low_snr,     # DBPSK 62.5 bd
+        2: DP.medium,      # DQPSK 62.5 bd (125 bps; default)
+        3: DP.fast,        # DQPSK 125 bd
+        4: DP.turbo,       # D8PSK 125 bd
+        5: DP.high_speed,  # DQPSK 250 bd
+        6: DP.speed1, 7: DP.speed2, 8: DP.speed3, 9: DP.speed4,
+        10: DP.max_speed,  # D8PSK 750 bd
+    }
+
+    def set_dpsk_mode(self, modulation: DP.DPSKModulation,
+                      samples_per_symbol: int):
+        """setDPSKMode (modem_mode.cpp:294-315): reconfigure the
+        single-carrier DPSK data mode."""
+        self.dpsk_config = dataclasses.replace(
+            self.dpsk_config, modulation=modulation,
+            samples_per_symbol=samples_per_symbol)
+
+    def set_dpsk_speed_level(self, level: int):
+        """Preset selection by speed level (GUI speed table semantics)."""
+        self.dpsk_config = self.DPSK_SPEED_PRESETS[level]()
 
     def set_waveform_mode(self, mode: WaveformMode):
         self.waveform_mode = mode
@@ -224,6 +261,17 @@ class ModemEngine:
                     pieces.append(gap)
             return np.zeros(0, np.float32), np.concatenate(pieces)
         bits = jnp.asarray(bytes_to_bits(payload)[None, :].astype(np.float32))
+        if wf == WaveformMode.DPSK:
+            # Single-carrier DPSK frame: [Barker-13x3 preamble][data].
+            # find_preamble estimates CFO/phase/reference from the Barker
+            # symbols themselves, so no training/ref segment is sent (the
+            # preamble ends at accumulated symbol phase 0 mod 2pi and
+            # modulate() continues differentially from there).  DPSK modes
+            # never channel-interleave (docs/INVARIANTS.md).
+            cfg = self.dpsk_config
+            pre = DP.generate_preamble(cfg)
+            data = np.asarray(DP.modulate(cfg, bits))[0]
+            return pre.astype(np.float32), data
         if wf == WaveformMode.MC_DPSK:
             pre = np.concatenate([
                 chirp_mod.generate(self.chirp_config),
@@ -317,12 +365,18 @@ class ModemEngine:
             if isinstance(handled, int):
                 return handled
             waveform_waiting = handled == "wait"
+        if self.waveform_mode == WaveformMode.DPSK:
+            handled = self._try_dpsk_once()
+            if isinstance(handled, int):
+                return handled
+            waveform_waiting = handled == "wait"
         buf = self._rx_buffer
         cc = self.chirp_config
         if len(buf) < cc.total_samples + 4000:
             return 0
+        bucketed = jnp.asarray(self._bucketed(buf)[None, :])
         det = {k: np.asarray(v)[0] for k, v in chirp_mod.detect_dual_chirp(
-            cc, jnp.asarray(buf[None, :])).items()}
+            cc, bucketed).items()}
         if not bool(det["success"]):
             # Weak-signal second pass (modem_rx.cpp:74 "works down to
             # -20 dB"): only when NOTHING crossed the 0.15 gate — strong
@@ -330,14 +384,17 @@ class ModemEngine:
             # ~0.08, so the low gate is unsafe while strong frames are in
             # the buffer, and safe when they provably are not.
             det = {k: np.asarray(v)[0] for k, v in chirp_mod.detect_dual_chirp(
-                cc, jnp.asarray(buf[None, :]),
-                threshold=WEAK_CHIRP_THRESHOLD).items()}
+                cc, bucketed, threshold=WEAK_CHIRP_THRESHOLD).items()}
         if not bool(det["success"]):
             if waveform_waiting:
-                # A Cox/OTFS frame may still be arriving — keep everything.
+                # A Cox/OTFS/DPSK frame may still be arriving — keep everything.
                 return 0
             # keep a chirp-length tail for boundary-spanning preambles
-            keep = min(len(buf), cc.total_samples + 8000)
+            # (or a DPSK-preamble-length tail if that is longer)
+            tail = cc.total_samples
+            if self.waveform_mode == WaveformMode.DPSK:
+                tail = max(tail, self.dpsk_config.preamble_samples)
+            keep = min(len(buf), tail + 8000)
             self._consume(len(buf) - keep)
             return 0
 
@@ -438,7 +495,7 @@ class ModemEngine:
         if len(buf) < 10 * plen:
             return None
         det = {k: np.asarray(v)[0] for k, v in SC.detect_preamble(
-            cfg, jnp.asarray(buf[None, :])).items()}
+            cfg, jnp.asarray(self._bucketed(buf)[None, :])).items()}
         if not bool(det["found"]):
             return None
         status, frame = self._decode_frame_cox(int(det["lts_start"]),
@@ -494,6 +551,155 @@ class ModemEngine:
         if self.on_frame:
             self.on_frame(frame)
         return 1
+
+    # Bound the per-call preamble search to ~256k candidate offsets (the
+    # gathered symbol grid is O(offsets x 39) complex) and bucket the buffer
+    # length so jit recompiles stay rare under 960-sample streaming feeds.
+    DPSK_MAX_SEARCH_OFFSETS = 1 << 18
+    STREAM_BUCKET = 1 << 16
+
+    def _bucketed(self, buf: np.ndarray) -> np.ndarray:
+        """Zero-pad a streaming buffer up to a STREAM_BUCKET multiple so the
+        jitted detectors see one shape per bucket instead of one per
+        960-sample chunk.  Zeros carry no energy, so they can neither create
+        detections nor shift real ones; all returned positions index the
+        real prefix."""
+        T = -(-len(buf) // self.STREAM_BUCKET) * self.STREAM_BUCKET
+        padded = np.zeros(T, np.float32)
+        padded[:len(buf)] = buf
+        return padded
+
+    def _try_dpsk_once(self) -> Optional[int]:
+        """One single-carrier DPSK acquisition+decode pass (the RX analogue
+        the reference never wired: its dpsk_demodulator_ is constructed in
+        modem_engine.cpp:56 but only ever reset).  Returns delivered-event
+        count when decisively handled, "wait" while a found frame is still
+        arriving, None when no Barker preamble is in the buffer (chirp
+        PINGs then fall through to the chirp detector)."""
+        cfg = self.dpsk_config
+        buf = self._rx_buffer
+        L = cfg.samples_per_symbol
+        pre_n = cfg.preamble_samples
+        if self._dpsk_pending is not None:
+            abs_start, cfo, ipo, prev = self._dpsk_pending
+            data_start = abs_start - self._rx_consumed
+            if data_start < 0:  # consumed past it (e.g. by another path)
+                self._dpsk_pending = None
+                return None
+        else:
+            if len(buf) < pre_n + L:
+                return None
+            # Search only when new audio arrived since the last search
+            # (the reference's 100 ms acquisition poll cadence).
+            abs_len = self._rx_consumed + len(buf)
+            if abs_len - self._dpsk_searched_until < 4800:
+                return None
+            self._dpsk_searched_until = abs_len
+            padded = self._bucketed(buf)
+            # Derive the search span from the BUCKETED length so the jit key
+            # (T, max_syms) only changes per bucket, not per 960-sample chunk.
+            max_syms = min(-(-(len(padded) - pre_n) // L),
+                           self.DPSK_MAX_SEARCH_OFFSETS // L)
+            found, ds, cfo, ipo, prev = DP.find_preamble(
+                cfg, jnp.asarray(padded[None, :]), max_search_symbols=max_syms,
+                valid_len=jnp.asarray([len(buf)], jnp.int32))
+            if not bool(np.asarray(found)[0]):
+                return None
+            data_start = int(np.asarray(ds)[0])
+            cfo, ipo, prev = cfo[0], ipo[0], prev[0]
+            self._dpsk_pending = (self._rx_consumed + data_start,
+                                  cfo, ipo, prev)
+        status, frame = self._decode_frame_dpsk(data_start, cfo, ipo, prev)
+        if status == "wait":
+            return "wait"
+        self._dpsk_pending = None
+        if status == "fail":
+            # Drop the preamble only; data (if any) may be a mistimed frame
+            # that a later, better-aligned detection can still rescue.
+            self._consume(data_start)
+            return 0
+        self.frames_received += 1
+        import time as _t
+        self._last_rx_complete_time = _t.monotonic()
+        if self.on_frame:
+            self.on_frame(frame)
+        return 1
+
+    def _decode_frame_dpsk(self, data_start: int, cfo, ipo, prev
+                           ) -> tuple[str, Optional[DecodedFrame]]:
+        """CW0 probe at R1/4 -> total_cw -> full differential decode.
+        cfo/ipo/prev stay on device (0-d complex downloads are unsupported
+        on the axon transport) and feed demodulate_soft directly."""
+        cfg = self.dpsk_config
+        buf = self._rx_buffer
+        L = cfg.samples_per_symbol
+        bc = cfg.bits_per_symbol
+        candidate_rates = [CodeRate.R1_4]
+        if self.connected and self.data_code_rate not in candidate_rates:
+            candidate_rates.append(self.data_code_rate)
+
+        def demod(n_cw: int) -> Optional[np.ndarray]:
+            nbits = F.LDPC_CODEWORD_BITS * n_cw
+            n_sym = -(-nbits // bc)
+            need = data_start + n_sym * L
+            if len(buf) < need:
+                return None
+            span = jnp.asarray(buf[None, data_start:need])
+            llrs = DP.demodulate_soft(cfg, span, prev[None], cfo[None],
+                                      ipo[None])
+            return np.asarray(llrs)[0][:nbits]
+
+        llrs0 = demod(1)
+        if llrs0 is None:
+            return "wait", None
+        info = rate0 = None
+        for rate in candidate_rates:
+            ok, data = F.decode_codewords_with_ldpc([llrs0[:648]], rate)
+            if ok[0]:
+                hdr = F.parse_header(data[0].ljust(F.BYTES_PER_CODEWORD, b"\0"))
+                if hdr.valid:
+                    info, rate0 = hdr, rate
+                    break
+        if info is None:
+            return "fail", None
+        total_cw = max(1, info.total_cw) if info.is_control \
+            else F.calculate_codewords(info.payload_len, rate0)
+
+        if total_cw > 1:
+            llrs = demod(total_cw)
+            if llrs is None:
+                return "wait", None
+            blocks = [llrs[i * 648:(i + 1) * 648] for i in range(total_cw)]
+            oks, datas = F.decode_codewords_with_ldpc(blocks, rate0)
+        else:
+            oks, datas = ok, data
+
+        if info.is_control:
+            expected = F.CONTROL_SIZE
+        else:
+            expected = F.HEADER_SIZE + info.payload_len + F.CRC_SIZE
+        bpc = F.bytes_per_codeword(rate0)
+        frame_bytes = F.reassemble_codewords(
+            [d if o else b"\0" * bpc for o, d in zip(oks, datas)], expected)
+
+        n_sym = -(-(F.LDPC_CODEWORD_BITS * total_cw) // bc)
+        self._consume(data_start + n_sym * L)
+
+        self.stats.frames_received += 1
+        self.stats.bytes_received += len(frame_bytes)
+        if not all(oks):
+            self.stats.frames_failed += 1
+        pre_start = data_start - cfg.preamble_samples
+        snr_db = 0.0
+        if pre_start >= 0:  # data_start <= len(buf): demod() checked need
+            snr_db = float(np.asarray(DP.estimate_preamble_snr_db(
+                cfg, jnp.asarray(buf[None, pre_start:data_start]),
+                cfo[None]))[0])
+            self.stats.current_snr_db = snr_db
+        return "ok", DecodedFrame(frame_bytes=frame_bytes, header=info,
+                                  cw_ok=oks, cfo_hz=float(np.asarray(cfo)),
+                                  snr_db=snr_db,
+                                  waveform=WaveformMode.DPSK)
 
     def _decode_frame_otfs(self, ocfg, start: int
                            ) -> tuple[str, Optional[DecodedFrame]]:
@@ -615,7 +821,7 @@ class ModemEngine:
                     for i in range(n_cw)])
             return out, state
 
-        llrs0, _ = demod(1)
+        llrs0, st0 = demod(1)
         if llrs0 is None:
             return "wait", None
         info = rate0 = None
@@ -642,7 +848,7 @@ class ModemEngine:
             blocks = [llrs[i * 648:(i + 1) * 648] for i in range(total_cw)]
             oks, datas = F.decode_codewords_with_ldpc(blocks, rate0)
         else:
-            _, st = demod(1)
+            st = st0  # reuse the probe demod's state (no second device pass)
             oks, datas = ok, data
 
         if info.is_control:

@@ -31,6 +31,7 @@ from ..ofdm import demodulator as ofdm_demod
 from ..ofdm import modulator as ofdm_mod
 from ..ofdm import pipeline as ofdm_pipeline
 from ..ops import ldpc as ldpc_ops
+from ..psk import dpsk as DP
 from ..psk import mc_dpsk as MC
 from ..sim import watterson as W
 from ..sync import chirp as chirp_mod
@@ -38,12 +39,13 @@ from ..sync import chirp as chirp_mod
 
 @dataclasses.dataclass(frozen=True)
 class SweepPoint:
-    waveform: str              # "MC_DPSK" | "OFDM_CHIRP"
+    waveform: str              # "MC_DPSK" | "OFDM_CHIRP" | "DPSK"
     snr_db: float
     cfo_hz: float = 0.0
     channel: str = "awgn"      # awgn|good|moderate|poor|flutter
     rate: CodeRate = CodeRate.R1_4
     frames: int = 5
+    preset: str = ""           # DPSK preset name (psk/dpsk.py factories)
 
 
 @dataclasses.dataclass
@@ -166,11 +168,53 @@ def run_point_ofdm_chirp(point: SweepPoint, seed: int = 42) -> SweepResult:
                        float(found.mean()), cfo_err)
 
 
+def run_point_dpsk(point: SweepPoint, seed: int = 42) -> SweepResult:
+    """Single-carrier DPSK frame sweep with the real Barker-13x3 preamble
+    search in the loop (BASELINE config #1; the reference has no
+    regression_matrix.sh DPSK rows because its engine never wired the
+    single-carrier RX path)."""
+    cfg = getattr(DP, point.preset or "robust")()
+    code = ldpc.get_code(point.rate)
+    B = point.frames
+    rng = np.random.default_rng(seed)
+    info = rng.integers(0, 2, size=(B, code.k)).astype(np.float32)
+    cw = ldpc_ops.encode(code, jnp.asarray(info))
+
+    lead = 4800
+    pre = DP.generate_preamble(cfg)
+    data = DP.modulate(cfg, cw)
+    tx = jnp.concatenate([
+        jnp.zeros((B, lead)),
+        jnp.broadcast_to(jnp.asarray(pre), (B, len(pre))), data,
+        jnp.zeros((B, 4000))], axis=-1).astype(jnp.float32)
+
+    rx = _apply_channel(jax.random.PRNGKey(seed), tx, point)
+
+    found, ds, cfo, ipo, prev = DP.find_preamble(cfg, rx)
+    L = cfg.samples_per_symbol
+    n_sym = -(-code.n // cfg.bits_per_symbol)
+    span = _vslice(rx, ds, n_sym * L)
+    llrs = DP.demodulate_soft(cfg, span, prev, cfo, ipo)
+    out, ok, _ = ldpc_ops.decode(code, llrs[:, :code.n])
+
+    fnd = np.asarray(found)
+    okn = np.asarray(ok) & fnd
+    match = (np.asarray(out) == info.astype(np.uint8)).all(-1)
+    hard = (np.asarray(llrs[:, :code.n]) < 0).astype(np.uint8)
+    ber = float((hard != np.asarray(cw, np.uint8)).mean())
+    cfo_err = float(np.abs(np.asarray(cfo) - point.cfo_hz)[fnd].mean()) \
+        if fnd.any() else float("nan")
+    return SweepResult(point, float((okn & match).mean()), ber,
+                       float(fnd.mean()), cfo_err)
+
+
 def run_point(point: SweepPoint, seed: int = 42, **kw) -> SweepResult:
     if point.waveform == "MC_DPSK":
         return run_point_mc_dpsk(point, seed=seed, **kw)
     if point.waveform == "OFDM_CHIRP":
         return run_point_ofdm_chirp(point, seed=seed)
+    if point.waveform == "DPSK":
+        return run_point_dpsk(point, seed=seed)
     raise ValueError(f"unknown waveform {point.waveform}")
 
 
@@ -188,6 +232,10 @@ REGRESSION_MATRIX = [
     (SweepPoint("OFDM_CHIRP", 17.0, 50.0, "awgn"), 1.00),
     (SweepPoint("OFDM_CHIRP", 15.0, 0.0, "moderate"), 0.80),
     (SweepPoint("OFDM_CHIRP", 15.0, 30.0, "moderate"), 0.60),
+    # Single-carrier DPSK (BASELINE config #1): the -11 dB floor preset and
+    # the 125 bps (DQPSK 62.5 bd) preset (README.md:38,75 claims).
+    (SweepPoint("DPSK", -11.0, 0.0, "awgn", preset="robust"), 1.00),
+    (SweepPoint("DPSK", 0.0, 0.0, "awgn", preset="medium"), 1.00),
 ]
 
 FULL_EXTRA = [
@@ -195,6 +243,8 @@ FULL_EXTRA = [
     (SweepPoint("MC_DPSK", 10.0, 0.0, "poor", frames=10), 0.80),
     (SweepPoint("MC_DPSK", 10.0, 30.0, "poor", frames=10), 0.60),
     (SweepPoint("OFDM_CHIRP", 15.0, 0.0, "poor", frames=10), 0.40),
+    (SweepPoint("DPSK", -12.0, 0.0, "awgn", preset="robust", frames=10), 0.80),
+    (SweepPoint("DPSK", -3.0, 0.0, "awgn", preset="medium", frames=10), 0.60),
 ]
 
 

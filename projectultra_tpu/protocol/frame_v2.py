@@ -45,13 +45,20 @@ PING_MAGIC = bytes([0x55, 0x4C, 0x54, 0x52])  # "ULTR"
 
 
 class WaveformMode(enum.IntEnum):
-    """(frame_v2.hpp:28-36)"""
+    """(frame_v2.hpp:28-36)
+
+    DPSK (0x06) is an engine-local extension for the single-carrier DPSK
+    operating mode: the reference's wire enum has no single-carrier entry
+    (its CLI maps ``-w dpsk`` to MC_DPSK, main.cpp:94, and its engine only
+    constructs-but-never-uses the DPSK mod/demod pair).  It is never
+    negotiated (no ModeCapabilities bit) and never appears on the wire."""
     OFDM_COX = 0x00
     OTFS_EQ = 0x01
     OTFS_RAW = 0x02
     MFSK = 0x03
     MC_DPSK = 0x04
     OFDM_CHIRP = 0x05
+    DPSK = 0x06
     AUTO = 0xFF
 
 

@@ -240,15 +240,51 @@ def set_reference_with_training(cfg: DPSKConfig, training: jnp.ndarray,
     return prev_symbol, cfo, ipo
 
 
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def estimate_preamble_snr_db(cfg: DPSKConfig, preamble_samples: jnp.ndarray,
+                             cfo_hz) -> jnp.ndarray:
+    """Post-correlation SNR from the Barker preamble symbols: LS fit of one
+    complex gain against the known 0/pi phase pattern (CFO-derotated with
+    the caller's estimate), residual = noise.  Feeds mode negotiation the
+    way MC-DPSK's estimate_snr_db does; the reference has no single-carrier
+    SNR estimator (its engine never RXes this waveform), so this follows
+    channel_equalizer.cpp:221 getEstimatedSNR semantics instead."""
+    corr = correlate_symbols(cfg, preamble_samples)        # [..., n_sym]
+    n = cfg.preamble_symbols
+    sym_phase = np.cumsum(np.where(np.tile(BARKER13, PREAMBLE_REPEATS) < 0,
+                                   np.pi, 0.0)).astype(np.float32)
+    p = jnp.exp(1j * jnp.asarray(sym_phase))
+    i = jnp.arange(n, dtype=jnp.float32)
+    w = (2.0 * np.pi * jnp.asarray(cfo_hz, jnp.float32)[..., None]
+         * cfg.samples_per_symbol / cfg.sample_rate)
+    z = corr[..., :n] * jnp.exp(-1j * w * i) * jnp.conj(p)
+    # Residual-rotation self-refinement: a small error in the caller's CFO
+    # estimate rotates z across the preamble and would smear h toward zero;
+    # measure the per-symbol rotation differentially and remove it.
+    d = z[..., 1:] * jnp.conj(z[..., :-1])
+    w_res = jnp.angle(d.mean(-1))
+    z = z * jnp.exp(-1j * w_res[..., None] * i)
+    h = z.mean(-1)
+    resid = z - h[..., None]
+    snr = jnp.abs(h) ** 2 / jnp.maximum((jnp.abs(resid) ** 2).mean(-1), 1e-12)
+    return 10.0 * jnp.log10(jnp.clip(snr, 1e-3, 1e5))
+
+
 @functools.partial(jax.jit, static_argnames=("cfg", "max_search_symbols"))
 def find_preamble(cfg: DPSKConfig, samples: jnp.ndarray,
-                  max_search_symbols: int = 156):
+                  max_search_symbols: int = 156, valid_len=None):
     """Batched CFO-tolerant Barker-13x3 differential preamble search
     (findPreamble, dpsk.hpp:339-480).
 
     Evaluates the differential pattern score at every sample offset in
     [0, max_search) using an FFT matched filter for the per-offset symbol
     correlations — denser than the reference's coarse+fine search.
+
+    valid_len ([B] or scalar, dynamic): number of REAL samples in a
+    zero-padded streaming buffer.  Offsets whose preamble would extend past
+    it are masked out — a partially-arrived preamble scores ~37/38 on the
+    differential pattern and would otherwise be accepted with a corrupted
+    last (reference) symbol and a skewed CFO estimate.
 
     Returns (found [B] bool, data_start [B] int32, cfo_hz [B],
     initial_phase_offset [B], prev_symbol [B] complex64).
@@ -279,6 +315,9 @@ def find_preamble(cfg: DPSKConfig, samples: jnp.ndarray,
     score = jnp.abs((dn * jnp.asarray(expected, np.float32)).sum(-1)) / len(expected)
     total_energy = (jnp.abs(syms) ** 2).sum(-1)
     score = jnp.where(total_energy >= MIN_SYMBOL_ENERGY * n_sym, score, 0.0)
+    if valid_len is not None:
+        vl = jnp.asarray(valid_len, jnp.int32).reshape(-1, 1)  # [B or 1, 1]
+        score = jnp.where(offs[None, :] + pre_n <= vl, score, 0.0)
 
     best = jnp.argmax(score, axis=-1).astype(jnp.int32)
     idxb = jnp.arange(B)
@@ -313,8 +352,10 @@ def find_preamble(cfg: DPSKConfig, samples: jnp.ndarray,
     t6_energy = float((tmpl6 ** 2).sum())
     T6 = jnp.fft.fft(jnp.asarray(tmpl6).astype(jnp.complex64), n=n_fft)
     mf = jnp.fft.ifft(S * jnp.conj(T6), axis=-1).real[:, :T - REFINE_SYMBOLS * L + 1]
-    csum = jnp.cumsum(jnp.pad(samples * samples, ((0, 0), (1, 0))), axis=-1)
-    e6 = csum[:, REFINE_SYMBOLS * L:] - csum[:, :T - REFINE_SYMBOLS * L + 1]
+    # Block-stable sliding energy (not a global f32 cumsum difference — the
+    # precision trap documented in CLAUDE.md for >50k-sample buffers).
+    from projectultra_tpu.sync.schmidl_cox import _window_sum
+    e6 = _window_sum(samples * samples, REFINE_SYMBOLS * L)
     nmf = jnp.where(e6 * t6_energy > 1e-20,
                     jnp.abs(mf) / jnp.sqrt(jnp.maximum(e6 * t6_energy, 1e-30)),
                     0.0)
