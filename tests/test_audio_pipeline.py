@@ -54,6 +54,33 @@ def test_file_backend_roundtrip(tmp_path):
     np.testing.assert_array_equal(np.concatenate(received), audio)
 
 
+def test_rx_pipeline_persistent_engine_mixed_traffic():
+    """One persistent engine across feeds (no per-chunk construction), with
+    mixed PING + frame traffic in a single stream and a non-default code
+    rate that must round-trip into the decode path."""
+    from projectultra_tpu.config import CodeRate
+
+    tx_modem = ModemEngine()
+    tx_modem.connected = True
+    tx_modem.handshake_complete = True
+    tx_modem.set_waveform_mode(F.WaveformMode.MC_DPSK)
+    tx_modem.data_code_rate = CodeRate.R1_2
+    frame = F.DataFrame.make_data("W1AW", "VE3ABC", 2, "after ping")
+    audio = np.concatenate([
+        tx_modem.transmit_ping(), np.zeros(2000, np.float32),
+        tx_modem.transmit(frame.serialize()), np.zeros(4000, np.float32)])
+
+    pipe = RxPipeline(rate=CodeRate.R1_2)
+    eng0 = pipe._engine
+    for i in range(0, len(audio), 4800):
+        pipe.feed_audio(audio[i:i + 4800])
+    assert pipe._engine is eng0          # persistent, not per-chunk
+    assert pipe._engine.data_code_rate == CodeRate.R1_2  # config round-trips
+    assert pipe.has_frame()
+    df = F.DataFrame.deserialize(pipe.get_frame())
+    assert df and df.payload_as_text() == "after ping"
+
+
 def test_rx_pipeline_streaming():
     tx_modem = ModemEngine()
     frame = F.DataFrame.make_data("W1AW", "VE3ABC", 9, "pipeline frame")
