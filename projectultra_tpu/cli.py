@@ -173,6 +173,13 @@ def run_prx(input_file, waveform):
         if input_file:
             src.close()
 
+    # EOF flush: a live receiver keeps hearing (noise) after the signal
+    # ends; a file can end exactly at the last signal sample, which would
+    # starve the post-chirp ping/frame classifier and the minimum-buffer
+    # gates forever.  Pad with enough silence to let every pending
+    # detection resolve (the reference's RX threads get the same effect
+    # from its 5 s idle timeout, modem_rx.cpp).
+    modem.feed_audio(np.zeros(8000, np.float32))
     modem.poll()
 
     print("\n=== RX Statistics ===", file=sys.stderr)

@@ -1,0 +1,98 @@
+"""Parity gate over the reference's real-radio captures (SURVEY §7 stage 7).
+
+The reference ships 11 hardware recordings in tests/data/.  Ground truth was
+measured with the reference's OWN unmodified binary (`ultra`, built from
+/root/reference with cmake -DULTRA_BUILD_GUI=OFF):
+
+    for f in tests/data/*.f32; do ultra prx "$f"; done      # and -w dpsk
+
+Result: the current reference decodes **0 frames and 0 PINGs from every
+recording it ships** — the captures predate its current wire format (they
+are dated 2026-01-18; the CHANGELOG's chirp-sync and CFO rework lands
+2026-01-26..28, and spectral analysis shows a pre-chirp preamble and a
+93.75 Hz-spaced carrier layout the current code no longer uses).  Decoded
+per-file counts (frames+pings): all zeros, both default and `-w dpsk`.
+
+This test therefore pins the honest parity bar: our engine must decode AT
+LEAST as much as the reference binary from each capture (>= 0, and the
+table below will catch any future regression if we learn to beat it), and
+must do so without crashing, wedging, or misfiring false frames on 6.6 s
+of real HF noise/signal — a non-trivial robustness property in itself:
+every capture contains loud real-radio bursts that the acquisition paths
+must reject cleanly (CRC/parity gates) rather than deliver as garbage.
+
+Real-world RX fidelity against the CURRENT wire format is instead proven
+by tests/test_ref_interop.py (bidirectional CLI interop with the compiled
+reference binary).
+"""
+
+import os
+import struct
+
+import numpy as np
+import pytest
+
+from projectultra_tpu.modem.engine import ModemEngine
+from projectultra_tpu.protocol.frame_v2 import WaveformMode
+
+REF_DATA = "/root/reference/tests/data"
+
+# (file, reference-binary frames+pings decoded).  Measured 2026-08-16 with
+# the unmodified reference build; see docstring.
+RECORDINGS = [
+    ("f3_fresh_recording.raw", 0),
+    ("f6_hardware_recording.f32", 0),
+    ("f6_hardware_recording.raw", 0),
+    ("ofdm_deadbeef_hardware_100pct.f32", 0),
+    ("probe_hardware_recording.f32", 0),
+    ("probe_hardware_recording.raw", 0),
+    ("probe_ldpc_fixed_20260118.f32", 0),
+    ("probe_ldpc_mac_2026-01-18.f32", 0),
+    ("test_connect_data_sequence.f32", 0),
+    ("v2_connect_3cw_hardware.f32", 0),
+    ("v2_connect_marker_index_verified.f32", 0),
+]
+
+
+def _load(path: str) -> np.ndarray:
+    raw = open(path, "rb").read()
+    if raw[:4] == b"RIFF":  # two captures are 16-bit WAV
+        fmt = struct.unpack("<H", raw[20:22])[0]
+        i = 12
+        while i < len(raw):
+            cid, sz = raw[i:i + 4], struct.unpack("<I", raw[i + 4:i + 8])[0]
+            if cid == b"data":
+                body = raw[i + 8:i + 8 + sz]
+                break
+            i += 8 + sz
+        if fmt == 3:
+            return np.frombuffer(body, np.float32).copy()
+        return np.frombuffer(body, np.int16).astype(np.float32) / 32768.0
+    return np.frombuffer(raw, np.float32).copy()
+
+
+def _decode_events(audio: np.ndarray, mode: WaveformMode) -> int:
+    modem = ModemEngine()
+    modem.set_waveform_mode(mode)
+    frames, pings = [], []
+    modem.on_frame = frames.append
+    modem.on_ping = pings.append
+    modem.feed_audio(np.concatenate([audio, np.zeros(8000, np.float32)]))
+    modem.poll()
+    return len(frames) + len(pings)
+
+
+@pytest.mark.skipif(not os.path.isdir(REF_DATA),
+                    reason="reference checkout not mounted")
+def test_hardware_recordings_match_or_beat_reference():
+    results = {}
+    for name, ref_count in RECORDINGS:
+        audio = _load(os.path.join(REF_DATA, name))
+        assert np.isfinite(audio).all(), name
+        ours = max(_decode_events(audio, WaveformMode.MC_DPSK),
+                   _decode_events(audio, WaveformMode.OFDM_COX))
+        results[name] = ours
+        assert ours >= ref_count, (name, ours, ref_count)
+    # No false decodes either: these captures carry no current-format
+    # frames, so anything we "decode" would be a CRC-passing hallucination.
+    assert all(v == 0 for v in results.values()), results
