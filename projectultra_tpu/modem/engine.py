@@ -117,6 +117,10 @@ class ModemEngine:
         # samples arriving must not re-run the full preamble search.
         self._dpsk_pending = None
         self._dpsk_searched_until = 0
+        # Cox wait-state tracker for streaming resilience: absolute LTS
+        # position of the frame we are waiting on, last seen absolute buffer
+        # length, and consecutive polls in this state (see _cox_wait_tick).
+        self._cox_wait = None
 
         from ..utils.metrics import ModemStats
         self.stats = ModemStats()
@@ -497,13 +501,34 @@ class ModemEngine:
         det = {k: np.asarray(v)[0] for k, v in SC.detect_preamble(
             cfg, jnp.asarray(self._bucketed(buf)[None, :])).items()}
         if not bool(det["found"]):
+            self._cox_wait = None
             return None
-        status, frame = self._decode_frame_cox(int(det["lts_start"]),
-                                               float(det["cfo_hz"]))
-        if status == "wait":
-            return "wait"
+        lts_start = int(det["lts_start"])
+        cfo = float(det["cfo_hz"])
+        status, frame = self._decode_frame_cox(lts_start, cfo)
         if status == "fail":
-            self._consume(int(det["lts_start"]) + 2 * plen)
+            # LDPC-validated timing hunt (huntForCodeword,
+            # ofdm_sync.cpp:572-643): a CONFIDENT preamble whose CW0 did not
+            # parse may be mistimed (multipath smears the plateau edge);
+            # trial-decode CW0 at +-150-sample offsets and accept the first
+            # with the 0x554C magic.  CW0 rides R1/4 pre-negotiation and the
+            # negotiated rate when connected (same candidates as the probe).
+            hunt_rates = [CodeRate.R1_4]
+            if self.connected and self.data_code_rate not in hunt_rates:
+                hunt_rates.append(self.data_code_rate)
+            for hr in hunt_rates:
+                hunted, off = SC.hunt_for_codeword(
+                    cfg, self.data_modulation, buf, lts_start + 2 * plen,
+                    rate=hr, cfo_hz=cfo)
+                if hunted and off:
+                    status, frame = self._decode_frame_cox(lts_start + off,
+                                                           cfo)
+                    break
+        if status == "wait":
+            return self._cox_wait_tick(lts_start, plen)
+        self._cox_wait = None
+        if status == "fail":
+            self._consume(lts_start + 2 * plen)
             return 0
         self.frames_received += 1
         import time as _t
@@ -511,6 +536,66 @@ class ModemEngine:
         if self.on_frame:
             self.on_frame(frame)
         return 1
+
+    # Streaming-resilience limits (demodulator_constants.hpp:36-38):
+    # a synced frame may span at most 250 symbols, and a frame that makes
+    # no progress for 10 polls with no new audio is abandoned.
+    COX_MAX_SYMBOLS = 250
+    COX_MAX_IDLE_POLLS = 10
+
+    def _cox_wait_tick(self, lts_start: int, plen: int):
+        """Bookkeeping for a Cox frame that is detected but not fully
+        buffered ("wait").  Implements the reference's SYNCED-state
+        resilience (demodulator.cpp:604-737) in host-poll form:
+
+        - mid-frame preamble preemption: from the 2nd consecutive waiting
+          poll on, search the region AFTER the pending preamble; a new
+          confirmed preamble there means the pending TX was cut off —
+          drop it and resync on the new one.
+        - idle timeout: >=10 polls in this state with no new audio
+          (e.g. the stream ended inside the frame) abandons the frame.
+        - symbol timeout: >250 symbols buffered past the preamble without
+          completing means the claimed frame length is bogus (corrupted
+          CW0 that still parsed) — abandon.
+        """
+        from ..sync import schmidl_cox as SC
+        abs_start = self._rx_consumed + lts_start
+        abs_len = self._rx_consumed + len(self._rx_buffer)
+        st = self._cox_wait
+        if st is None or st["abs_start"] != abs_start:
+            self._cox_wait = {"abs_start": abs_start, "abs_len": abs_len,
+                              "idle": 0, "polls": 1}
+            return "wait"
+        st["polls"] += 1
+        if abs_len == st["abs_len"]:
+            st["idle"] += 1
+        else:
+            st["abs_len"], st["idle"] = abs_len, 0
+
+        give_up = (st["idle"] >= self.COX_MAX_IDLE_POLLS
+                   or abs_len - (abs_start + 2 * plen)
+                   > self.COX_MAX_SYMBOLS * self.config.symbol_duration)
+        if give_up:
+            self._cox_wait = None
+            self._consume(lts_start + 2 * plen)
+            return 0
+
+        if st["polls"] >= 2:
+            tail_off = lts_start + 2 * plen
+            tail = self._rx_buffer[tail_off:]
+            if len(tail) >= 10 * plen:
+                det2 = {k: np.asarray(v)[0] for k, v in SC.detect_preamble(
+                    self.config,
+                    jnp.asarray(self._bucketed(tail)[None, :])).items()}
+                if bool(det2["found"]):
+                    self._cox_wait = None
+                    # Keep the WHOLE new preamble (its 5 STS symbols
+                    # precede the LTS and re-detection needs the plateau).
+                    keep_from = tail_off + max(0,
+                                               int(det2["lts_start"]) - 6 * plen)
+                    self._consume(keep_from)
+                    return 0
+        return "wait"
 
     def _try_otfs_once(self) -> Optional[int]:
         """One OTFS acquisition+decode pass (modem_rx_decode.cpp:700-830

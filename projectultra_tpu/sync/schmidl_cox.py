@@ -228,8 +228,8 @@ def detect_preamble(config: ModemConfig, samples: jnp.ndarray,
             "lts_start": lts_start, "sync_off": sync_off}
 
 
-def hunt_for_codeword(config: ModemConfig, mod, samples: jnp.ndarray,
-                      data_start: int, rate=None,
+def hunt_for_codeword(config: ModemConfig, mod, samples, data_start: int,
+                      rate=None, cfo_hz: float = 0.0,
                       offsets=(0, -50, 50, -100, 100, -150, 150)):
     """LDPC-validated timing hunt (huntForCodeword, ofdm_sync.cpp:469-643).
 
@@ -239,8 +239,12 @@ def hunt_for_codeword(config: ModemConfig, mod, samples: jnp.ndarray,
     one batch (offset = batch dim) and one LDPC batch validates them; the
     first match in the reference's offset order wins.
 
-    Args: samples [T] or [1, T]; data_start nominal first-data-sample index.
-    Returns (found: bool, best_offset: int).
+    Args: samples [T] or [1, T] (host array; spans are sliced on the host so
+    the hunt never runs eager device ops — INV-TPU-007); data_start nominal
+    first-data-sample index; cfo_hz the detection's CFO estimate (the
+    constant phase difference between candidate spans is absorbed by the
+    pilot-tracked equalizer, so one shared initial phase of 0 suffices).
+    Returns (found: bool, best_offset: int | None).
     """
     from ..config import CodeRate, bits_per_symbol
     from ..fec import ldpc as ldpc_mod
@@ -252,7 +256,7 @@ def hunt_for_codeword(config: ModemConfig, mod, samples: jnp.ndarray,
 
     rate = rate or CodeRate.R1_4
     code = ldpc_mod.get_code(rate)
-    x = jnp.asarray(samples).reshape(-1)
+    x = np.asarray(samples).reshape(-1)
     S = ofdm_pipeline.num_data_symbols(config, mod, 1)
     span_len = S * config.symbol_duration
 
@@ -260,12 +264,12 @@ def hunt_for_codeword(config: ModemConfig, mod, samples: jnp.ndarray,
              and data_start + o + span_len <= x.shape[-1]]
     if not valid:
         return False, None
-    starts = jnp.asarray([data_start + o for o in valid], jnp.int32)
-    spans = jax.vmap(
-        lambda s: jax.lax.dynamic_slice(x, (s,), (span_len,)))(starts)
+    spans = jnp.asarray(np.stack(
+        [x[data_start + o:data_start + o + span_len] for o in valid]))
 
     llrs, _ = demod_mod.demodulate_presynced(
-        config, mod, spans, 0.0, 0.0, training_symbols=0, num_data_symbols=S)
+        config, mod, spans, float(cfo_hz), 0.0,
+        training_symbols=0, num_data_symbols=S)
     cm = carriers_mod.carrier_map(config)
     ci = channel_interleaver(len(cm.data_idx) * bits_per_symbol(mod), code.n)
     deint = llrs[:, :code.n][:, jnp.asarray(ci.perm)]
