@@ -60,6 +60,8 @@ class DemodState(NamedTuple):
     snr_symbol_count: jnp.ndarray        # [B] i32
     symbols_since_sync: jnp.ndarray      # [B] i32
     timing_offset_samples: jnp.ndarray   # [B] f32
+    eq_weights: jnp.ndarray              # [B, C] c64 LMS/RLS adaptive weights
+    rls_P: jnp.ndarray                   # [B, C] f32 RLS inverse-corr scalars
 
 
 def init_state(config: ModemConfig, B: int, cfo_hz, initial_phase) -> DemodState:
@@ -86,6 +88,8 @@ def init_state(config: ModemConfig, B: int, cfo_hz, initial_phase) -> DemodState
         snr_symbol_count=jnp.zeros((B,), jnp.int32),
         symbols_since_sync=jnp.zeros((B,), jnp.int32),
         timing_offset_samples=jnp.zeros((B,), jnp.float32),
+        eq_weights=jnp.ones((B, C), jnp.complex64),
+        rls_P=jnp.ones((B, C), jnp.float32),
     )
 
 
@@ -387,7 +391,13 @@ def equalize(config: ModemConfig, mod: Modulation, state: DemodState,
         cnv = jnp.clip(cnv, MIN_CARRIER_NOISE_VAR, MAX_CARRIER_NOISE_VAR)
         return eq.astype(jnp.complex64), cnv
 
-    # Coherent MMSE with deep-fade soft erasure.
+    # Coherent MMSE with deep-fade soft erasure.  With the adaptive
+    # equalizer enabled, the LMS/RLS weights (seeded from training, then
+    # decision-directed-updated per symbol in dd_update) replace the
+    # pilot-tracked channel estimate (channel_equalizer.cpp:773-791).
+    if config.adaptive_eq_enabled:
+        h = state.eq_weights
+        hp = jnp.abs(h) ** 2
     denom = hp + nv
     good = denom >= 1e-10
     eq = jnp.where(good, jnp.conj(h) * rx / jnp.maximum(denom, 1e-30), 0.0)
@@ -398,6 +408,29 @@ def equalize(config: ModemConfig, mod: Modulation, state: DemodState,
     avg_hp = hp.mean(-1, keepdims=True)
     cnv = jnp.where(hp < FADE_THRESHOLD_RATIO * avg_hp, MAX_CARRIER_NOISE_VAR, cnv)
     return eq.astype(jnp.complex64), cnv
+
+
+def dd_update(config: ModemConfig, mod: Modulation, state: DemodState,
+              rx: jnp.ndarray, eq: jnp.ndarray) -> DemodState:
+    """Decision-directed LMS/RLS weight update
+    (channel_equalizer.cpp:705-727 update rules, :794-801 call site):
+    the hard decision on this symbol's equalized output becomes the
+    reference signal for the per-carrier weight adaptation.  rx is the
+    un-equalized data-carrier spectrum [B, C]."""
+    if not config.decision_directed:
+        return state
+    d = demap_ops.hard_decision(mod, eq)
+    w = state.eq_weights
+    err = rx - w * d
+    if config.adaptive_eq_use_rls:
+        P, dn = state.rls_P, jnp.abs(d) ** 2
+        lam = jnp.float32(config.rls_lambda)
+        k = P / (lam + P * dn)
+        w = w + k * jnp.conj(d) * err
+        P = jnp.clip((P - k * dn * P) / lam, 1e-3, 1e3)
+        return state._replace(eq_weights=w.astype(jnp.complex64), rls_P=P)
+    w = w + jnp.float32(config.lms_mu) * jnp.conj(d) * err
+    return state._replace(eq_weights=w.astype(jnp.complex64))
 
 
 def demodulate_symbol(config: ModemConfig, mod: Modulation, state: DemodState,
@@ -472,6 +505,11 @@ def estimate_channel_from_lts(config: ModemConfig, state: DemodState,
         channel_estimate=ce,
         estimated_snr_linear=snr,
         snr_symbol_count=jnp.full_like(state.snr_symbol_count, n_sym),
+        # Seed the adaptive-equalizer weights from the training estimate
+        # (channel_equalizer.cpp:570-580 inits lms_weights from the
+        # pilot-based estimate during the first symbols); harmless when
+        # adaptive_eq_enabled is off.
+        eq_weights=h_data_last.astype(jnp.complex64),
     )
 
 
@@ -605,8 +643,6 @@ def demodulate_presynced(config: ModemConfig, mod: Modulation,
     data = data.reshape(B, num_data_symbols, L)
 
     has_pilots = len(carriers_mod.carrier_map(config).pilot_idx) > 0
-
-    has_pilots = len(carriers_mod.carrier_map(config).pilot_idx) > 0
     if is_differential(mod) and not has_pilots:
         # FAST PATH: with no pilots the carry never changes (H fixed from the
         # LTS, nv fixed, ppc = 1, the reference's DD block is inert) and the
@@ -710,6 +746,9 @@ def _scan_data_symbols(config: ModemConfig, mod: Modulation, state: DemodState,
     B, S, L = data.shape
     has_pilots = len(carriers_mod.carrier_map(config).pilot_idx) > 0
 
+    adaptive = config.adaptive_eq_enabled and not is_differential(mod)
+    Cd = len(carriers_mod.carrier_map(config).data_idx)
+
     def step(carry, xs):
         state = carry
         sym, s_idx = xs
@@ -717,6 +756,8 @@ def _scan_data_symbols(config: ModemConfig, mod: Modulation, state: DemodState,
         if has_pilots:
             state = update_channel_estimate(config, state, fd)
         eq, cnv = equalize(config, mod, state, fd)
+        if adaptive:
+            state = dd_update(config, mod, state, fd[:, :Cd], eq)
         llrs, state = demodulate_symbol(config, mod, state, eq, cnv)
         return state, llrs
 

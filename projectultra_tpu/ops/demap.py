@@ -42,6 +42,17 @@ def clip_llr(llr):
     return jnp.where(small, jnp.where(c >= 0, MIN_LLR_MAG, -MIN_LLR_MAG), c)
 
 
+def hard_decision(mod: Modulation, sym):
+    """Nearest constellation point per symbol (hardDecision,
+    channel_equalizer.cpp:608-700 — the reference slices per I/Q axis; the
+    exhaustive nearest-point search is identical on Gray-mapped square/cross
+    grids and vectorizes as one [..., M] distance reduction)."""
+    pts = jnp.asarray(con.table(mod))          # [M] c64 (1-D host constant)
+    d2 = (jnp.square(sym.real[..., None] - pts.real)
+          + jnp.square(sym.imag[..., None] - pts.imag))
+    return pts[jnp.argmin(d2, axis=-1)]
+
+
 # ---------------------------------------------------------------------------
 # Coherent demappers
 # ---------------------------------------------------------------------------
