@@ -61,6 +61,88 @@ def _step_many(info_bits, keys):
     return probe, oks
 
 
+# --- Acquisition-inclusive workload (BASELINE config #5): dual-chirp
+# detection over the full noisy buffer -> per-frame dynamic-slice ->
+# MC-DPSK demod -> LDPC decode.  The FFT matched-filter search over the
+# whole ~75k-sample buffer dominates — this is the "fast where it's hard"
+# number VERDICT round 1 asked for.
+ACQ_BATCH = 256
+ACQ_ITERS = 16
+ACQ_SNR_DB = 5.0
+
+
+def _build_acq():
+    from projectultra_tpu.psk import mc_dpsk as MC
+    from projectultra_tpu.sync import chirp as chirp_mod
+    from projectultra_tpu.ops import ldpc as ldpc_ops
+
+    mc = MC.level10()
+    cc = mc.chirp_config()
+    code = ldpc.get_code(CodeRate.R1_4)
+    rng = np.random.default_rng(7)
+    info = rng.integers(0, 2, size=(ACQ_BATCH, code.k)).astype(np.float32)
+    info_j = jnp.asarray(info)
+    cw_j = ldpc_ops.encode(code, info_j)
+    lead = 4800
+    pre = np.concatenate([chirp_mod.generate(cc), MC.generate_training(mc),
+                          MC.generate_reference(mc)])
+    data = MC.modulate(mc, cw_j)
+    tx = jnp.concatenate([
+        jnp.zeros((ACQ_BATCH, lead)),
+        jnp.broadcast_to(jnp.asarray(pre), (ACQ_BATCH, len(pre))), data,
+        jnp.zeros((ACQ_BATCH, 4000))], axis=-1).astype(jnp.float32)
+    n_sym = MC.num_symbols_for_bits(mc, code.n)
+    span_len = mc.training_samples + mc.ref_samples + n_sym * mc.samples_per_symbol
+
+    @jax.jit
+    def step(tx, key):
+        rx = W.add_noise_active(key, tx, ACQ_SNR_DB)
+        det = chirp_mod.detect_dual_chirp(cc, rx, threshold=mc.chirp_threshold)
+        tr = chirp_mod.training_start(cc, det["down_chirp_start"])
+        T = rx.shape[-1]
+        starts = jnp.clip(tr, 0, T - span_len)
+        span = jax.vmap(lambda b, s: jax.lax.dynamic_slice(b, (s,), (span_len,))
+                        )(rx, starts)
+        llrs = MC.demodulate_presynced(mc, span, det["cfo_hz"],
+                                       tr.astype(jnp.float32), n_sym)
+        out, ok, _ = ldpc_ops.decode(code, llrs[:, :code.n])
+        return out, ok & det["success"]
+
+    @jax.jit
+    def step_many(tx, keys):
+        def body(carry, key):
+            out, ok = step(tx, key)
+            return carry, (out[0, 0], ok)
+        _, (probe, oks) = jax.lax.scan(body, 0, keys)
+        return probe, oks
+
+    return tx, info, step, step_many
+
+
+def _bench_acq():
+    tx, info, step, step_many = _build_acq()
+    keys_warm = jax.random.split(jax.random.PRNGKey(2), ACQ_ITERS)
+    keys_timed = jax.random.split(jax.random.PRNGKey(3), ACQ_ITERS)
+
+    out, ok = step(tx, keys_warm[0])
+    ok_rate = float(np.asarray(ok).mean())
+    bit_ok = bool((np.asarray(out)[np.asarray(ok)]
+                   == np.asarray(info, np.uint8)[np.asarray(ok)]).all())
+    jax.block_until_ready(step_many(tx, keys_warm))
+
+    t0 = time.perf_counter()
+    probe, oks = step_many(tx, keys_timed)
+    oks = np.asarray(oks)
+    np.asarray(probe)
+    dt = time.perf_counter() - t0
+
+    ok_rate = min(ok_rate, float(oks.mean()))
+    fps = ACQ_BATCH * ACQ_ITERS / dt
+    if ok_rate < 0.99 or not bit_ok:
+        return 0.0, ok_rate
+    return fps, ok_rate
+
+
 def main():
     code = ldpc.get_code(RATE)
     rng = np.random.default_rng(0)
@@ -106,6 +188,16 @@ def main():
         result["decode_ok_rate"] = ok_rate
         result["value"] = 0.0
         result["vs_baseline"] = 0.0
+
+    # Second metric (same correctness gate), carried on the same JSON line:
+    # the acquisition-inclusive workload (full dual-chirp search in the
+    # loop), BASELINE config #5.
+    acq_fps, acq_ok = _bench_acq()
+    result["acq_metric"] = "mcdpsk_chirp_acquisition_frames_per_sec"
+    result["acq_value"] = round(acq_fps, 1)
+    result["acq_unit"] = "frames/s/chip"
+    result["acq_decode_ok_rate"] = round(acq_ok, 4)
+
     print(json.dumps(result))
     return 0
 
