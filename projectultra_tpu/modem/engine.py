@@ -177,20 +177,20 @@ class ModemEngine:
         if self.use_connected_waveform_once:
             self.use_connected_waveform_once = False
 
+        tx_mod = self.data_modulation if (self.connected or is_data) \
+            else Modulation.DQPSK
+
         tx_rate = self.data_code_rate if is_data else CodeRate.R1_4
         if is_v2:
             cws = F.encode_frame_with_ldpc(data, tx_rate)
-            to_modulate = self._maybe_interleave(cws, active)
+            to_modulate = self._maybe_interleave(cws, active, tx_mod)
         else:
             rate = self.data_code_rate if self.connected else CodeRate.R1_4
             code = ldpc.get_code(rate if rate in ldpc.CODE_PARAMS else CodeRate.R1_2)
             encoded = ldpc.encode_bytes_np(code, data)
             n = F.LDPC_CODEWORD_BYTES
             cws = [encoded[i:i + n] for i in range(0, len(encoded), n)]
-            to_modulate = self._maybe_interleave(cws, active)
-
-        tx_mod = self.data_modulation if (self.connected or is_data) \
-            else Modulation.DQPSK
+            to_modulate = self._maybe_interleave(cws, active, tx_mod)
 
         preamble, modulated = self._modulate_waveform(active, to_modulate, tx_mod)
 
@@ -204,23 +204,33 @@ class ModemEngine:
         self.stats.bytes_sent += len(data)
         return out.astype(np.float32)
 
-    def _maybe_interleave(self, cws: list[bytes], wf: WaveformMode) -> bytes:
+    def _maybe_interleave(self, cws: list[bytes], wf: WaveformMode,
+                          tx_mod: Modulation | None = None) -> bytes:
         """Per-codeword channel interleave for OFDM waveforms only
         (modem_engine.cpp:292-310; DPSK never interleaves)."""
         use = self.interleaving_enabled and wf in (WaveformMode.OFDM_COX,
                                                    WaveformMode.OFDM_CHIRP)
         if not use:
             return b"".join(cws)
-        bps = self._ofdm_bits_per_symbol()
+        bps = self._ofdm_bits_per_symbol(wf, tx_mod)
         ci = channel_interleaver(bps, F.LDPC_CODEWORD_BITS)
         return b"".join(ci.interleave(cw) for cw in cws)
 
-    def _ofdm_bits_per_symbol(self) -> int:
-        cfg = self._chirp_ofdm_config() \
-            if self._active_tx_waveform() == WaveformMode.OFDM_CHIRP else self.config
-        cm = carriers_mod.carrier_map(cfg)
+    def _ofdm_bits_per_symbol(self, wf: WaveformMode | None = None,
+                              tx_mod: Modulation | None = None) -> int:
+        """Interleaver row width = data carriers x bits of the modulation
+        the TX will ACTUALLY use: always DQPSK on the pilot-less chirp
+        config (its modulator hardcodes it), the frame's tx_mod on Cox.
+        (Round-1 ADVICE: inferring DQPSK from use_pilots alone would
+        mis-size the interleaver for a pilot-less coherent Cox config.)"""
         from ..config import bits_per_symbol as bps_of
-        mod = Modulation.DQPSK if cfg.use_pilots is False else self.data_modulation
+        wf = wf if wf is not None else self._active_tx_waveform()
+        if wf == WaveformMode.OFDM_CHIRP:
+            cfg, mod = self._chirp_ofdm_config(), Modulation.DQPSK
+        else:
+            cfg = self.config
+            mod = tx_mod if tx_mod is not None else self.data_modulation
+        cm = carriers_mod.carrier_map(cfg)
         return len(cm.data_idx) * bps_of(mod)
 
     def _chirp_ofdm_config(self) -> ModemConfig:
