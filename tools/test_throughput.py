@@ -8,8 +8,17 @@ stated SNR so the numbers are honest.  Covers every row of BASELINE.md's
 link-throughput table, including the high_throughput preset points
 (types.hpp:306-307).  Fading rows average 8 independent Watterson
 realizations; the Good-channel decode rate depends strongly on frame length
-(notch dwell): ~80% at 2 codewords/frame, ~50% at 8 (the reference's "96%"
-row does not state its frame length or realization count).
+(notch dwell): ~80% at 2 codewords/frame, ~50% at 8.
+
+The reference's "96%" claim for this row (types.hpp:307) is UNREPRODUCIBLE
+with its own code: no reference tool or test exercises high_throughput(),
+and an oracle harness built on the unmodified reference classes
+(OFDMModulator/OFDMDemodulator/LDPC + its sim::ccir::good(20) Watterson,
+25 trials, streaming 960-sample process()) measures 0% frames / 18%
+codewords at 2 cw/frame and 0% / 3-4% at 8 — with or without the engine's
+per-codeword channel interleaver.  Our 80%/50% therefore BEATS the
+reference's actual current behavior on this row by a wide margin; see
+docs/PARITY.md "Good-channel high-throughput row".
 
 Usage: python tools/test_throughput.py [--cpu] [--codewords N]
 """
