@@ -471,14 +471,23 @@ class ModemEngine:
             return "ping"
         if self.waveform_mode == WaveformMode.OFDM_CHIRP:
             # LTS training = two identical symbols: repeated-symbol metric.
+            # Complex (analytic) correlation MAGNITUDE, not the raw real
+            # dot: under CFO the repeats differ by a constant rotation
+            # e^{j*2pi*cfo*L/fs} which the real dot turns into cos(phi) —
+            # at 50 Hz that crosses 0.3 and misclassified frames as PINGs
+            # (caught by the single-stream matrix).  |sum a*conj(b)| is
+            # rotation-invariant.  Host numpy (no eager device complex,
+            # INV-TPU-007).
             cfg = self._chirp_ofdm_config()
             L = cfg.symbol_duration
             if tr_start + 2 * L > len(buf):
                 return "wait"
-            a = buf[tr_start:tr_start + L]
-            b = buf[tr_start + L:tr_start + 2 * L]
-            denom = float(np.linalg.norm(a) * np.linalg.norm(b))
-            score = abs(float(np.dot(a, b))) / denom if denom > 1e-12 else 0.0
+            import scipy.signal as _sig
+            seg = buf[tr_start:tr_start + 2 * L].astype(np.float64)
+            z = _sig.hilbert(seg)
+            za, zb = z[:L], z[L:2 * L]
+            denom = float(np.linalg.norm(za) * np.linalg.norm(zb))
+            score = abs(np.vdot(za, zb)) / denom if denom > 1e-12 else 0.0
             return "ping" if score < 0.3 else "frame"
         # MC-DPSK: known (c*s)*90deg training pattern correlation.  Use the
         # first 4 training symbols (2048 samples, same as the RMS probe) so
@@ -709,9 +718,15 @@ class ModemEngine:
             return "wait"
         self._dpsk_pending = None
         if status == "fail":
-            # Drop the preamble only; data (if any) may be a mistimed frame
-            # that a later, better-aligned detection can still rescue.
-            self._consume(data_start)
+            # Step ONE SYMBOL into the failed preamble instead of consuming
+            # its whole span: the Barker-13x3 pattern is self-similar at a
+            # 13-symbol shift (26/39 symbols still match), so a partial
+            # preamble near the buffer end can fire a sidelobe detection
+            # ~13 symbols EARLY — consuming to its data_start would destroy
+            # the true preamble's head.  A gentle step converges: once the
+            # true preamble fully arrives it outscores the sidelobe and
+            # wins the argmax (caught by the single-stream matrix).
+            self._consume(max(1, data_start - cfg.preamble_samples + L))
             return 0
         self.frames_received += 1
         import time as _t

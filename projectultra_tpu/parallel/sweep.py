@@ -258,3 +258,88 @@ def run_matrix(rows=None, seed: int = 42, frames: int | None = None):
         res = run_point(point, seed=seed)
         out.append((res, min_rate, res.decode_rate >= min_rate))
     return out
+
+
+# --------------------------------------------------------------------------
+# Single-stream discipline: N frames as ONE continuous stream through ONE
+# receiver (test_iwaveform.cpp:340-600 — one TX modem builds
+# [silence][frame1][silence][frame2]... and a single receiver consumes it in
+# 960-sample chunks with a 100 ms poll cadence).  This exercises the real
+# product surface (ModemEngine acquisition/decode), including back-to-back
+# frame interference that the batched harness cannot see.
+# --------------------------------------------------------------------------
+
+_STREAM_WF = {"MC_DPSK": "MC_DPSK", "OFDM_CHIRP": "OFDM_CHIRP",
+              "DPSK": "DPSK"}
+
+
+def _stream_engines(point: SweepPoint):
+    from ..modem.engine import ModemEngine
+    from ..protocol.frame_v2 import WaveformMode
+    wf = WaveformMode[_STREAM_WF[point.waveform]]
+    tx, rx = ModemEngine(), ModemEngine()
+    for m in (tx, rx):
+        m.set_waveform_mode(wf)
+        m.connected = True
+        m.handshake_complete = True
+        m.data_code_rate = point.rate
+        if wf == WaveformMode.DPSK and point.preset:
+            m.dpsk_config = getattr(DP, point.preset)()
+    return tx, rx
+
+
+def run_point_stream(point: SweepPoint, seed: int = 42,
+                     chunk: int = 960, polls_every: int = 5) -> SweepResult:
+    """One continuous noisy stream of `point.frames` v2 DATA frames through
+    one ModemEngine, fed in `chunk`-sample pieces with a poll every
+    `polls_every` chunks (the reference's ~100 ms acquisition cadence)."""
+    from ..protocol import frame_v2 as F
+
+    tx, rx = _stream_engines(point)
+    payloads = [f"stream frame {i:02d}" for i in range(point.frames)]
+    pieces = []
+    for i, text in enumerate(payloads):
+        frame = F.DataFrame.make_data("W1AW", "VE3ABC", i + 1, text)
+        pieces.append(tx.transmit(frame.serialize()))
+        pieces.append(np.zeros(4800, np.float32))
+    stream = np.concatenate([np.zeros(4800, np.float32)] + pieces
+                            + [np.zeros(8000, np.float32)])
+
+    noisy = np.asarray(_apply_channel(
+        jax.random.PRNGKey(seed),
+        jnp.asarray(stream[None, :]), point))[0].astype(np.float32)
+
+    got = []
+    rx.on_frame = got.append
+    rx.on_ping = lambda snr: None
+    for n, i in enumerate(range(0, len(noisy), chunk)):
+        rx.feed_audio(noisy[i:i + chunk])
+        if n % polls_every == 0:
+            rx.poll()
+    for _ in range(rx.COX_MAX_IDLE_POLLS + 2):
+        rx.poll()
+
+    decoded = set()
+    cfo_errs = []
+    for fr in got:
+        df = F.DataFrame.deserialize(fr.frame_bytes)
+        if df is not None and all(fr.cw_ok) and df.payload_as_text() in payloads:
+            decoded.add(df.payload_as_text())
+            cfo_errs.append(abs(fr.cfo_hz - point.cfo_hz))
+    n = point.frames
+    cfo_err = float(np.mean(cfo_errs)) if cfo_errs else float("nan")
+    return SweepResult(point, len(decoded) / n, float("nan"),
+                       len(got) / n, cfo_err)
+
+
+def run_matrix_stream(rows=None, seed: int = 42, frames: int | None = None,
+                      chunk: int = 960):
+    """Regression rows under single-stream discipline."""
+    rows = rows if rows is not None else REGRESSION_MATRIX
+    out = []
+    for point, min_rate in rows:
+        if frames is not None:
+            point = dataclasses.replace(point, frames=frames)
+        res = run_point_stream(point, seed=seed, chunk=chunk)
+        out.append((res, min_rate, res.decode_rate >= min_rate))
+    return out

@@ -22,6 +22,12 @@ def main():
                     help="override frames per point")
     ap.add_argument("--cpu", action="store_true", help="force CPU backend")
     ap.add_argument("--seed", type=int, default=42)
+    ap.add_argument("--stream", action="store_true",
+                    help="single-stream discipline: N frames as ONE "
+                         "continuous stream through ONE ModemEngine in "
+                         "960-sample chunks (test_iwaveform.cpp rules)")
+    ap.add_argument("--chunk", type=int, default=960,
+                    help="stream chunk size in samples (with --stream)")
     args = ap.parse_args()
 
     import jax
@@ -32,11 +38,15 @@ def main():
         jax.config.update("jax_platforms", "cpu")
 
     from projectultra_tpu.parallel.sweep import (REGRESSION_MATRIX, FULL_EXTRA,
-                                                 run_matrix)
+                                                 run_matrix, run_matrix_stream)
 
     rows = list(REGRESSION_MATRIX) + (list(FULL_EXTRA) if args.full else [])
     t0 = time.perf_counter()
-    results = run_matrix(rows, seed=args.seed, frames=args.frames)
+    if args.stream:
+        results = run_matrix_stream(rows, seed=args.seed, frames=args.frames,
+                                    chunk=args.chunk)
+    else:
+        results = run_matrix(rows, seed=args.seed, frames=args.frames)
     dt = time.perf_counter() - t0
 
     print(f"{'waveform':<11} {'chan':<9} {'SNR':>5} {'CFO':>5} "
