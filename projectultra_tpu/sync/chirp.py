@@ -99,23 +99,31 @@ def _templates(cfg: ChirpConfig):
 
 
 def _corr_all(samples: jnp.ndarray, tmpl: np.ndarray, tmpl_energy: float,
-              n_fft: int) -> jnp.ndarray:
+              n_fft: int, S: jnp.ndarray | None = None,
+              energy: jnp.ndarray | None = None) -> jnp.ndarray:
     """Normalized complex-correlation magnitude at every offset.
 
     corr[p] = |sum_i s[p+i] * tmpl[i]| / sqrt(energy[p] * tmpl_energy)
-    via one FFT matched filter + cumsum energy. Output [B, T-L+1]."""
+    via one FFT matched filter + sliding energy. Output [B, T-L+1].
+
+    S / energy: optionally precomputed fft(samples, n_fft) and L-sample
+    sliding energy — detect_dual_chirp correlates TWO templates of the
+    same length against the same buffer, and the [B, n_fft] signal FFT is
+    the single largest op in the acquisition workload."""
     B, T = samples.shape
     L = tmpl.shape[0]
-    S = jnp.fft.fft(samples.astype(jnp.complex64), n=n_fft, axis=-1)
+    if S is None:
+        S = jnp.fft.fft(samples.astype(jnp.complex64), n=n_fft, axis=-1)
     # sum_i s[p+i]*tmpl[i] = ifft(fft(s) * conj(fft(conj(tmpl))))[p]
     Tf = jnp.fft.fft(jnp.conj(jnp.asarray(tmpl)), n=n_fft)
     corr = jnp.fft.ifft(S * jnp.conj(Tf), axis=-1)[:, :T - L + 1]
 
-    # Block-stable sliding energy: a global f32 cumsum difference loses all
-    # windowed-sum precision past ~50k samples (CLAUDE.md invariant), and
-    # chirp buffers are >=105.6k by construction.
-    from projectultra_tpu.sync.schmidl_cox import _window_sum
-    energy = _window_sum(samples * samples, L)
+    if energy is None:
+        # Block-stable sliding energy: a global f32 cumsum difference loses
+        # all windowed-sum precision past ~50k samples (CLAUDE.md
+        # invariant), and chirp buffers are >=105.6k by construction.
+        from projectultra_tpu.sync.schmidl_cox import _window_sum
+        energy = _window_sum(samples * samples, L)
     denom = jnp.sqrt(jnp.maximum(energy * tmpl_energy, 0.0))
     return jnp.where(denom > 1e-10, jnp.abs(corr) / denom, 0.0)
 
@@ -153,8 +161,11 @@ def detect_dual_chirp(cfg: ChirpConfig, samples: jnp.ndarray,
     n_fft = 1 << int(T - 1).bit_length()
     up_t, down_t, e_up, e_down = _templates(cfg)
 
-    corr_up = _corr_all(samples, up_t, e_up, n_fft)      # [B, T-L+1]
-    corr_dn = _corr_all(samples, down_t, e_down, n_fft)
+    S = jnp.fft.fft(samples.astype(jnp.complex64), n=n_fft, axis=-1)
+    from projectultra_tpu.sync.schmidl_cox import _window_sum
+    energy = _window_sum(samples * samples, L)
+    corr_up = _corr_all(samples, up_t, e_up, n_fft, S, energy)  # [B, T-L+1]
+    corr_dn = _corr_all(samples, down_t, e_down, n_fft, S, energy)
     n_pos = T - L + 1
     # Reference searches pos < samples.size() - L (exclusive of last).
     search_mask = jnp.arange(n_pos) < (T - L)
