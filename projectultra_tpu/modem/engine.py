@@ -117,6 +117,7 @@ class ModemEngine:
         # samples arriving must not re-run the full preamble search.
         self._dpsk_pending = None
         self._dpsk_searched_until = 0
+        self._dpsk_wait = None
         # Cox wait-state tracker for streaming resilience: absolute LTS
         # position of the frame we are waiting on, last seen absolute buffer
         # length, and consecutive polls in this state (see _cox_wait_tick).
@@ -535,13 +536,24 @@ class ModemEngine:
             hunt_rates = [CodeRate.R1_4]
             if self.connected and self.data_code_rate not in hunt_rates:
                 hunt_rates.append(self.data_code_rate)
-            for hr in hunt_rates:
-                hunted, off = SC.hunt_for_codeword(
-                    cfg, self.data_modulation, buf, lts_start + 2 * plen,
-                    rate=hr, cfo_hz=cfo)
-                if hunted and off:
-                    status, frame = self._decode_frame_cox(lts_start + off,
-                                                           cfo)
+            # Same mode candidates as _decode_frame_cox: a MODE_CHANGE may
+            # have crossed this frame in flight.
+            hunt_mods = [self.data_modulation]
+            if (self.prev_data_modulation is not None
+                    and self.prev_data_modulation not in hunt_mods):
+                hunt_mods.append(self.prev_data_modulation)
+            done = False
+            for hm in hunt_mods:
+                for hr in hunt_rates:
+                    hunted, off = SC.hunt_for_codeword(
+                        cfg, hm, buf, lts_start + 2 * plen, rate=hr,
+                        cfo_hz=cfo, interleaved=self.interleaving_enabled)
+                    if hunted and off:
+                        status, frame = self._decode_frame_cox(
+                            lts_start + off, cfo)
+                        done = True
+                        break
+                if done:
                     break
         if status == "wait":
             return self._cox_wait_tick(lts_start, plen)
@@ -710,12 +722,16 @@ class ModemEngine:
             if not bool(np.asarray(found)[0]):
                 return None
             data_start = int(np.asarray(ds)[0])
-            cfo, ipo, prev = cfo[0], ipo[0], prev[0]
+            # Keep cfo/ipo/prev as the [1]-shaped device arrays
+            # find_preamble returned: eager complex indexing (prev[0])
+            # raises UNIMPLEMENTED on the axon backend (INV-TPU-007), and
+            # demodulate_soft wants batch-shaped inputs anyway.
             self._dpsk_pending = (self._rx_consumed + data_start,
                                   cfo, ipo, prev)
         status, frame = self._decode_frame_dpsk(data_start, cfo, ipo, prev)
         if status == "wait":
-            return "wait"
+            return self._dpsk_wait_tick(data_start)
+        self._dpsk_wait = None
         self._dpsk_pending = None
         if status == "fail":
             # Step ONE SYMBOL into the failed preamble instead of consuming
@@ -735,10 +751,35 @@ class ModemEngine:
             self.on_frame(frame)
         return 1
 
+    def _dpsk_wait_tick(self, data_start: int):
+        """Idle-timeout for a pending DPSK frame (the Cox path's
+        _cox_wait_tick analogue, minus the symbol cap — legitimate DPSK
+        frames span minutes at the robust preset): >=10 polls in this state
+        with NO new audio (stream ended mid-frame) abandons the frame so
+        the receiver and its buffer are released."""
+        abs_start = self._rx_consumed + data_start
+        abs_len = self._rx_consumed + len(self._rx_buffer)
+        st = self._dpsk_wait
+        if st is None or st["abs_start"] != abs_start:
+            self._dpsk_wait = {"abs_start": abs_start, "abs_len": abs_len,
+                               "idle": 0}
+            return "wait"
+        if abs_len == st["abs_len"]:
+            st["idle"] += 1
+        else:
+            st["abs_len"], st["idle"] = abs_len, 0
+        if st["idle"] >= self.COX_MAX_IDLE_POLLS:
+            self._dpsk_wait = None
+            self._dpsk_pending = None
+            self._consume(data_start)
+            return 0
+        return "wait"
+
     def _decode_frame_dpsk(self, data_start: int, cfo, ipo, prev
                            ) -> tuple[str, Optional[DecodedFrame]]:
         """CW0 probe at R1/4 -> total_cw -> full differential decode.
-        cfo/ipo/prev stay on device (0-d complex downloads are unsupported
+        cfo/ipo/prev are the [1]-shaped device arrays from find_preamble
+        (0-d complex downloads and eager complex indexing are unsupported
         on the axon transport) and feed demodulate_soft directly."""
         cfg = self.dpsk_config
         buf = self._rx_buffer
@@ -755,8 +796,7 @@ class ModemEngine:
             if len(buf) < need:
                 return None
             span = jnp.asarray(buf[None, data_start:need])
-            llrs = DP.demodulate_soft(cfg, span, prev[None], cfo[None],
-                                      ipo[None])
+            llrs = DP.demodulate_soft(cfg, span, prev, cfo, ipo)
             return np.asarray(llrs)[0][:nbits]
 
         llrs0 = demod(1)
@@ -774,6 +814,11 @@ class ModemEngine:
             return "fail", None
         total_cw = max(1, info.total_cw) if info.is_control \
             else F.calculate_codewords(info.payload_len, rate0)
+        # A corrupted header that survived LDPC + header-CRC16 could still
+        # claim an absurd payload_len and wedge the receiver waiting for
+        # minutes of audio; the protocol bounds payloads at MAX_PAYLOAD_V2.
+        if total_cw > F.calculate_codewords(F.MAX_PAYLOAD_V2, rate0):
+            return "fail", None
 
         if total_cw > 1:
             llrs = demod(total_cw)
@@ -804,10 +849,10 @@ class ModemEngine:
         if pre_start >= 0:  # data_start <= len(buf): demod() checked need
             snr_db = float(np.asarray(DP.estimate_preamble_snr_db(
                 cfg, jnp.asarray(buf[None, pre_start:data_start]),
-                cfo[None]))[0])
+                cfo))[0])
             self.stats.current_snr_db = snr_db
         return "ok", DecodedFrame(frame_bytes=frame_bytes, header=info,
-                                  cw_ok=oks, cfo_hz=float(np.asarray(cfo)),
+                                  cw_ok=oks, cfo_hz=float(np.asarray(cfo)[0]),
                                   snr_db=snr_db,
                                   waveform=WaveformMode.DPSK)
 

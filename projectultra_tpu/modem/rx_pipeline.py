@@ -54,6 +54,8 @@ class RxPipeline:
         if kw and self.waveform.mode == WaveformMode.MC_DPSK and mc is not None:
             self._engine.mc_config = mc
             self._engine.chirp_config = mc.chirp_config()
+        if self.waveform.mode == WaveformMode.DPSK and mc is not None:
+            self._engine.dpsk_config = mc
         self._engine.on_frame = \
             lambda fr: self._frames.append(fr.frame_bytes)
         self._engine.on_ping = lambda snr: None
@@ -71,5 +73,14 @@ class RxPipeline:
         return self._frames.pop(0) if self._frames else None
 
     def reset(self):
-        self._engine._rx_buffer = np.zeros(0, np.float32)
+        """Drop buffered audio AND all acquisition state.  The dropped
+        samples count as consumed so the engine's absolute-position
+        bookkeeping (_dpsk_searched_until, pending frames) stays monotonic
+        with the next stream instead of pointing into it."""
+        eng = self._engine
+        eng._rx_consumed += len(eng._rx_buffer)
+        eng._rx_buffer = np.zeros(0, np.float32)
+        eng._dpsk_pending = None
+        eng._dpsk_wait = None
+        eng._cox_wait = None
         self._frames.clear()

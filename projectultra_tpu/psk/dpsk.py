@@ -361,6 +361,12 @@ def find_preamble(cfg: DPSKConfig, samples: jnp.ndarray,
                     0.0)
     p6 = jnp.arange(nmf.shape[-1])[None, :]
     win = (p6 >= (best - L)[:, None]) & (p6 <= (best + L)[:, None])
+    if valid_len is not None:
+        # The refine window must honor the same mask as the coarse search:
+        # without it the refined peak can slide up to L samples past the
+        # real prefix, putting the re-gathered reference symbol window into
+        # the zero padding (the exact corruption valid_len exists to stop).
+        win = win & (p6 + pre_n <= vl)
     refined = jnp.argmax(jnp.where(win, nmf, -1.0), axis=-1).astype(jnp.int32)
     best = jnp.where(jnp.abs(cfo) < 0.5, refined, best)
 

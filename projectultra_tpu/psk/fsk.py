@@ -273,10 +273,12 @@ def mfsk_demodulate_soft(cfg: MFSKConfig, samples: jnp.ndarray,
     if cfo_hz is not None:
         t = jnp.arange(x.shape[-1], dtype=jnp.float32) / cfg.sample_rate
         w = 2 * np.pi * jnp.asarray(cfo_hz, jnp.float32)[:, None] * t[None, :]
-        # Real mixer ride-along: shifting a real passband tone by -cfo in
-        # the detection basis equals detecting at f+cfo on the original —
-        # do it on the analytic-free real signal via quadrature pair.
-        xc = x * jnp.cos(w) + 1j * (x * jnp.sin(w))
+        # Shift the received tones DOWN by cfo (x * e^{-jw}) so a tone
+        # transmitted at f and received at f+cfo lands back on the static
+        # detection basis at f — equivalent to updateGoertzelForCFO's
+        # detection at f+cfo.  (Sign pinned by test_mfsk's estimate->demod
+        # wiring test; the original +jw derotation DOUBLED the offset.)
+        xc = x * jnp.cos(w) - 1j * (x * jnp.sin(w))
         syms = xc.reshape(B, n_sym, rep, L)
         _, bc, bs, _ = _mfsk_tables(cfg)
         c = jnp.real(syms) @ jnp.asarray(bc) + jnp.imag(syms) @ jnp.asarray(bs)

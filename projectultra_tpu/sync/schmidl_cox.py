@@ -229,7 +229,7 @@ def detect_preamble(config: ModemConfig, samples: jnp.ndarray,
 
 
 def hunt_for_codeword(config: ModemConfig, mod, samples, data_start: int,
-                      rate=None, cfo_hz: float = 0.0,
+                      rate=None, cfo_hz: float = 0.0, interleaved: bool = True,
                       offsets=(0, -50, 50, -100, 100, -150, 150)):
     """LDPC-validated timing hunt (huntForCodeword, ofdm_sync.cpp:469-643).
 
@@ -271,8 +271,12 @@ def hunt_for_codeword(config: ModemConfig, mod, samples, data_start: int,
         config, mod, spans, float(cfo_hz), 0.0,
         training_symbols=0, num_data_symbols=S)
     cm = carriers_mod.carrier_map(config)
-    ci = channel_interleaver(len(cm.data_idx) * bits_per_symbol(mod), code.n)
-    deint = llrs[:, :code.n][:, jnp.asarray(ci.perm)]
+    if interleaved:
+        ci = channel_interleaver(len(cm.data_idx) * bits_per_symbol(mod),
+                                 code.n)
+        deint = llrs[:, :code.n][:, jnp.asarray(ci.perm)]
+    else:
+        deint = llrs[:, :code.n]
     info, ok, _ = ldpc_ops.decode(code, deint)
     info = np.asarray(info)
     ok = np.asarray(ok)

@@ -85,6 +85,44 @@ class MCDPSKWaveform:
                                        train_start_abs, num_data_symbols)
 
 
+class DPSKWaveform:
+    """Single-carrier DPSK with Barker-13x3 sync — the operating mode the
+    reference constructs but never wires (modem_engine.cpp:55-56); an
+    engine-local extension here (see frame_v2.WaveformMode.DPSK)."""
+
+    mode = WaveformMode.DPSK
+
+    def __init__(self, preset: str = "medium"):
+        from ..psk import dpsk as DP
+        self._DP = DP
+        self.config = getattr(DP, preset)()
+
+    def capabilities(self) -> WaveformCapabilities:
+        return WaveformCapabilities(
+            supports_doppler_correction=True, min_snr_db=-11.0, max_snr_db=5.0,
+            preamble_duration_ms=self.config.preamble_samples / 48.0)
+
+    def generate_preamble(self) -> np.ndarray:
+        return self._DP.generate_preamble(self.config)
+
+    def modulate(self, bits: jnp.ndarray) -> jnp.ndarray:
+        return self._DP.modulate(self.config, bits)
+
+    def detect_sync(self, samples: jnp.ndarray,
+                    threshold: float = 0.0) -> SyncResult:
+        found, ds, cfo, ipo, prev = self._DP.find_preamble(self.config,
+                                                           samples)
+        self._last = (cfo, ipo, prev)
+        return SyncResult(np.asarray(found), np.asarray(ds),
+                          np.asarray(cfo), np.asarray(found, np.float32))
+
+    def demodulate(self, span: jnp.ndarray, cfo_hz, train_start_abs,
+                   num_data_symbols: int) -> jnp.ndarray:
+        _, ipo, prev = self._last
+        return self._DP.demodulate_soft(self.config, span, prev,
+                                        jnp.asarray(cfo_hz), ipo)
+
+
 class OFDMChirpWaveform:
     """OFDM-DQPSK with chirp sync, 30 carriers, no pilots
     (ofdm_chirp_waveform.cpp:10-31)."""
@@ -182,6 +220,8 @@ def create(mode: WaveformMode, **kw):
     (waveform_factory.cpp:11-50: MFSK -> MC_DPSK)."""
     if mode in (WaveformMode.MC_DPSK, WaveformMode.MFSK):
         return MCDPSKWaveform(**kw)
+    if mode == WaveformMode.DPSK:
+        return DPSKWaveform(**kw)
     if mode == WaveformMode.OFDM_CHIRP:
         return OFDMChirpWaveform(**kw)
     if mode in (WaveformMode.OTFS_EQ, WaveformMode.OTFS_RAW):

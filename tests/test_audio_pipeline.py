@@ -93,3 +93,45 @@ def test_rx_pipeline_streaming():
     assert pipe.has_frame()
     df = F.DataFrame.deserialize(pipe.get_frame())
     assert df and df.payload_as_text() == "pipeline frame"
+
+
+def test_rx_pipeline_dpsk_mode():
+    """RxPipeline(mode=DPSK) must actually run the single-carrier DPSK RX
+    path (review finding: WF.create used to fall through to OFDM_COX)."""
+    from projectultra_tpu.protocol.frame_v2 import WaveformMode
+    tx = ModemEngine()
+    tx.set_waveform_mode(WaveformMode.DPSK)
+    tx.connect_waveform = WaveformMode.DPSK
+    frame = F.ControlFrame.make_ack("W1AW", "VE3ABC", 4).serialize()
+    audio = np.concatenate([tx.transmit(frame), np.zeros(8000, np.float32)])
+
+    pipe = RxPipeline(mode=WaveformMode.DPSK)
+    assert pipe._engine.waveform_mode == WaveformMode.DPSK
+    for i in range(0, len(audio), 4800):
+        pipe.feed_audio(audio[i:i + 4800])
+    assert pipe.has_frame()
+    ctrl = F.ControlFrame.deserialize(pipe.get_frame())
+    assert ctrl is not None and ctrl.seq == 4
+
+
+def test_rx_pipeline_reset_then_fresh_stream():
+    """reset() must clear acquisition bookkeeping so frames in a NEW stream
+    decode immediately (review finding: stale _dpsk_searched_until skipped
+    every search until the new stream outgrew the old one)."""
+    tx = ModemEngine()
+    frame1 = F.DataFrame.make_data("W1AW", "VE3ABC", 1, "before reset")
+    frame2 = F.DataFrame.make_data("W1AW", "VE3ABC", 2, "after reset")
+    pipe = RxPipeline()
+    # Feed a partial frame, then reset mid-stream.
+    audio1 = tx.transmit(frame1.serialize())
+    pipe.feed_audio(audio1[:len(audio1) // 2])
+    pipe.reset()
+    assert not pipe.has_frame()
+    # A fresh full frame must decode.
+    audio2 = np.concatenate([tx.transmit(frame2.serialize()),
+                             np.zeros(4000, np.float32)])
+    for i in range(0, len(audio2), 4800):
+        pipe.feed_audio(audio2[i:i + 4800])
+    assert pipe.has_frame()
+    df = F.DataFrame.deserialize(pipe.get_frame())
+    assert df and df.payload_as_text() == "after reset"

@@ -103,3 +103,29 @@ def test_no_false_positive_on_noise():
                        np.float32) * 0.3
     found, _ = fsk.mfsk_find_preamble(cfg, jnp.asarray(noise))
     assert not np.asarray(found).any()
+
+
+def test_cfo_estimate_feeds_demod_directly():
+    """Wiring contract: mfsk_estimate_cfo's output passed STRAIGHT to
+    mfsk_demodulate_soft(cfo_hz=...) must compensate (not double) the
+    offset.  Pinned after a sign inversion was caught in review: the
+    derotation must shift the received tones DOWN by +cfo."""
+    cfg = fsk.mfsk_medium()
+    rng = np.random.default_rng(4)
+    info = rng.integers(0, 2, (2, CODE.k)).astype(np.float32)
+    cw = np.asarray(ldpc_ops.encode(CODE, jnp.asarray(info)))
+    pre = fsk.mfsk_generate_preamble(cfg)
+    data = np.asarray(fsk.mfsk_modulate(cfg, cw))
+    sig = np.concatenate([np.zeros((2, 3000), np.float32),
+                          np.tile(pre, (2, 1)), data], axis=-1)
+    x = W.apply_cfo_hilbert(jnp.asarray(sig), jnp.asarray([15.0, 15.0]))
+
+    cfo = fsk.mfsk_estimate_cfo(cfg, x, jnp.asarray([3000, 3000], jnp.int32))
+    assert abs(float(np.asarray(cfo)[0]) - 15.0) < 5.0
+    # 15 Hz discriminates: wrong-sign compensation doubles the
+    # offset to 30 Hz (> spacing/2) and BER jumps to ~0.5.
+    ds = 3000 + cfg.preamble_samples(2)
+    llr = fsk.mfsk_demodulate_soft(cfg, x[:, ds:], cfo_hz=cfo)
+    hard = (np.asarray(llr)[:, :CODE.n] < 0).astype(np.uint8)
+    ber = float((hard != cw.astype(np.uint8)).mean())
+    assert ber < 0.01, ber
