@@ -548,6 +548,10 @@ class ModemEngine:
                     hunted, off = SC.hunt_for_codeword(
                         cfg, hm, buf, lts_start + 2 * plen, rate=hr,
                         cfo_hz=cfo, interleaved=self.interleaving_enabled)
+                    # off == 0 means the hunt validated CW0 at the NOMINAL
+                    # position the straight decode already failed at (its
+                    # unity-channel trial equalization differs) — nothing
+                    # to retry there, so only nonzero offsets re-decode.
                     if hunted and off:
                         status, frame = self._decode_frame_cox(
                             lts_start + off, cfo)

@@ -394,7 +394,13 @@ def equalize(config: ModemConfig, mod: Modulation, state: DemodState,
     # Coherent MMSE with deep-fade soft erasure.  With the adaptive
     # equalizer enabled, the LMS/RLS weights (seeded from training, then
     # decision-directed-updated per symbol in dd_update) replace the
-    # pilot-tracked channel estimate (channel_equalizer.cpp:773-791).
+    # pilot-tracked channel estimate for EQUALIZATION
+    # (channel_equalizer.cpp:773-791), but fade detection stays on the
+    # pilot-tracked estimate (the reference's fade loop always reads
+    # channel_estimate): decision errors can drive a weight away from a
+    # faded carrier's true gain, which would hide the fade from a
+    # weights-based mask.
+    hp_fade = hp
     if config.adaptive_eq_enabled:
         h = state.eq_weights
         hp = jnp.abs(h) ** 2
@@ -405,8 +411,9 @@ def equalize(config: ModemConfig, mod: Modulation, state: DemodState,
                     jnp.clip(nv / (hp + 1e-6), MIN_CARRIER_NOISE_VAR,
                              MAX_CARRIER_NOISE_VAR),
                     MAX_CARRIER_NOISE_VAR)
-    avg_hp = hp.mean(-1, keepdims=True)
-    cnv = jnp.where(hp < FADE_THRESHOLD_RATIO * avg_hp, MAX_CARRIER_NOISE_VAR, cnv)
+    avg_hp = hp_fade.mean(-1, keepdims=True)
+    cnv = jnp.where(hp_fade < FADE_THRESHOLD_RATIO * avg_hp,
+                    MAX_CARRIER_NOISE_VAR, cnv)
     return eq.astype(jnp.complex64), cnv
 
 
@@ -591,6 +598,9 @@ def equalized_symbols(config: ModemConfig, mod: Modulation,
                                       t0_stride=t0_lts_stride)
     has_pilots = len(carriers_mod.carrier_map(config).pilot_idx) > 0
 
+    adaptive = config.adaptive_eq_enabled and not is_differential(mod)
+    Cd = len(carriers_mod.carrier_map(config).data_idx)
+
     def step(carry, xs):
         st = carry
         sym, s_idx = xs
@@ -598,6 +608,11 @@ def equalized_symbols(config: ModemConfig, mod: Modulation,
         if has_pilots:
             st = update_channel_estimate(config, st, fd)
         eq, cnv = equalize(config, mod, st, fd)
+        if adaptive:
+            # Keep the exported constellation in lockstep with what the
+            # decoder actually equalizes (same dd_update as
+            # _scan_data_symbols).
+            st = dd_update(config, mod, st, fd[:, :Cd], eq)
         _, st = demodulate_symbol(config, mod, st, eq, cnv)
         return st, eq
 

@@ -172,52 +172,79 @@ def detect_dual_chirp(cfg: ChirpConfig, samples: jnp.ndarray,
 
     cu = jnp.where(search_mask[None, :], corr_up, -1.0)
     idxb = jnp.arange(B)
-    # EARLIEST chirp wins, not the globally strongest: with several frames in
-    # one buffer a global argmax would lock onto a later chirp and discard
-    # everything before it (the reference's 100 ms acquisition poll gets
-    # first-wins for free because it sees the stream incrementally).
-    gmax = cu.max(-1)
-    strong = cu >= jnp.maximum(threshold, 0.7 * gmax[:, None])
-    first = jnp.argmax(strong, axis=-1).astype(jnp.int32)
-    # Local peak within +-512 of the first crossing.
-    rel = jnp.arange(-512, 513)
-    widx = jnp.clip(first[:, None] + rel[None, :], 0, cu.shape[-1] - 1)
-    wc = cu[idxb[:, None], widx]
-    up_pos = widx[idxb, jnp.argmax(wc, axis=-1)].astype(jnp.int32)
-    up_corr = cu[idxb, up_pos]
-    up_found = strong.any(-1) & (up_corr >= threshold)
-    up_pos = _parabolic_refine(corr_up, up_pos)
+    pos_idx = jnp.arange(n_pos)[None, :]
+    c2s = cfg.cfo_to_samples
 
-    # First strong up-chirp crossing AFTER this one (next frame's chirp):
-    # consumers cap buffer consumption there so a mis-sized consume can
-    # never eat a following frame's preamble.
-    pos_idx0 = jnp.arange(n_pos)[None, :]
-    later = strong & (pos_idx0 >= (up_pos + L)[:, None])
+    def resolve(strong):
+        """Earliest strong up candidate -> down-chirp validation -> CFO."""
+        first = jnp.argmax(strong, axis=-1).astype(jnp.int32)
+        # Local peak within +-512 of the first crossing.
+        rel = jnp.arange(-512, 513)
+        widx = jnp.clip(first[:, None] + rel[None, :], 0, cu.shape[-1] - 1)
+        wc = cu[idxb[:, None], widx]
+        up_pos = widx[idxb, jnp.argmax(wc, axis=-1)].astype(jnp.int32)
+        up_corr = cu[idxb, up_pos]
+        up_found = strong.any(-1) & (up_corr >= threshold)
+        up_pos = _parabolic_refine(corr_up, up_pos)
+
+        # Down-chirp search window (chirp_sync.hpp:420-438).
+        start = up_pos + L // 2
+        expected = up_pos + L + gap
+        end = jnp.minimum(T, expected + 2 * L)
+        end = jnp.where(end <= start + L, jnp.minimum(T, start + 2 * L), end)
+        dn_mask = (pos_idx >= start[:, None]) & (pos_idx + L <= end[:, None]) \
+            & (pos_idx < (T - L))
+        cd = jnp.where(dn_mask, corr_dn, -1.0)
+        down_pos = jnp.argmax(cd, axis=-1).astype(jnp.int32)
+        down_corr = cd[idxb, down_pos]
+        down_found = down_corr >= threshold
+        down_pos = _parabolic_refine(corr_dn, down_pos)
+
+        # CFO from gap error (10 samples/Hz sensitivity).
+        gap_error = (down_pos - up_pos - (L + gap)).astype(jnp.float32)
+        cfo_hz = gap_error / (2.0 * c2s)
+        cfo_ok = jnp.abs(cfo_hz) <= MAX_REASONABLE_CFO_HZ
+        success = up_found & down_found & cfo_ok
+        return dict(success=success, up_pos=up_pos, up_corr=up_corr,
+                    down_pos=down_pos, down_corr=down_corr,
+                    down_found=down_found, cfo_hz=cfo_hz, strong=strong)
+
+    # EARLIEST chirp wins, not the globally strongest: with several frames
+    # in one buffer a global argmax would lock onto a later chirp and
+    # discard everything before it.  Two candidate rules, validated by the
+    # full up+down+CFO chain:
+    #   A: earliest above the ABSOLUTE threshold — keeps a genuinely weak
+    #      (faded) early frame that a relative floor would skip;
+    #   B: earliest above max(threshold, 0.7*global max) — robust when A's
+    #      first crossing is a noise spike whose down-chirp never matches.
+    # A wins when it fully validates; otherwise fall back to B.
+    gmax = cu.max(-1)
+    res_a = resolve(cu >= threshold)
+    res_b = resolve(cu >= jnp.maximum(threshold, 0.7 * gmax[:, None]))
+    use_a = res_a["success"]
+
+    def pick(k):
+        a, b = res_a[k], res_b[k]
+        if a.ndim == 1:
+            return jnp.where(use_a, a, b)
+        return jnp.where(use_a[:, None], a, b)
+
+    success = jnp.where(use_a, res_a["success"], res_b["success"])
+    up_pos = pick("up_pos")
+    up_corr = pick("up_corr")
+    down_pos = pick("down_pos")
+    down_corr = pick("down_corr")
+    down_found = jnp.where(use_a, res_a["down_found"], res_b["down_found"])
+    cfo_hz = pick("cfo_hz")
+    strong = pick("strong")
+
+    # First strong up-chirp crossing AFTER the chosen one (next frame's
+    # chirp): consumers cap buffer consumption there so a mis-sized consume
+    # can never eat a following frame's preamble.
+    later = strong & (pos_idx >= (up_pos + L)[:, None])
     has_next = later.any(-1)
     next_up = jnp.where(has_next, jnp.argmax(later, axis=-1), -1).astype(jnp.int32)
 
-    # Down-chirp search window (chirp_sync.hpp:420-438).
-    start = up_pos + L // 2
-    expected = up_pos + L + gap
-    end = jnp.minimum(T, expected + 2 * L)
-    end = jnp.where(end <= start + L, jnp.minimum(T, start + 2 * L), end)
-    pos_idx = jnp.arange(n_pos)[None, :]
-    dn_mask = (pos_idx >= start[:, None]) & (pos_idx + L <= end[:, None]) \
-        & (pos_idx < (T - L))
-    cd = jnp.where(dn_mask, corr_dn, -1.0)
-    down_pos = jnp.argmax(cd, axis=-1).astype(jnp.int32)
-    down_corr = cd[idxb, down_pos]
-    down_found = down_corr >= threshold
-    down_pos = _parabolic_refine(corr_dn, down_pos)
-
-    # CFO from gap error (10 samples/Hz sensitivity).
-    c2s = cfg.cfo_to_samples
-    expected_gap = L + gap
-    gap_error = (down_pos - up_pos - expected_gap).astype(jnp.float32)
-    cfo_hz = gap_error / (2.0 * c2s)
-    cfo_ok = jnp.abs(cfo_hz) <= MAX_REASONABLE_CFO_HZ
-
-    success = up_found & down_found & cfo_ok
     up_start = jnp.round(up_pos + cfo_hz * c2s).astype(jnp.int32)
     down_start = jnp.round(down_pos - cfo_hz * c2s).astype(jnp.int32)
 

@@ -46,11 +46,16 @@ MIN_PLATEAU_SAMPLES = 15
 SEARCH_STEP = 8
 
 
-def analytic_signal(samples: jnp.ndarray) -> jnp.ndarray:
-    """FFT Hilbert transform over the whole buffer (ofdm_sync.cpp:56-84)."""
+def analytic_signal(samples: jnp.ndarray,
+                    X: jnp.ndarray | None = None) -> jnp.ndarray:
+    """FFT Hilbert transform over the whole buffer (ofdm_sync.cpp:56-84).
+    X: optionally precomputed fft(samples, n_fft) — detect_preamble shares
+    one signal FFT between this and the LTS matched filter (the two largest
+    ops in Cox acquisition)."""
     T = samples.shape[-1]
     n_fft = 1 << (T - 1).bit_length()
-    X = jnp.fft.fft(samples.astype(jnp.complex64), n=n_fft, axis=-1)
+    if X is None:
+        X = jnp.fft.fft(samples.astype(jnp.complex64), n=n_fft, axis=-1)
     mult = np.ones(n_fft, np.float32)
     mult[0] = 0.0            # drop DC entirely (reference removes per-window DC)
     mult[1:n_fft // 2] = 2.0
@@ -84,7 +89,8 @@ def _window_sum(x: jnp.ndarray, w: int) -> jnp.ndarray:
     return out[..., :T - w + 1]
 
 
-def sc_metric(config: ModemConfig, samples: jnp.ndarray):
+def sc_metric(config: ModemConfig, samples: jnp.ndarray,
+              X: jnp.ndarray | None = None):
     """Schmidl-Cox |P|/sqrt(R1 R2) and P at every offset.
 
     Returns (corr [B, n_off], P [B, n_off]) where offset d corresponds to a
@@ -92,7 +98,7 @@ def sc_metric(config: ModemConfig, samples: jnp.ndarray):
     """
     N, cp = config.fft_size, config.cyclic_prefix
     half = N // 2
-    a = analytic_signal(samples)
+    a = analytic_signal(samples, X)
     u = jnp.conj(a[..., :-half]) * a[..., half:]
     e = jnp.abs(a) ** 2
     P_all = _window_sum(u, half)                       # [..., T-N+1]
@@ -135,7 +141,11 @@ def detect_preamble(config: ModemConfig, samples: jnp.ndarray,
     N, cp = config.fft_size, config.cyclic_prefix
     plen = N + cp
 
-    corr, P = sc_metric(config, samples)
+    # ONE signal FFT shared by the S&C analytic transform and the LTS
+    # matched filter below (both use the same n_fft).
+    n_fft = 1 << int(T - 1).bit_length()
+    X = jnp.fft.fft(samples.astype(jnp.complex64), n=n_fft, axis=-1)
+    corr, P = sc_metric(config, samples, X)
     n_off = corr.shape[-1]
 
     # Energy gate (hasMinimumEnergy, ofdm_sync.cpp:20-50): window energy must
@@ -192,10 +202,8 @@ def detect_preamble(config: ModemConfig, samples: jnp.ndarray,
     tmpl = lts_passband_template(config)
     L = len(tmpl)
     e_ref = float((np.abs(tmpl) ** 2).sum()) * 0.5
-    n_fft = 1 << int(T - 1).bit_length()
-    S = jnp.fft.fft(samples.astype(jnp.complex64), n=n_fft, axis=-1)
     Tf = jnp.fft.fft(jnp.conj(jnp.asarray(tmpl)), n=n_fft)
-    mf = jnp.abs(jnp.fft.ifft(S * jnp.conj(Tf), axis=-1))[:, :T - L + 1]
+    mf = jnp.abs(jnp.fft.ifft(X * jnp.conj(Tf), axis=-1))[:, :T - L + 1]
     energy = _window_sum(samples * samples, L)
     nmf = jnp.where(energy * e_ref > 1e-12,
                     mf / jnp.sqrt(jnp.maximum(energy * e_ref, 1e-30)), 0.0)
@@ -285,7 +293,7 @@ def hunt_for_codeword(config: ModemConfig, mod, samples, data_start: int,
             first = bits_to_bytes(info[i][:16])
             if len(first) >= 2 and first[0] == 0x55 and first[1] == 0x4C:
                 return True, o
-    return False, 0
+    return False, None
 
 
 def decode_ofdm_cox(config: ModemConfig, mod, samples: jnp.ndarray,
@@ -318,22 +326,16 @@ def decode_ofdm_cox(config: ModemConfig, mod, samples: jnp.ndarray,
     # them at 0 and plen would make the two estimates differ by
     # 2*pi*fc*plen/fs (= pi at the default config) and cancel the pilot
     # average.  Data starts at mixer phase(2*plen) == phase(0).
-    from ..ofdm.demodulator import demodulate_with_lts
-
     start_lts = int(np.asarray(det["lts_start"])[0])
     plen = config.fft_size + config.cyclic_prefix
-    B = samples.shape[0]
     S = ofdm_pipeline.num_data_symbols(config, mod, n_codewords)
-    # Image-free demodulation under CFO for coherent modes
-    # (see demodulator.maybe_analytic).
-    from ..ofdm.demodulator import maybe_analytic
-    samples = maybe_analytic(mod, samples)
-    lts = samples[:, start_lts:start_lts + 2 * plen].reshape(B, 2, plen)
-    data_start = start_lts + 2 * plen
-    data = samples[:, data_start:data_start + S * config.symbol_duration]
-    data = data.reshape(B, S, config.symbol_duration)
-
-    llrs, _ = demodulate_with_lts(config, mod, lts, data, det["cfo_hz"], 0.0,
-                                  t0_lts=plen, t0_data=2 * plen,
-                                  t0_lts_stride=0)
+    # Slice the REAL span on the host (f32 — eager-safe) and let
+    # demodulate_span do maybe_analytic + complex slicing inside ONE jit:
+    # eager complex slicing of the converted array raises UNIMPLEMENTED on
+    # the axon backend (INV-TPU-007) — this is the same pattern the engine
+    # uses (modem/engine.py demod()).
+    span = samples[:, start_lts:start_lts + 2 * plen
+                   + S * config.symbol_duration]
+    llrs, _ = demod_mod.demodulate_span(config, mod, span, det["cfo_hz"],
+                                        0.0, n_lts=2, S=S)
     return llrs, det

@@ -64,3 +64,26 @@ def test_training_start_and_phase():
     assert int(ts[0]) == 1000 + CFG.chirp_samples + CFG.gap_samples
     ph = CS.initial_cfo_phase(CFG, jnp.asarray([30.0]), ts)
     assert -np.pi <= float(ph[0]) <= np.pi
+
+
+def test_earliest_weak_chirp_wins_over_later_strong():
+    """Earliest-chirp-wins must hold even when the early frame is FADED:
+    a 0.2x-amplitude chirp ahead of a full-strength one must be the
+    detection result (review finding: the 0.7*gmax floor used to skip it,
+    silently dropping the early frame).  The strong chirp is reported as
+    next_up_start so consumers cap consumption before it."""
+    from projectultra_tpu.psk import mc_dpsk as MC
+    from projectultra_tpu.sim import watterson as W
+    mc = MC.level10()
+    cc = mc.chirp_config()
+    ch = CS.generate(cc)
+    buf = np.zeros(200000, np.float32)
+    buf[5000:5000 + len(ch)] = 0.2 * ch
+    buf[120000:120000 + len(ch)] = ch
+    noisy = np.asarray(W.add_noise_active(
+        jax.random.PRNGKey(0), jnp.asarray(buf[None, :]), 10.0))[0]
+    det = {k: np.asarray(v)[0] for k, v in
+           CS.detect_dual_chirp(cc, jnp.asarray(noisy[None, :])).items()}
+    assert bool(det["success"])
+    assert abs(int(det["up_chirp_start"]) - 5000) < 100
+    assert abs(int(det["next_up_start"]) - 120000) < 200
