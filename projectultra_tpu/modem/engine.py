@@ -117,7 +117,9 @@ class ModemEngine:
         # samples arriving must not re-run the full preamble search.
         self._dpsk_pending = None
         self._dpsk_searched_until = 0
+        self._dpsk_clean_until = 0  # abs position below which no preamble starts
         self._dpsk_wait = None
+        self._chirp_last_key = None  # (consumed, buflen) of last chirp search
         # Cox wait-state tracker for streaming resilience: absolute LTS
         # position of the frame we are waiting on, last seen absolute buffer
         # length, and consecutive polls in this state (see _cox_wait_tick).
@@ -389,7 +391,25 @@ class ModemEngine:
         cc = self.chirp_config
         if len(buf) < cc.total_samples + 4000:
             return 0
-        bucketed = jnp.asarray(self._bucketed(buf)[None, :])
+        # Memoize identical-state passes: detection over an unchanged
+        # (consumed, length) buffer is deterministic, and the poll loop can
+        # land here several times per poll while a frame is pending.
+        key = (self._rx_consumed, len(buf))
+        if key == self._chirp_last_key:
+            return 0
+        self._chirp_last_key = key
+        # While a waveform frame is pending ("wait"), the buffer grows for
+        # the frame's whole duration (minutes at the robust DPSK preset) —
+        # searching the FULL buffer every poll would be quadratic.  A chirp
+        # not yet acted on can only live in recent audio, so bound the
+        # search to a tail window that always covers one whole preamble
+        # plus the newest bucket.
+        base = 0
+        if waveform_waiting:
+            win = 2 * cc.total_samples + self.STREAM_BUCKET
+            base = max(0, len(buf) - win)
+        view = buf[base:]
+        bucketed = jnp.asarray(self._bucketed(view)[None, :])
         det = {k: np.asarray(v)[0] for k, v in chirp_mod.detect_dual_chirp(
             cc, bucketed).items()}
         if not bool(det["success"]):
@@ -400,6 +420,10 @@ class ModemEngine:
             # the buffer, and safe when they provably are not.
             det = {k: np.asarray(v)[0] for k, v in chirp_mod.detect_dual_chirp(
                 cc, bucketed, threshold=WEAK_CHIRP_THRESHOLD).items()}
+        if base:
+            for k in ("up_chirp_start", "down_chirp_start", "next_up_start"):
+                if int(det[k]) >= 0:
+                    det[k] = det[k] + base
         if not bool(det["success"]):
             if waveform_waiting:
                 # A Cox/OTFS/DPSK frame may still be arriving — keep everything.
@@ -407,10 +431,18 @@ class ModemEngine:
             # keep a chirp-length tail for boundary-spanning preambles
             # (or a DPSK-preamble-length tail if that is longer)
             tail = cc.total_samples
+            consume = len(buf) - min(len(buf), tail + 8000)
             if self.waveform_mode == WaveformMode.DPSK:
                 tail = max(tail, self.dpsk_config.preamble_samples)
-            keep = min(len(buf), tail + 8000)
-            self._consume(len(buf) - keep)
+                # Never trim samples the bounded DPSK preamble search has
+                # not cleared: the search covers only the first
+                # DPSK_MAX_SEARCH_OFFSETS samples per pass, and a frame
+                # further into the buffer would be destroyed before any
+                # search ever saw it.
+                cleared = self._dpsk_clean_until - self._rx_consumed
+                consume = max(0, min(len(buf) - min(len(buf), tail + 8000),
+                                     cleared))
+            self._consume(consume)
             return 0
 
         tr_start = int(det["down_chirp_start"]) + cc.chirp_samples + cc.gap_samples
@@ -572,11 +604,21 @@ class ModemEngine:
             self.on_frame(frame)
         return 1
 
-    # Streaming-resilience limits (demodulator_constants.hpp:36-38):
-    # a synced frame may span at most 250 symbols, and a frame that makes
-    # no progress for 10 polls with no new audio is abandoned.
-    COX_MAX_SYMBOLS = 250
+    # Streaming-resilience limits (demodulator_constants.hpp:36-38 spirit):
+    # a frame that makes no progress for 10 polls with no new audio is
+    # abandoned.  The reference's blanket 250-symbol cap would kill
+    # LEGITIMATE long frames here (its comment sizes 250 for ~1KB at 43
+    # data carriers; the default config has 15, so a connected ~440-byte
+    # R1/2 frame already exceeds it) — the cap is instead derived from the
+    # protocol's real bound (MAX_PAYLOAD_V2 at the most symbol-hungry
+    # mode), see _cox_max_symbols.
     COX_MAX_IDLE_POLLS = 10
+
+    def _cox_max_symbols(self) -> int:
+        cw_max = F.calculate_codewords(F.MAX_PAYLOAD_V2, CodeRate.R1_4)
+        S = ofdm_pipeline.num_data_symbols(self.config, Modulation.DBPSK,
+                                           cw_max)
+        return S + 16  # margin for the preamble/LTS span
 
     def _cox_wait_tick(self, lts_start: int, plen: int):
         """Bookkeeping for a Cox frame that is detected but not fully
@@ -589,9 +631,10 @@ class ModemEngine:
           drop it and resync on the new one.
         - idle timeout: >=10 polls in this state with no new audio
           (e.g. the stream ended inside the frame) abandons the frame.
-        - symbol timeout: >250 symbols buffered past the preamble without
-          completing means the claimed frame length is bogus (corrupted
-          CW0 that still parsed) — abandon.
+        - symbol timeout: more symbols buffered past the preamble than the
+          protocol's largest possible frame (MAX_PAYLOAD_V2 at the most
+          symbol-hungry mode) without completing means the claimed frame
+          length is bogus — abandon.
         """
         from ..sync import schmidl_cox as SC
         abs_start = self._rx_consumed + lts_start
@@ -609,7 +652,7 @@ class ModemEngine:
 
         give_up = (st["idle"] >= self.COX_MAX_IDLE_POLLS
                    or abs_len - (abs_start + 2 * plen)
-                   > self.COX_MAX_SYMBOLS * self.config.symbol_duration)
+                   > self._cox_max_symbols() * self.config.symbol_duration)
         if give_up:
             self._cox_wait = None
             self._consume(lts_start + 2 * plen)
@@ -724,6 +767,14 @@ class ModemEngine:
                 cfg, jnp.asarray(padded[None, :]), max_search_symbols=max_syms,
                 valid_len=jnp.asarray([len(buf)], jnp.int32))
             if not bool(np.asarray(found)[0]):
+                # No preamble STARTS in the searched span — that region is
+                # provably clean and the chirp fallback's tail trim may
+                # consume it; anything beyond the bounded search span has
+                # NOT been examined and must be kept (the search cap would
+                # otherwise let the trim destroy a far-ahead frame).
+                searched = max(0, min(len(buf), max_syms * L) - pre_n)
+                self._dpsk_clean_until = max(self._dpsk_clean_until,
+                                             self._rx_consumed + searched)
                 return None
             data_start = int(np.asarray(ds)[0])
             # Keep cfo/ipo/prev as the [1]-shaped device arrays
@@ -737,6 +788,10 @@ class ModemEngine:
             return self._dpsk_wait_tick(data_start)
         self._dpsk_wait = None
         self._dpsk_pending = None
+        # Buffer content shifted (decode consumed / fail stepped): re-arm
+        # the search so a second frame already in the buffer is found in
+        # the SAME poll loop instead of waiting for 4800 new samples.
+        self._dpsk_searched_until = 0
         if status == "fail":
             # Step ONE SYMBOL into the failed preamble instead of consuming
             # its whole span: the Barker-13x3 pattern is self-similar at a

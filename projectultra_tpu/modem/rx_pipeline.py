@@ -56,6 +56,12 @@ class RxPipeline:
             self._engine.chirp_config = mc.chirp_config()
         if self.waveform.mode == WaveformMode.DPSK and mc is not None:
             self._engine.dpsk_config = mc
+        if (kw and self.waveform.mode == WaveformMode.OFDM_COX
+                and mc is not None):
+            # e.g. RxPipeline(mode=OFDM_COX, config=nvis_mode()): the
+            # engine's Cox acquisition/decode must use the adapter's
+            # ModemConfig or an NVIS (1024-FFT) peer never decodes.
+            self._engine.config = mc
         self._engine.on_frame = \
             lambda fr: self._frames.append(fr.frame_bytes)
         self._engine.on_ping = lambda snr: None
@@ -78,8 +84,9 @@ class RxPipeline:
         bookkeeping (_dpsk_searched_until, pending frames) stays monotonic
         with the next stream instead of pointing into it."""
         eng = self._engine
-        eng._rx_consumed += len(eng._rx_buffer)
-        eng._rx_buffer = np.zeros(0, np.float32)
+        with eng._buf_lock:  # INV-THREAD-001: buffer swaps under the lock
+            eng._rx_consumed += len(eng._rx_buffer)
+            eng._rx_buffer = np.zeros(0, np.float32)
         eng._dpsk_pending = None
         eng._dpsk_wait = None
         eng._cox_wait = None

@@ -25,6 +25,19 @@ from .file_transfer import FileTransferController, PayloadType
 from .frame_v2 import WaveformMode, ModeCapabilities
 
 
+def _wire_waveform(value: int, fallback):
+    """Parse a WaveformMode byte FROM THE WIRE.  DPSK (0x06) is an
+    engine-local extension with no ModeCapabilities bit — the reference's
+    wire enum tops out at 0x05, so accepting 0x06 from a peer would switch
+    the session onto a waveform the peer cannot demodulate (frame_v2.py
+    WaveformMode docstring: "never negotiated ... never appears on the
+    wire").  Unknown or local-only values degrade to the fallback."""
+    if value in WaveformMode._value2member_map_ \
+            and WaveformMode(value) != WaveformMode.DPSK:
+        return WaveformMode(value)
+    return fallback
+
+
 class ConnectionState(enum.IntEnum):
     DISCONNECTED = 0
     PROBING = 1
@@ -335,9 +348,8 @@ class Connection:
                          if frame.initial_code_rate in CodeRate._value2member_map_
                          else CodeRate.AUTO,
                          remote_caps=frame.mode_capabilities,
-                         remote_pref=WaveformMode(frame.negotiated_mode)
-                         if frame.negotiated_mode in WaveformMode._value2member_map_
-                         else WaveformMode.AUTO)
+                         remote_pref=_wire_waveform(frame.negotiated_mode,
+                                                    WaveformMode.AUTO))
         else:
             self._pending_remote = src or "REMOTE"
             self._pending_hash = frame.src_hash
@@ -377,9 +389,8 @@ class Connection:
     def _handle_connect_ack(self, frame: F.ConnectFrame):
         if self.state != ConnectionState.CONNECTING:
             return
-        self.negotiated_mode = WaveformMode(frame.negotiated_mode) \
-            if frame.negotiated_mode in WaveformMode._value2member_map_ \
-            else WaveformMode.OFDM_COX
+        self.negotiated_mode = _wire_waveform(frame.negotiated_mode,
+                                              WaveformMode.OFDM_COX)
         if frame.initial_modulation in Modulation._value2member_map_:
             self.data_modulation = Modulation(frame.initial_modulation)
         if frame.initial_code_rate in CodeRate._value2member_map_:

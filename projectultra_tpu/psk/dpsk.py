@@ -319,11 +319,24 @@ def find_preamble(cfg: DPSKConfig, samples: jnp.ndarray,
         vl = jnp.asarray(valid_len, jnp.int32).reshape(-1, 1)  # [B or 1, 1]
         score = jnp.where(offs[None, :] + pre_n <= vl, score, 0.0)
 
-    best = jnp.argmax(score, axis=-1).astype(jnp.int32)
+    # EARLIEST qualifying preamble wins, not the globally strongest: with
+    # two frames in one buffer a global argmax can lock onto the later
+    # (marginally stronger) one and the engine's consume-through-frame
+    # would discard the earlier frame (same rule as
+    # chirp.detect_dual_chirp).  "Qualifying" = above the absolute
+    # threshold AND within 85% of the global max, so a sub-threshold
+    # sidelobe ahead of a clean preamble cannot pre-empt it.
     idxb = jnp.arange(B)
+    gmax = score.max(-1)
+    strong = score >= jnp.maximum(DETECTION_THRESHOLD, 0.85 * gmax[:, None])
+    first = jnp.argmax(strong, axis=-1).astype(jnp.int32)
+    rel = jnp.arange(-L, L + 1)
+    widx = jnp.clip(first[:, None] + rel[None, :], 0, score.shape[-1] - 1)
+    wsc = score[idxb[:, None], widx]
+    best = widx[idxb, jnp.argmax(wsc, axis=-1)].astype(jnp.int32)
     best_score = score[idxb, best]
     global_avg = score[:, ::L].mean(-1)  # coarse-grid average, like the C++
-    found = (best_score >= DETECTION_THRESHOLD) & \
+    found = strong.any(-1) & (best_score >= DETECTION_THRESHOLD) & \
             (best_score >= global_avg * GLOBAL_OUTLIER_RATIO)
 
     # CFO estimate from the matched differentials (estimateCFOTolerant).

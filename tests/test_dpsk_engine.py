@@ -127,3 +127,35 @@ def test_cli_dpsk_pipe_loopback():
     err = rx.stderr.decode()
     assert "cli dpsk" in err
     assert "Frames: 1" in err
+
+
+def test_two_dpsk_frames_in_one_feed():
+    """Two frames fed in ONE buffer must BOTH decode, earliest first
+    (review findings: global-argmax selection could lock onto the later
+    frame; the consume-through then destroyed the earlier one)."""
+    tx, rx = _dpsk_engines()
+    for m in (tx, rx):
+        m.set_dpsk_speed_level(3)  # fast preset keeps the test quick
+    a1 = tx.transmit(F.ControlFrame.make_ack("AA1AA", "BB2BB", 1).serialize())
+    a2 = tx.transmit(F.ControlFrame.make_ack("AA1AA", "BB2BB", 2).serialize())
+    audio = np.concatenate([a1, np.zeros(2000, np.float32), a2,
+                            np.zeros(8000, np.float32)])
+    got = []
+    rx.on_frame = got.append
+    rx.feed_audio(audio)
+    rx.poll()
+    seqs = [F.ControlFrame.deserialize(fr.frame_bytes).seq for fr in got]
+    assert seqs == [1, 2]
+
+
+def test_earliest_preamble_wins_over_stronger_later():
+    """find_preamble must pick the EARLIEST qualifying preamble even when a
+    later one scores marginally higher (chirp detector rule)."""
+    cfg = DP.fast()
+    pre = DP.generate_preamble(cfg)
+    buf = np.zeros(80000, np.float32)
+    buf[3000:3000 + len(pre)] = 0.6 * pre   # earlier, weaker
+    buf[45000:45000 + len(pre)] = pre       # later, stronger
+    found, ds, *_ = DP.find_preamble(cfg, jnp.asarray(buf[None, :]))
+    assert bool(np.asarray(found)[0])
+    assert abs(int(np.asarray(ds)[0]) - (3000 + len(pre))) < cfg.samples_per_symbol
