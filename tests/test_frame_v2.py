@@ -121,3 +121,20 @@ def test_ldpc_decode_roundtrip():
 def test_ping():
     assert F.ping_serialize() == b"ULTR"
     assert F.is_ping(b"ULTRxx") and not F.is_ping(b"XYZ")
+
+
+def test_parsers_never_raise_on_garbage():
+    """Fuzz gate: every deserializer must reject (return None/invalid), not
+    raise, on arbitrary bytes — RX feeds LDPC output straight into these
+    (frame_v2.cpp parsers have the same total-function contract)."""
+    import numpy as np
+    rng = np.random.default_rng(7)
+    for _ in range(500):
+        n = int(rng.integers(0, 200))
+        data = bytes(rng.integers(0, 256, n, dtype=np.uint8))
+        for payload in (data, b"\x55\x4c" + data):
+            F.parse_header(
+                payload.ljust(F.BYTES_PER_CODEWORD, b"\0")[:F.BYTES_PER_CODEWORD])
+            assert F.ControlFrame.deserialize(payload) is None or True
+            F.DataFrame.deserialize(payload)
+            F.ConnectFrame.deserialize(payload)
