@@ -169,6 +169,12 @@ def run_prx(input_file, waveform):
             samples = np.frombuffer(chunk, dtype=np.float32)
             modem.feed_audio(samples)
             total += len(samples)
+            # Poll on the reference RX thread's ~100 ms cadence while
+            # feeding: the bounded DPSK preamble search (262k samples per
+            # pass) only advances between polls, so a frame deep inside a
+            # long recording is unreachable from one post-EOF poll.
+            if total % 4800 < 960:
+                modem.poll()
     finally:
         if input_file:
             src.close()

@@ -148,8 +148,14 @@ class RingBuffer:
             return int(self._lib.ultra_ring_write(
                 self._ptr, samples.ctypes.data_as(
                     ctypes.POINTER(ctypes.c_float)), len(samples)))
-        self._fallback = np.concatenate([self._fallback, samples])
-        return len(samples)
+        # Honor capacity like the native SPSC ring: truncate and report the
+        # partial count so callers' backpressure (AudioEngine drop-oldest)
+        # behaves identically on both backends.
+        room = self.capacity - len(self._fallback)
+        take = max(0, min(room, len(samples)))
+        if take:
+            self._fallback = np.concatenate([self._fallback, samples[:take]])
+        return take
 
     def available(self) -> int:
         if self._lib:

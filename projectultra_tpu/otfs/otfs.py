@@ -259,10 +259,16 @@ def demodulate_frame(cfg: OTFSConfig, mod: Modulation, samples: jnp.ndarray):
     return llrs.reshape(B, -1)
 
 
+@functools.partial(jax.jit, static_argnames=("cfg", "threshold"))
 def detect_frame(cfg: OTFSConfig, samples: jnp.ndarray, threshold: float = 0.7):
-    """Repeated-symbol sync metric |P|/R at every offset + the reference's
-    0.98 fine-sync rule (otfs.cpp:456-500), batched.  Returns (found [B],
-    start [B])."""
+    """Repeated-symbol sync, batched (detectSyncReal + fineSyncPreamble,
+    otfs.cpp:456-502): DETECTION gates on `threshold` (0.7 — the metric
+    converges to SNR/(1+SNR), so the waveform's 10 dB floor yields ~0.91),
+    while the 0.98 near-perfect rule is only FINE TIMING, with the coarse
+    crossing's local peak as the reference's fallback (its fine loop
+    returns 0 = keep the coarse position when 0.98 is never reached).
+    Jitted: called directly by the host engine (INV-TPU-007 + per-dispatch
+    tunnel latency).  Returns (found [B], start [B])."""
     from ..sync.schmidl_cox import _window_sum
     L = cfg.sym_len
     B, T = samples.shape
@@ -272,7 +278,17 @@ def detect_frame(cfg: OTFSConfig, samples: jnp.ndarray, threshold: float = 0.7):
     R = _window_sum(e2, L)
     metric = jnp.abs(P) / (R + 1e-10)
     metric = jnp.where(R / L > 1e-6, metric, 0.0)
+
+    coarse = metric > threshold
+    found = coarse.any(-1)
     fine = metric > 0.98
-    found = fine.any(-1)
-    start = jnp.argmax(fine, axis=-1).astype(jnp.int32)
+    has_fine = fine.any(-1)
+    start_fine = jnp.argmax(fine, axis=-1).astype(jnp.int32)
+    # Coarse fallback: local peak within one preamble of the first crossing.
+    idxb = jnp.arange(B)
+    first_c = jnp.argmax(coarse, axis=-1).astype(jnp.int32)
+    rel = jnp.arange(2 * L)
+    widx = jnp.clip(first_c[:, None] + rel[None, :], 0, metric.shape[-1] - 1)
+    peak = widx[idxb, jnp.argmax(metric[idxb[:, None], widx], axis=-1)]
+    start = jnp.where(has_fine, start_fine, peak).astype(jnp.int32)
     return found, start

@@ -16,14 +16,12 @@ continuous receiver path per frame, detection runs on the full noisy stream
 from __future__ import annotations
 
 import dataclasses
-import functools
-from typing import Callable
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..config import ModemConfig, Modulation, CodeRate, bits_per_symbol
+from ..config import Modulation, CodeRate
 from ..fec import ldpc
 from ..fec.interleave import channel_interleaver
 from ..ofdm import carriers as carriers_mod
@@ -65,7 +63,10 @@ def _apply_channel(key, tx: jnp.ndarray, point: SweepPoint) -> jnp.ndarray:
         tx = W.apply_cfo_hilbert(tx, jnp.full((B,), point.cfo_hz))
     if point.channel == "awgn":
         return W.add_noise_active(key, tx, point.snr_db)
-    cfg = W.PRESETS[point.channel](point.snr_db)
+    # test_iwaveform.cpp:530-555 channel parameters, NOT the hf_channel.hpp
+    # presets — the matrix thresholds were derived on the harness channels
+    # (poor is echo-dominant 0.6/0.8 there).
+    cfg = W.HARNESS_PRESETS[point.channel](point.snr_db)
     return W.watterson(key, tx, cfg)
 
 

@@ -72,6 +72,34 @@ PRESETS = {"awgn": awgn, "good": good, "moderate": moderate,
            "poor": poor, "flutter": flutter}
 
 
+# The reference's PRIMARY harness overrides the hf_channel.hpp presets with
+# its own channel parameters (test_iwaveform.cpp:530-555): good = faster
+# fading with asymmetric 0.9/0.4 paths, poor = ECHO-DOMINANT 0.6/0.8 paths.
+# The regression-matrix pass thresholds were derived on THESE channels, so
+# the sweep harness must use them — the symmetric presets above are the
+# GUI/simulator channels.
+def harness_good(snr_db: float) -> ChannelConfig:
+    return ChannelConfig(snr_db=snr_db, delay_spread_ms=0.5,
+                         doppler_spread_hz=0.2, path1_gain=0.9,
+                         path2_gain=0.4, cfo_enabled=False)
+
+
+def harness_moderate(snr_db: float) -> ChannelConfig:
+    return ChannelConfig(snr_db=snr_db, delay_spread_ms=1.0,
+                         doppler_spread_hz=0.5, cfo_enabled=False)
+
+
+def harness_poor(snr_db: float) -> ChannelConfig:
+    return ChannelConfig(snr_db=snr_db, delay_spread_ms=2.0,
+                         doppler_spread_hz=1.0, path1_gain=0.6,
+                         path2_gain=0.8, cfo_enabled=False)
+
+
+HARNESS_PRESETS = {"awgn": awgn, "good": harness_good,
+                   "moderate": harness_moderate, "poor": harness_poor,
+                   "flutter": flutter}
+
+
 def _ar1_scan(a: float, x: jnp.ndarray, y0) -> jnp.ndarray:
     """y[n] = (1-a) * y[n-1] + a * x[n] with y[-1] = y0, along the last axis,
     via associative_scan over affine maps (A, b) -> y = A*y_prev + b."""

@@ -18,8 +18,14 @@ def waterfall(samples, fft_size: int = 2048, hop: int | None = None,
     """[T] or [B, T] audio -> (power_db [lines, fft/2+1], freqs [fft/2+1]).
 
     Matches the GUI waterfall's 2048-point FFT / 200-line window
-    (src/gui/widgets/waterfall.cpp per docs/GUI_ARCHITECTURE.md)."""
-    x = jnp.atleast_2d(jnp.asarray(samples, jnp.float32))[0]
+    (src/gui/widgets/waterfall.cpp per docs/GUI_ARCHITECTURE.md).
+    [B, T] input is flattened in time order (the GUI feeds one continuous
+    stream; concatenation preserves every frame instead of silently
+    dropping rows 1..B-1); inputs shorter than fft_size are zero-padded to
+    one full line."""
+    x = jnp.atleast_2d(jnp.asarray(samples, jnp.float32)).reshape(-1)
+    if x.shape[-1] < fft_size:
+        x = jnp.pad(x, (0, fft_size - x.shape[-1]))
     hop = hop or fft_size // 2
     n_lines = min(max_lines, max(1, (x.shape[-1] - fft_size) // hop + 1))
     idx = (jnp.arange(n_lines)[:, None] * hop

@@ -113,8 +113,12 @@ class DPSKWaveform:
         found, ds, cfo, ipo, prev = self._DP.find_preamble(self.config,
                                                            samples)
         self._last = (cfo, ipo, prev)
+        # start_sample is the DATA start: single-carrier DPSK has no
+        # training segment (the Barker preamble itself seeds CFO/phase/
+        # reference), so has_training=False per the SyncResult contract.
         return SyncResult(np.asarray(found), np.asarray(ds),
-                          np.asarray(cfo), np.asarray(found, np.float32))
+                          np.asarray(cfo), np.asarray(found, np.float32),
+                          has_training=False)
 
     def demodulate(self, span: jnp.ndarray, cfo_hz, train_start_abs,
                    num_data_symbols: int) -> jnp.ndarray:

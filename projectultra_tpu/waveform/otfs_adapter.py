@@ -35,8 +35,11 @@ class OTFSWaveform:
                     threshold: float = 0.7) -> SyncResult:
         found, start = O.detect_frame(self.config, samples, threshold)
         B = samples.shape[0]
+        # start_sample is the PREAMBLE start (demodulate() wants the whole
+        # frame span from there); OTFS has no separate training segment.
         return SyncResult(np.asarray(found), np.asarray(start),
-                          np.zeros(B, np.float32), np.ones(B, np.float32))
+                          np.zeros(B, np.float32), np.ones(B, np.float32),
+                          has_training=False)
 
     def demodulate(self, frame_span: jnp.ndarray) -> jnp.ndarray:
         """frame_span aligned at PREAMBLE start, length >= frame_len."""

@@ -159,3 +159,29 @@ def test_earliest_preamble_wins_over_stronger_later():
     found, ds, *_ = DP.find_preamble(cfg, jnp.asarray(buf[None, :]))
     assert bool(np.asarray(found)[0])
     assert abs(int(np.asarray(ds)[0]) - (3000 + len(pre))) < cfg.samples_per_symbol
+
+
+def test_dpsk_frame_deep_in_long_recording():
+    """A frame starting beyond the bounded 262k-sample search span must
+    still decode when fed with the RX poll cadence (review finding: one
+    post-EOF poll left everything past the first search span unexamined;
+    cli.run_prx now polls every ~100 ms of audio while feeding)."""
+    tx, rx = _dpsk_engines()
+    audio = tx.transmit(F.ControlFrame.make_ack("AA1AA", "BB2BB", 9).serialize())
+    rng = np.random.default_rng(0)
+    lead = rng.normal(0, 0.003, 48000 * 6).astype(np.float32)  # > search span
+    stream = np.concatenate([lead, audio, np.zeros(8000, np.float32)])
+
+    got = []
+    rx.on_frame = got.append
+    total = 0
+    for i in range(0, len(stream), 960):
+        rx.feed_audio(stream[i:i + 960])
+        total += 960
+        if total % 4800 < 960:
+            rx.poll()
+    rx.poll()
+    assert len(got) == 1
+    assert F.ControlFrame.deserialize(got[0].frame_bytes).seq == 9
+    # The cleared-region trims must have kept the buffer bounded.
+    assert len(rx._rx_buffer) < 200000

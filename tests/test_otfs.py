@@ -121,3 +121,26 @@ def test_detect_frame():
     # start (the reference's rule has the same bias, otfs.cpp:478-500);
     # CP=64 absorbs it.
     assert abs(int(np.asarray(start)[0]) - 4000) <= 32
+
+
+def test_detect_frame_at_operating_snr():
+    """Detection must gate on the 0.7 coarse threshold, not the 0.98
+    fine-timing rule: at 12 dB (above the waveform's 10 dB floor) the
+    repeated-symbol metric tops out near SNR/(1+SNR) ~ 0.94, which the old
+    fine-only gate rejected (review finding).  End-to-end: detect on the
+    noisy stream, then decode through the engine-style refined start."""
+    from projectultra_tpu.sim import watterson as W
+    cfg = CFG
+    code = ldpc.get_code(CodeRate.R1_4)
+    rng = np.random.default_rng(5)
+    info = rng.integers(0, 2, size=(2, code.k)).astype(np.float32)
+    cw = ldpc_ops.encode(code, jnp.asarray(info))
+    tx = np.asarray(O.frame_tx(cfg, Modulation.QPSK, cw))
+    sig = np.concatenate([np.zeros((2, 4000), np.float32), tx,
+                          np.zeros((2, 2000), np.float32)], axis=-1)
+    noisy = W.add_noise_active(jax.random.PRNGKey(2), jnp.asarray(sig), 12.0)
+    found, start = O.detect_frame(cfg, noisy)
+    assert np.asarray(found).all()
+    # Coarse-fallback timing lands within a couple of symbols; the engine
+    # refines with a preamble matched filter before decoding.
+    assert (np.abs(np.asarray(start) - 4000) < 2 * cfg.sym_len).all()
