@@ -17,6 +17,11 @@ The ModemEngine RX buffer is guarded by a lock (INV-THREAD-001), and JAX
 dispatch is thread-safe, so the two decode threads run concurrently.
 
 Usage: python tools/threaded_simulator.py [--cpu] [--snr DB]
+
+Run with --cpu in this container: the real-time decode-thread cadence is
+incompatible with the axon tunnel's large per-dispatch latency (CLAUDE.md
+gotcha) — connect times out there while the same code passes on CPU and
+would run fine against a locally-attached chip.
 """
 
 import argparse
