@@ -37,13 +37,3 @@ GOLDEN_DIR = os.path.join(os.path.dirname(__file__), "data", "golden")
 def golden_dir():
     return GOLDEN_DIR
 
-
-def load_golden_kv(path):
-    """Parse 'key hexvalue' lines into a dict."""
-    out = {}
-    with open(path) as f:
-        for line in f:
-            parts = line.split()
-            if len(parts) >= 2:
-                out[parts[0]] = parts[1:] if len(parts) > 2 else parts[1]
-    return out

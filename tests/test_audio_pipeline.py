@@ -90,6 +90,7 @@ def test_rx_pipeline_streaming():
     ready = False
     for i in range(0, len(audio), 4800):
         ready = pipe.feed_audio(audio[i:i + 4800]) or ready
+    assert ready  # feed_audio's frame-ready return contract
     assert pipe.has_frame()
     df = F.DataFrame.deserialize(pipe.get_frame())
     assert df and df.payload_as_text() == "pipeline frame"

@@ -90,7 +90,6 @@ def test_data_frame_loopback_ofdm_chirp():
     tx_modem.connected = True
     tx_modem.handshake_complete = True
     tx_modem.set_waveform_mode(WaveformMode.OFDM_CHIRP)
-    tx_modem.data_modulation = F.Modulation.DQPSK if hasattr(F, "Modulation") else None
     from projectultra_tpu.config import Modulation, CodeRate
     tx_modem.data_modulation = Modulation.DQPSK
     tx_modem.data_code_rate = CodeRate.R1_4
@@ -262,6 +261,8 @@ def test_cli_ptx_prx_pipe(tmp_path, capsys):
     np.concatenate([audio, np.zeros(4000, np.float32)]).tofile(padded)
     rc = cli.main(["prx", str(padded)])
     assert rc == 0
+    # run_prx returns 0 unconditionally — the decode evidence is stderr.
+    assert "Frames: 1" in capsys.readouterr().err
 
 
 def test_cli_info(capsys):

@@ -133,8 +133,11 @@ def test_parsers_never_raise_on_garbage():
         n = int(rng.integers(0, 200))
         data = bytes(rng.integers(0, 256, n, dtype=np.uint8))
         for payload in (data, b"\x55\x4c" + data):
-            F.parse_header(
+            hdr = F.parse_header(
                 payload.ljust(F.BYTES_PER_CODEWORD, b"\0")[:F.BYTES_PER_CODEWORD])
-            assert F.ControlFrame.deserialize(payload) is None or True
-            F.DataFrame.deserialize(payload)
-            F.ConnectFrame.deserialize(payload)
+            # Random bytes must be REJECTED (CRC16 gates), not just not
+            # raise: a valid result from garbage would flow into RX.
+            assert not hdr.valid
+            assert F.ControlFrame.deserialize(payload) is None
+            assert F.DataFrame.deserialize(payload) is None
+            assert F.ConnectFrame.deserialize(payload) is None

@@ -57,14 +57,16 @@ RECORDINGS = [
 def _load(path: str) -> np.ndarray:
     raw = open(path, "rb").read()
     if raw[:4] == b"RIFF":  # two captures are 16-bit WAV
-        fmt = struct.unpack("<H", raw[20:22])[0]
+        fmt, body = 1, b""
         i = 12
-        while i < len(raw):
+        while i + 8 <= len(raw):
             cid, sz = raw[i:i + 4], struct.unpack("<I", raw[i + 4:i + 8])[0]
+            if cid == b"fmt ":
+                fmt = struct.unpack("<H", raw[i + 8:i + 10])[0]
             if cid == b"data":
                 body = raw[i + 8:i + 8 + sz]
                 break
-            i += 8 + sz
+            i += 8 + sz + (sz & 1)  # RIFF chunks are word-aligned
         if fmt == 3:
             return np.frombuffer(body, np.float32).copy()
         return np.frombuffer(body, np.int16).astype(np.float32) / 32768.0

@@ -49,3 +49,4 @@ def test_channel_interleaver_roundtrip_and_spread():
     sym_of = ci.perm // ci.bits_per_symbol
     gaps = np.abs(np.diff(sym_of.astype(np.int64)))
     assert ci.symbol_separation >= 3
+    assert gaps.min() >= ci.symbol_separation  # the PERMUTATION spreads

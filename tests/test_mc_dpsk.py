@@ -115,7 +115,10 @@ def test_estimate_snr_db_tracks_true_snr():
 
 
 def test_loopback_awgn_snr5_cfo30():
-    """MC-DPSK AWGN SNR=5 CFO=30 Hz -> 100% (regression_matrix.sh:143-146).
+    """PRESYNCED kernel check at the matrix row's operating point (AWGN
+    SNR=5, CFO=30): oracle position + true CFO isolate the demod/LDPC
+    chain.  The actual regression row (real chirp detection, estimated
+    CFO, no oracle) runs in parallel/sweep + tools/regression_matrix.py.
     The CFO ramp starts at the training start (train_abs=0)."""
     key = jax.random.PRNGKey(4)
     cfo = 30.0

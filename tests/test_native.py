@@ -65,9 +65,12 @@ def test_ring_buffer_wraparound_and_threads():
                 out.append(chunk)
                 got += len(chunk)
 
-    tp = threading.Thread(target=producer)
-    tc = threading.Thread(target=consumer)
+    tp = threading.Thread(target=producer, daemon=True)
+    tc = threading.Thread(target=consumer, daemon=True)
     tp.start(); tc.start()
-    tp.join(); tc.join()
+    # Bounded joins: a lost/duplicated sample (the SPSC bug this test
+    # exists to catch) must FAIL, not wedge the suite in the spin loops.
+    tp.join(timeout=30); tc.join(timeout=30)
+    assert not tp.is_alive() and not tc.is_alive(), "ring transfer stalled"
     result = np.concatenate(out)
     np.testing.assert_array_equal(result, src)

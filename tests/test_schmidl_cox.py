@@ -112,9 +112,6 @@ def test_hunt_for_codeword_recovers_timing():
     """LDPC-validated hunt finds the true data start from a wrong nominal
     position (huntForCodeword semantics, ofdm_sync.cpp:469-643)."""
     code = ldpc.get_code(CodeRate.R1_4)
-    rng = np.random.default_rng(21)
-    info = rng.integers(0, 2, size=(1, code.k)).astype(np.float32)
-    cw = np.asarray(ldpc_ops.encode(code, jnp.asarray(info)))
     # Build a v2-looking codeword: set the first two info BYTES to 0x554C.
     from projectultra_tpu.protocol import frame_v2 as F
     hdr = F.ControlFrame.make_ack("W1AW", "VE3ABC", 1).serialize()
