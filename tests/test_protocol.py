@@ -286,3 +286,58 @@ def test_many_messages_soak():
     assert got_b == [f"a{i}" for i in range(200)]
     assert got_a == [f"b{i}" for i in range(200)]
     assert a.is_connected and b.is_connected
+
+
+def test_over_the_air_lossy_soak():
+    """60 messages each way over the FULL modem path on an 8 dB moderate
+    Watterson channel: frames genuinely get lost and the 45 s SR-ARQ
+    timeout retransmissions must recover every one, in order, with the
+    connection alive throughout (the direct-wire soak above cannot
+    exercise loss recovery)."""
+    import jax
+    import jax.numpy as jnp
+    from projectultra_tpu.protocol.engine import ProtocolEngine
+    from projectultra_tpu.sim import watterson as W
+
+    key = jax.random.PRNGKey(11)
+    counter = [0]
+
+    def channel(audio):
+        counter[0] += 1
+        a = jnp.asarray(np.concatenate(
+            [np.zeros(2000, np.float32), audio,
+             np.zeros(4000, np.float32)])[None, :])
+        a = W.watterson(jax.random.fold_in(key, counter[0]), a,
+                        W.PRESETS["moderate"](8.0))
+        return np.asarray(a)[0]
+
+    a, b = ProtocolEngine(), ProtocolEngine()
+    a.connection.set_local_callsign("W1AW")
+    b.connection.set_local_callsign("VE3ABC")
+    b.connection.set_measured_snr(8.0)
+    a.on_tx_audio = lambda audio: b.feed_audio(channel(audio))
+    b.on_tx_audio = lambda audio: a.feed_audio(channel(audio))
+    got_a, got_b = [], []
+    a.connection.on_message_received = got_a.append
+    b.connection.on_message_received = got_b.append
+
+    a.connect("VE3ABC")
+    assert a.connection.is_connected and b.connection.is_connected
+
+    N = 60
+    ia = ib = 0
+    for _ in range(2000):
+        if ia < N and a.send_message(f"soak-a-{ia:03d}"):
+            ia += 1
+        if ib < N and b.send_message(f"soak-b-{ib:03d}"):
+            ib += 1
+        a.tick(5000)
+        b.tick(5000)
+        if ia >= N and ib >= N and len(got_a) >= N and len(got_b) >= N:
+            break
+
+    assert got_b == [f"soak-a-{i:03d}" for i in range(N)]
+    assert got_a == [f"soak-b-{i:03d}" for i in range(N)]
+    assert (a.connection.arq.stats.retransmissions
+            + b.connection.arq.stats.retransmissions) > 0  # loss really hit
+    assert a.connection.is_connected and b.connection.is_connected
