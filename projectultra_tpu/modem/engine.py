@@ -706,8 +706,11 @@ class ModemEngine:
         # matched filter — strictly better than the reference's rule.
         coarse = int(np.asarray(start)[0])
         pre = O.generate_preamble(ocfg)
-        lo = max(0, coarse - 96)
-        hi = min(len(buf) - len(pre), coarse + 96)
+        # Window covers one full symbol each way: the coarse fallback's
+        # plateau-edge estimate can be off by a large fraction of a symbol
+        # at SNRs where the 0.98 fine rule never fires.
+        lo = max(0, coarse - ocfg.sym_len)
+        hi = min(len(buf) - len(pre), coarse + ocfg.sym_len)
         if hi <= lo:
             return "wait"  # preamble not fully buffered yet
         corr = np.correlate(buf[lo:hi + len(pre)], pre, mode="valid")

@@ -284,11 +284,17 @@ def detect_frame(cfg: OTFSConfig, samples: jnp.ndarray, threshold: float = 0.7):
     fine = metric > 0.98
     has_fine = fine.any(-1)
     start_fine = jnp.argmax(fine, axis=-1).astype(jnp.int32)
-    # Coarse fallback: local peak within one preamble of the first crossing.
+    # Coarse fallback: the metric PLATEAUS over the 4-symbol preamble, so
+    # the plateau's argmax can land up to 2 symbols late — take the FIRST
+    # position within 95% of the local peak (the plateau's leading edge,
+    # same bias as the reference's first->0.98 rule).
     idxb = jnp.arange(B)
     first_c = jnp.argmax(coarse, axis=-1).astype(jnp.int32)
     rel = jnp.arange(2 * L)
     widx = jnp.clip(first_c[:, None] + rel[None, :], 0, metric.shape[-1] - 1)
-    peak = widx[idxb, jnp.argmax(metric[idxb[:, None], widx], axis=-1)]
-    start = jnp.where(has_fine, start_fine, peak).astype(jnp.int32)
+    wmet = metric[idxb[:, None], widx]
+    pv = wmet.max(-1, keepdims=True)
+    lead = jnp.argmax(wmet >= 0.95 * pv, axis=-1)
+    start_coarse = widx[idxb, lead]
+    start = jnp.where(has_fine, start_fine, start_coarse).astype(jnp.int32)
     return found, start

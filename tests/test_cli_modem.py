@@ -324,3 +324,35 @@ def test_truncated_frame_then_full_frame():
     texts = [F.DataFrame.deserialize(fr.frame_bytes).payload_as_text()
              for fr in frames if F.DataFrame.deserialize(fr.frame_bytes)]
     assert "survivor" in texts
+
+
+def test_otfs_eq_engine_at_12db():
+    """OTFS engine RX at 12 dB AWGN — above the waveform's 10 dB floor but
+    below where the repeated-symbol metric reaches the 0.98 fine-timing
+    value (~0.94 here): exercises the coarse 0.7 detection gate + fallback
+    timing through the FULL engine path (review fix; the kernel-level
+    twin is tests/test_otfs.py::test_detect_frame_at_operating_snr)."""
+    from projectultra_tpu.config import Modulation, CodeRate
+
+    def eng():
+        m = ModemEngine()
+        m.connected = True
+        m.handshake_complete = True
+        m.set_waveform_mode(WaveformMode.OTFS_EQ)
+        m.data_modulation = Modulation.QPSK
+        m.data_code_rate = CodeRate.R1_4
+        return m
+
+    tx = eng().transmit(F.DataFrame.make_data(
+        "W1AW", "VE3ABC", 6, "otfs 12db").serialize())
+    a = jnp.asarray(np.concatenate(
+        [np.zeros(2500, np.float32), tx, np.zeros(3000, np.float32)])[None, :])
+    a = W.add_noise_active(jax.random.PRNGKey(3), a, 12.0)
+    rx = eng()
+    frames = []
+    rx.on_frame = frames.append
+    rx.feed_audio(np.asarray(a)[0])
+    rx.poll()
+    assert len(frames) == 1
+    df = F.DataFrame.deserialize(frames[0].frame_bytes)
+    assert df and df.payload_as_text() == "otfs 12db"
