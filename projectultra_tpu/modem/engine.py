@@ -461,17 +461,18 @@ class ModemEngine:
             return 0
         if kind == "ping":
             self.pings_received += 1
+            # SNR from the chirp matched-filter correlation: for a
+            # normalized correlation c, c^2 ~ S/(S+N) so SNR = c^2/(1-c^2).
+            # The reference passes getCurrentSNR() here — a stale tracked
+            # value that is 0 for a fresh receiver; deriving it from THIS
+            # chirp is strictly more informative and feeds the same
+            # mode-recommendation path (and the stat updates even for
+            # callback-less consumers).
+            c = float(min(max(det["up_correlation"],
+                              det["down_correlation"]), 0.999))
+            snr_db = 10.0 * np.log10(max(c * c / (1.0 - c * c), 1e-3))
+            self.stats.current_snr_db = snr_db
             if self.on_ping:
-                # SNR from the chirp matched-filter correlation: for a
-                # normalized correlation c, c^2 ~ S/(S+N) so
-                # SNR = c^2/(1-c^2).  The reference passes getCurrentSNR()
-                # here — a stale tracked value that is 0 for a fresh
-                # receiver; deriving it from THIS chirp is strictly more
-                # informative and feeds the same mode-recommendation path.
-                c = float(min(max(det["up_correlation"],
-                                  det["down_correlation"]), 0.999))
-                snr_db = 10.0 * np.log10(max(c * c / (1.0 - c * c), 1e-3))
-                self.stats.current_snr_db = snr_db
                 self.on_ping(round(snr_db, 1))
             self._consume(min(int(det["up_chirp_start"]) + cc.total_samples,
                               cap))

@@ -370,18 +370,13 @@ def test_file_transfer_over_lossy_air(tmp_path):
                         W.PRESETS["moderate"](8.0))
         return np.asarray(a)[0]
 
-    import dataclasses
     from projectultra_tpu.config import CodeRate
 
     a, b = ProtocolEngine(), ProtocolEngine()
     a.connection.set_local_callsign("W1AW")
     b.connection.set_local_callsign("VE3ABC")
     b.connection.set_measured_snr(8.0)
-    try:
-        a.connection.config.forced_code_rate = CodeRate.R1_4
-    except dataclasses.FrozenInstanceError:
-        a.connection.config = dataclasses.replace(
-            a.connection.config, forced_code_rate=CodeRate.R1_4)
+    a.connection.config.forced_code_rate = CodeRate.R1_4
     b.connection.file_transfer.receive_dir = str(tmp_path)
     a.on_tx_audio = lambda audio: b.feed_audio(channel(audio))
     b.on_tx_audio = lambda audio: a.feed_audio(channel(audio))
