@@ -63,3 +63,16 @@ def test_waterfall_and_constellation():
     pts = obs.constellation(np.exp(1j * np.linspace(0, 6, 1000)))
     assert pts.shape == (500, 2)
     assert np.abs(np.hypot(pts[:, 0], pts[:, 1]) - 1).max() < 1e-5
+
+
+def test_waterfall_batch_and_short_inputs():
+    """[B, T] input flattens in time order (no silent row drop) and
+    shorter-than-fft input zero-pads to one valid line (review fix)."""
+    from projectultra_tpu.utils.observability import waterfall
+    x = np.random.default_rng(0).normal(0, 1, (3, 4096)).astype(np.float32)
+    p2, _ = waterfall(x, fft_size=2048)
+    pflat, _ = waterfall(x.reshape(-1), fft_size=2048)
+    assert p2.shape == pflat.shape  # batch rows all contribute
+    np.testing.assert_allclose(p2, pflat, rtol=1e-5)
+    p1, freqs = waterfall(np.ones(500, np.float32), fft_size=2048)
+    assert p1.shape == (1, 1025) and np.isfinite(p1).all()
