@@ -150,13 +150,30 @@ class ModemEngine:
         self.dpsk_config = dataclasses.replace(
             self.dpsk_config, modulation=modulation,
             samples_per_symbol=samples_per_symbol)
+        self._chirp_last_key = None  # preamble length feeds the tail trim
 
     def set_dpsk_speed_level(self, level: int):
         """Preset selection by speed level (GUI speed table semantics)."""
         self.dpsk_config = self.DPSK_SPEED_PRESETS[level]()
+        self._chirp_last_key = None  # preamble length feeds the tail trim
 
     def set_waveform_mode(self, mode: WaveformMode):
         self.waveform_mode = mode
+        self._chirp_last_key = None  # re-arm detection over the same buffer
+
+    def reset_rx(self):
+        """Clear ALL acquisition state and the RX buffer (public so
+        consumers like RxPipeline never reach into engine internals).
+        TX/connection/negotiated-mode state is deliberately untouched."""
+        with self._buf_lock:
+            self._rx_buffer = np.zeros(0, np.float32)
+            self._rx_consumed = 0
+        self._dpsk_pending = None
+        self._dpsk_searched_until = 0
+        self._dpsk_clean_until = 0
+        self._dpsk_wait = None
+        self._chirp_last_key = None
+        self._cox_wait = None
 
     def _active_tx_waveform(self) -> WaveformMode:
         """4-way priority (modem_engine.cpp:372-397)."""
@@ -392,9 +409,12 @@ class ModemEngine:
         if len(buf) < cc.total_samples + 4000:
             return 0
         # Memoize identical-state passes: detection over an unchanged
-        # (consumed, length) buffer is deterministic, and the poll loop can
-        # land here several times per poll while a frame is pending.
-        key = (self._rx_consumed, len(buf))
+        # buffer is deterministic, and the poll loop can land here several
+        # times per poll while a frame is pending.  The key includes the
+        # waveform mode and DPSK preamble length because both change the
+        # fail-path tail-trim bookkeeping over the SAME buffer.
+        key = (self._rx_consumed, len(buf), self.waveform_mode,
+               self.dpsk_config.preamble_samples)
         if key == self._chirp_last_key:
             return 0
         self._chirp_last_key = key
@@ -825,18 +845,30 @@ class ModemEngine:
         return 1
 
     def _dpsk_wait_tick(self, data_start: int):
-        """Idle-timeout for a pending DPSK frame (the Cox path's
-        _cox_wait_tick analogue, minus the symbol cap — legitimate DPSK
-        frames span minutes at the robust preset): >=10 polls in this state
-        with NO new audio (stream ended mid-frame) abandons the frame so
-        the receiver and its buffer are released."""
+        """Idle-timeout + mid-frame preemption for a pending DPSK frame (the
+        Cox path's _cox_wait_tick analogue, minus the symbol cap —
+        legitimate DPSK frames span minutes at the robust preset):
+
+        - idle timeout: >=10 polls in this state with NO new audio (stream
+          ended mid-frame) abandons the frame so the receiver and its
+          buffer are released.
+        - mid-frame preamble preemption: a multi-codeword frame cut after
+          CW0 and followed by a NEW frame would otherwise wait forever
+          (idle never increments while the second frame's audio arrives),
+          then decode garbage and blind-consume data_start + n_sym*L —
+          swallowing the new frame's preamble.  From the 2nd consecutive
+          waiting poll, search newly-arrived audio AFTER the pending data
+          start for a fresh Barker preamble and resync onto it."""
+        cfg = self.dpsk_config
         abs_start = self._rx_consumed + data_start
         abs_len = self._rx_consumed + len(self._rx_buffer)
         st = self._dpsk_wait
         if st is None or st["abs_start"] != abs_start:
+            # searched: absolute position the preemption search has covered.
             self._dpsk_wait = {"abs_start": abs_start, "abs_len": abs_len,
-                               "idle": 0}
+                               "idle": 0, "polls": 1, "searched": abs_start}
             return "wait"
+        st["polls"] += 1
         if abs_len == st["abs_len"]:
             st["idle"] += 1
         else:
@@ -846,6 +878,37 @@ class ModemEngine:
             self._dpsk_pending = None
             self._consume(data_start)
             return 0
+
+        if st["polls"] >= 2 and abs_len - st["searched"] >= 4800:
+            buf = self._rx_buffer
+            L = cfg.samples_per_symbol
+            pre_n = cfg.preamble_samples
+            # The pending frame's CW0 always decoded (demod(1) succeeded
+            # before any "wait"), so its first 648-bit span is NOT a place a
+            # new preamble can start; search after it.
+            cw0_end = data_start + (-(-F.LDPC_CODEWORD_BITS //
+                                      cfg.bits_per_symbol)) * L
+            tail_off = min(cw0_end, len(buf))
+            tail = buf[tail_off:]
+            if len(tail) >= pre_n + L:
+                st["searched"] = abs_len
+                padded = self._bucketed(tail)
+                max_syms = min(-(-(len(padded) - pre_n) // L),
+                               self.DPSK_MAX_SEARCH_OFFSETS // L)
+                found, ds, _, _, _ = DP.find_preamble(
+                    cfg, jnp.asarray(padded[None, :]),
+                    max_search_symbols=max_syms,
+                    valid_len=jnp.asarray([len(tail)], jnp.int32))
+                if bool(np.asarray(found)[0]):
+                    # Pending TX was cut off — drop it, keep the WHOLE new
+                    # preamble and let the next poll re-acquire it.
+                    self._dpsk_wait = None
+                    self._dpsk_pending = None
+                    self._dpsk_searched_until = 0
+                    keep_from = tail_off + max(
+                        0, int(np.asarray(ds)[0]) - pre_n)
+                    self._consume(keep_from)
+                    return 0
         return "wait"
 
     def _decode_frame_dpsk(self, data_start: int, cfo, ipo, prev

@@ -79,15 +79,8 @@ class RxPipeline:
         return self._frames.pop(0) if self._frames else None
 
     def reset(self):
-        """Drop buffered audio AND all acquisition state.  The dropped
-        samples count as consumed so the engine's absolute-position
-        bookkeeping (_dpsk_searched_until, pending frames) stays monotonic
-        with the next stream instead of pointing into it."""
-        eng = self._engine
-        with eng._buf_lock:  # INV-THREAD-001: buffer swaps under the lock
-            eng._rx_consumed += len(eng._rx_buffer)
-            eng._rx_buffer = np.zeros(0, np.float32)
-        eng._dpsk_pending = None
-        eng._dpsk_wait = None
-        eng._cox_wait = None
+        """Drop buffered audio AND all acquisition state via the engine's
+        own reset_rx() (which owns the full list of acquisition fields —
+        no reaching into engine internals from here)."""
+        self._engine.reset_rx()
         self._frames.clear()

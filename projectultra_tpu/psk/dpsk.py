@@ -323,21 +323,45 @@ def find_preamble(cfg: DPSKConfig, samples: jnp.ndarray,
     # two frames in one buffer a global argmax can lock onto the later
     # (marginally stronger) one and the engine's consume-through-frame
     # would discard the earlier frame (same rule as
-    # chirp.detect_dual_chirp).  "Qualifying" = above the absolute
-    # threshold AND within 85% of the global max, so a sub-threshold
-    # sidelobe ahead of a clean preamble cannot pre-empt it.
+    # chirp.detect_dual_chirp).  Two candidate rules, A/B-resolved like the
+    # chirp detector:
+    #   A: earliest above the ABSOLUTE threshold whose score also dominates
+    #      its own Barker 13/26-symbol-shift sidelobes — keeps a genuinely
+    #      weak (faded) early frame sitting below 85% of a later stronger
+    #      preamble (the sidelobe-dominance check rejects the 26/39-match
+    #      self-similarity lobe that fires 13 symbols EARLY);
+    #   B: earliest within 85% of the global max — the round-2 rule, robust
+    #      when A's crossing is a noise spike that fails the final gates.
+    # A wins when it fully validates; otherwise fall back to B.
     idxb = jnp.arange(B)
     gmax = score.max(-1)
-    strong = score >= jnp.maximum(DETECTION_THRESHOLD, 0.85 * gmax[:, None])
-    first = jnp.argmax(strong, axis=-1).astype(jnp.int32)
-    rel = jnp.arange(-L, L + 1)
-    widx = jnp.clip(first[:, None] + rel[None, :], 0, score.shape[-1] - 1)
-    wsc = score[idxb[:, None], widx]
-    best = widx[idxb, jnp.argmax(wsc, axis=-1)].astype(jnp.int32)
-    best_score = score[idxb, best]
     global_avg = score[:, ::L].mean(-1)  # coarse-grid average, like the C++
-    found = strong.any(-1) & (best_score >= DETECTION_THRESHOLD) & \
-            (best_score >= global_avg * GLOBAL_OUTLIER_RATIO)
+    rel = jnp.arange(-L, L + 1)
+
+    def _resolve(strong):
+        first = jnp.argmax(strong, axis=-1).astype(jnp.int32)
+        widx = jnp.clip(first[:, None] + rel[None, :], 0, score.shape[-1] - 1)
+        wsc = score[idxb[:, None], widx]
+        b = widx[idxb, jnp.argmax(wsc, axis=-1)].astype(jnp.int32)
+        bs = score[idxb, b]
+        f = strong.any(-1) & (bs >= DETECTION_THRESHOLD) & \
+            (bs >= global_avg * GLOBAL_OUTLIER_RATIO)
+        return f, b
+
+    n13 = 13 * L
+
+    def _shift(k):
+        # score at offset o+k; out-of-range reads as -1 (never dominates).
+        return jnp.concatenate(
+            [score[:, k:], jnp.full((B, min(k, score.shape[-1])), -1.0)],
+            axis=-1)[:, :score.shape[-1]]
+
+    dominated = (score < _shift(n13)) | (score < _shift(2 * n13))
+    found_a, best_a = _resolve((score >= DETECTION_THRESHOLD) & ~dominated)
+    found_b, best_b = _resolve(
+        score >= jnp.maximum(DETECTION_THRESHOLD, 0.85 * gmax[:, None]))
+    best = jnp.where(found_a, best_a, best_b)
+    found = found_a | found_b
 
     # CFO estimate from the matched differentials (estimateCFOTolerant).
     sy = syms[idxb, best]                                        # [B, n_sym]

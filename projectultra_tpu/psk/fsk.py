@@ -208,7 +208,7 @@ def mfsk_modulate(cfg: MFSKConfig, bits) -> jnp.ndarray:
 
 @functools.partial(jax.jit, static_argnames=("cfg", "cycles"))
 def mfsk_find_preamble(cfg: MFSKConfig, samples: jnp.ndarray,
-                       cycles: int = 2):
+                       cycles: int = 2, valid_len=None):
     """Batched tone-sweep preamble search (findPreamble, mfsk.hpp:173-283).
 
     Tone powers are computed ONCE for every L/4-strided window; every
@@ -218,6 +218,12 @@ def mfsk_find_preamble(cfg: MFSKConfig, samples: jnp.ndarray,
     >= 0.6.  (The reference's stage-1 dominance gate only prunes candidates
     — the parallel search needs no pruning, and keeping only the fine gates
     cannot reject more than the reference does.)
+
+    valid_len ([B] or scalar, dynamic): number of REAL samples in a
+    zero-padded streaming buffer.  Offsets whose preamble would extend past
+    it are masked out — a partially-arrived sweep can clear the 30%-valid
+    and 0.6-score gates (the clamped window grid reuses the last window),
+    yielding a data_start whose data has not arrived yet.
 
     Returns (found [B] bool, data_start [B] int32) — data_start is the
     first sample AFTER the preamble, matching the DPSK interface."""
@@ -250,6 +256,9 @@ def mfsk_find_preamble(cfg: MFSKConfig, samples: jnp.ndarray,
     score = jnp.where(valid, kernel, 0.0).sum(-1) / n_sym       # [B, O]
     enough = valid.sum(-1) >= int(np.ceil(n_sym * MFSK_VALID_FRACTION))
     score = jnp.where(enough, score, 0.0)
+    if valid_len is not None:
+        vl = jnp.asarray(valid_len, jnp.int32).reshape(-1, 1)   # [B or 1, 1]
+        score = jnp.where(offs[None, :] * step + pre_len <= vl, score, 0.0)
 
     best_o = jnp.argmax(score, axis=-1)
     best_score = jnp.take_along_axis(score, best_o[:, None], 1)[:, 0]

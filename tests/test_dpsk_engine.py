@@ -185,3 +185,87 @@ def test_dpsk_frame_deep_in_long_recording():
     assert F.ControlFrame.deserialize(got[0].frame_bytes).seq == 9
     # The cleared-region trims must have kept the buffer bounded.
     assert len(rx._rx_buffer) < 200000
+
+
+def test_weak_faded_early_preamble_found():
+    """ADVICE r2: a genuinely weak (faded) early preamble sitting below 85%
+    of a later stronger one must still win (earliest-frame semantics).  At
+    this operating point the early peak scores ~0.82 — above the absolute
+    0.80 gate but below 0.85*gmax (~0.847), so the round-2 relative-only
+    rule skipped it and the engine's consume-through destroyed the frame."""
+    cfg = DP.fast()
+    pre = DP.generate_preamble(cfg)
+    rng = np.random.default_rng(5)
+    buf = rng.normal(0, 1.0, 80000).astype(np.float32)
+    buf[3000:3000 + len(pre)] += 0.13 * pre   # faded early frame
+    buf[45000:45000 + len(pre)] += 1.0 * pre  # strong later frame
+    found, ds, *_ = DP.find_preamble(cfg, jnp.asarray(buf[None, :]))
+    assert bool(np.asarray(found)[0])
+    assert abs(int(np.asarray(ds)[0]) - (3000 + len(pre))) < cfg.samples_per_symbol
+
+
+def test_dpsk_wait_preemption_on_cut_frame():
+    """ADVICE r2: a multi-codeword DPSK frame cut after CW0 and followed by
+    a NEW frame must not wedge the receiver — the wait tick must spot the
+    new preamble in later audio, drop the cut frame, and decode the new one
+    (the Cox path's mid-frame preemption, _cox_wait_tick)."""
+    tx, rx = _dpsk_engines()
+    for m in (tx, rx):
+        m.set_dpsk_speed_level(3)  # fast preset keeps the test quick
+    big = F.DataFrame.make_data("AA1AA", "BB2BB", 1, "x" * 120).serialize()
+    cut_audio = tx.transmit(big)
+    cfg = rx.dpsk_config
+    L, bc = cfg.samples_per_symbol, cfg.bits_per_symbol
+    cw0_syms = -(-F.LDPC_CODEWORD_BITS // bc)
+    # Keep preamble + CW0 + two extra symbols, cut the rest mid-frame.
+    keep = cfg.preamble_samples + (cw0_syms + 2) * L
+    assert keep < len(cut_audio)  # must really be multi-codeword
+    follow = tx.transmit(F.ControlFrame.make_ack("AA1AA", "BB2BB", 4).serialize())
+    stream = np.concatenate([cut_audio[:keep], follow,
+                             np.zeros(8000, np.float32)])
+    got = []
+    rx.on_frame = got.append
+    for i in range(0, len(stream), 960):
+        rx.feed_audio(stream[i:i + 960])
+        rx.poll()
+    rx.poll()
+    seqs = [F.ControlFrame.deserialize(fr.frame_bytes).seq for fr in got
+            if F.ControlFrame.deserialize(fr.frame_bytes) is not None]
+    assert 4 in seqs
+
+
+def test_reset_rx_clears_acquisition_state():
+    """ModemEngine.reset_rx owns the full acquisition-state list (ADVICE r2:
+    RxPipeline.reset previously reached into five private fields and missed
+    two); a fresh frame decodes normally after a mid-frame reset."""
+    tx, rx = _dpsk_engines()
+    frame = F.ControlFrame.make_ack("AA1AA", "BB2BB", 5).serialize()
+    audio = tx.transmit(frame)
+    rx.feed_audio(audio[:len(audio) // 2])  # half a frame
+    rx.poll()
+    rx.reset_rx()
+    assert len(rx._rx_buffer) == 0 and rx._rx_consumed == 0
+    assert rx._dpsk_pending is None and rx._dpsk_wait is None
+    assert rx._chirp_last_key is None and rx._cox_wait is None
+    assert rx._dpsk_searched_until == 0 and rx._dpsk_clean_until == 0
+    got = []
+    rx.on_frame = got.append
+    rx.feed_audio(audio)
+    rx.poll()
+    assert len(got) == 1
+    assert F.ControlFrame.deserialize(got[0].frame_bytes).seq == 5
+
+
+def test_mode_change_rearms_chirp_search():
+    """ADVICE r2: the identical-state chirp memoization must not survive a
+    waveform/DPSK-mode change over an unchanged buffer."""
+    _, rx = _dpsk_engines()
+    rx.feed_audio(np.zeros(200000, np.float32))
+    rx.poll()
+    assert rx._chirp_last_key is not None
+    rx.set_dpsk_speed_level(0)
+    assert rx._chirp_last_key is None
+    rx.poll()
+    assert rx._chirp_last_key is not None
+    rx.set_waveform_mode(WaveformMode.OFDM_CHIRP)
+    assert rx._chirp_last_key is None

@@ -129,3 +129,30 @@ def test_cfo_estimate_feeds_demod_directly():
     hard = (np.asarray(llr)[:, :CODE.n] < 0).astype(np.uint8)
     ber = float((hard != cw.astype(np.uint8)).mean())
     assert ber < 0.01, ber
+
+
+def test_partial_preamble_masked_by_valid_len():
+    """ADVICE r2: on a zero-padded streaming buffer a partially-arrived
+    sweep preamble can clear the 30%-valid and 0.6-score gates (the clamped
+    window grid reuses the last window); valid_len must mask those offsets
+    until the whole preamble has really arrived."""
+    import jax.numpy as jnp
+    cfg = fsk.mfsk_medium()
+    pre = fsk.mfsk_generate_preamble(cfg)
+    full = np.zeros(4 * len(pre), np.float32)
+    start = 1000
+    full[start:start + len(pre)] = pre
+    # Stream state: only 70% of the preamble has arrived, rest is padding.
+    arrived = start + int(0.7 * len(pre))
+    partial = np.zeros_like(full)
+    partial[:arrived] = full[:arrived]
+    found, _ = fsk.mfsk_find_preamble(
+        cfg, jnp.asarray(partial[None, :]),
+        valid_len=jnp.asarray([arrived], np.int32))
+    assert not bool(np.asarray(found)[0])
+    # Once fully arrived the same call finds it at the right offset.
+    found, ds = fsk.mfsk_find_preamble(
+        cfg, jnp.asarray(full[None, :]),
+        valid_len=jnp.asarray([len(full)], np.int32))
+    assert bool(np.asarray(found)[0])
+    assert abs(int(np.asarray(ds)[0]) - (start + len(pre))) <= cfg.samples_per_symbol
