@@ -2,11 +2,31 @@
 
 Reference: src/sync/chirp_sync.hpp.  TPU-native redesign per SURVEY.md §7:
 the reference slides an O(L) complex correlation across the buffer at a
-coarse 48-sample step then refines (chirp_sync.hpp:560-630).  Here the
-correlation is evaluated at EVERY offset with one FFT-domain matched filter
-(rfft -> multiply by conj(template fft) -> irfft) and a cumulative-sum
-sliding energy window — strictly denser search than the reference at a tiny
-fraction of the FLOPs, fully batched over frames.
+coarse 48-sample step then refines (chirp_sync.hpp:560-630).  Round 2
+evaluated the correlation at EVERY offset with one full-buffer FFT matched
+filter; those B x 131072-point FFTs dominated the acquisition-inclusive
+benchmark (docs/PERF.md).
+
+Round 3 exploits the chirp's bandwidth: it occupies only ~2.4 kHz of the
+48 kHz sample rate, so the matched filter is computed on a complex-baseband
+DECIMATED signal (mix to f_center, 128-tap anti-alias FIR as one strided
+MXU conv, keep every 8th sample) — ~10x less FFT work — and every candidate
+is then REFINED at full rate with a direct windowed correlation, so reported
+positions/correlations keep round-2 exactness:
+
+* the anti-alias FIR only needs to suppress frequencies that FOLD ONTO the
+  template band under decimation (>= ~3.2 kHz): the real signal's negative-
+  frequency image lands off-template where the matched filter ignores it,
+  and the normalization energy is computed at FULL rate;
+* decimated correlation magnitudes are rescaled to the full-rate numerator
+  scale (kappa = full-rate template self-correlation / decimated one) and
+  normalized by the full-rate sliding window energy, so thresholds keep
+  their round-2 meaning.  Grid sampling can read a peak up to ~7% low
+  (D=8 against the ~20-sample correlation main lobe), so candidate masks
+  use 0.93*threshold and the final accept gate uses the refined full-rate
+  peak value against the caller's threshold;
+* candidate selection (earliest-frame A/B resolve), down-chirp validation,
+  CFO recovery, and next_up capping are unchanged in semantics.
 
 CFO physics (chirp_sync.hpp:326-345): a frequency offset shifts the up-chirp
 correlation peak by -CFO*fs/k samples and the down-chirp peak by +CFO*fs/k
@@ -62,6 +82,17 @@ class ChirpConfig:
 
 MAX_REASONABLE_CFO_HZ = 100.0
 
+# Decimation factor for the coarse matched-filter search.  The chirp band
+# (300-2700 Hz +-100 Hz CFO) fits comfortably in fs/8 = 6 kHz complex
+# baseband, and the D=8 grid samples the ~20-sample-wide (fs/BW) main
+# correlation lobe densely enough that the worst-case grid read is ~7% low.
+DECIM = 8
+DECIM_TAPS = 128
+# Candidate masks compensate the worst-case grid sampling loss; the final
+# accept gate re-tests the refined full-rate peak against the true threshold.
+GRID_LOSS = 0.93
+REFINE_HALF = 12  # full-rate refine window half-width (> D + parabolic slop)
+
 
 def _phase_up(cfg: ChirpConfig, t: np.ndarray, cfo: float = 0.0) -> np.ndarray:
     return 2.0 * np.pi * ((cfg.f_start + cfo) * t + 0.5 * cfg.chirp_rate * t * t)
@@ -98,52 +129,173 @@ def _templates(cfg: ChirpConfig):
     return up, down, e_up, e_down
 
 
-def _corr_all(samples: jnp.ndarray, tmpl: np.ndarray, tmpl_energy: float,
-              n_fft: int, S: jnp.ndarray | None = None,
-              energy: jnp.ndarray | None = None) -> jnp.ndarray:
-    """Normalized complex-correlation magnitude at every offset.
+@functools.lru_cache(maxsize=None)
+def _decim_filter(cfg: ChirpConfig):
+    """Complex band-select decimation kernel as two real tap rows [2, K].
 
-    corr[p] = |sum_i s[p+i] * tmpl[i]| / sqrt(energy[p] * tmpl_energy)
-    via one FFT matched filter + sliding energy. Output [B, T-L+1].
+    w[k] = h[k] * e^{-j 2 pi fc (k - K//2) / fs}, h = Kaiser lowpass.  The
+    per-output-sample residual rotation e^{+j 2 pi fc m D / fs} cancels in
+    the signal-vs-template correlation (both sides carry it), so it is never
+    applied.  Stopband only needs to cover fold-onto-template-band sources
+    (|f - fc| >= fs/D - bw, i.e. >= ~3.2 kHz real frequency): the real
+    signal's image band is harmless off-template content."""
+    fs = cfg.sample_rate
+    fc = 0.5 * (cfg.f_start + cfg.f_end)
+    bw = 0.5 * (cfg.f_end - cfg.f_start) + MAX_REASONABLE_CFO_HZ
+    assert fs / DECIM >= 4.0 * bw / 1.8, "decimated rate too low for band"
+    K = DECIM_TAPS
+    k = np.arange(K, dtype=np.float64)
+    m = k - (K - 1) / 2.0
+    cut = (bw + (fs / DECIM - 2 * bw) * 0.5) / (fs / 2.0)  # mid transition
+    h = np.sinc(cut * m) * cut * np.kaiser(K, 9.0)
+    h /= h.sum()  # unity DC (baseband) gain
+    ph = -2.0 * np.pi * fc * (k - K // 2) / fs
+    w = np.stack([h * np.cos(ph), h * np.sin(ph)]).astype(np.float32)
+    return w  # [2, K]: real/imag tap rows
 
-    S / energy: optionally precomputed fft(samples, n_fft) and L-sample
-    sliding energy — detect_dual_chirp correlates TWO templates of the
-    same length against the same buffer, and the [B, n_fft] signal FFT is
-    the single largest op in the acquisition workload."""
+
+def _decimate(cfg: ChirpConfig, samples: jnp.ndarray) -> jnp.ndarray:
+    """[B, T] real -> [B, ceil(T/D)] complex baseband at fs/D.
+
+    Polyphase formulation: the D-strided 128-tap conv is re-expressed as a
+    stride-1 conv over the BLOCK axis of x reshaped to [B, D, T/D] — D input
+    channels (sample phase), kernel width K/D — which XLA maps onto the MXU
+    ~6x better than a stride-8 conv (measured; docs/PERF.md round 3).
+    y[m] = sum_j sum_ph w[D*j+ph] x[D*(m+j-K/(2D)) + ph]."""
+    w = _decim_filter(cfg)
+    K = w.shape[1]
+    D = DECIM
     B, T = samples.shape
-    L = tmpl.shape[0]
-    if S is None:
-        S = jnp.fft.fft(samples.astype(jnp.complex64), n=n_fft, axis=-1)
-    # sum_i s[p+i]*tmpl[i] = ifft(fft(s) * conj(fft(conj(tmpl))))[p]
-    Tf = jnp.fft.fft(jnp.conj(jnp.asarray(tmpl)), n=n_fft)
-    corr = jnp.fft.ifft(S * jnp.conj(Tf), axis=-1)[:, :T - L + 1]
-
-    if energy is None:
-        # Block-stable sliding energy: a global f32 cumsum difference loses
-        # all windowed-sum precision past ~50k samples (CLAUDE.md
-        # invariant), and chirp buffers are >=105.6k by construction.
-        from projectultra_tpu.sync.schmidl_cox import _window_sum
-        energy = _window_sum(samples * samples, L)
-    denom = jnp.sqrt(jnp.maximum(energy * tmpl_energy, 0.0))
-    return jnp.where(denom > 1e-10, jnp.abs(corr) / denom, 0.0)
+    Tb = -(-T // D)
+    xp = jnp.pad(samples, ((0, 0), (0, Tb * D - T)))
+    xb = xp.reshape(B, Tb, D).transpose(0, 2, 1)        # [B, D(phase), Tb]
+    kw = K // D
+    kern = jnp.asarray(w.reshape(2, kw, D).transpose(0, 2, 1))  # [2, D, kw]
+    out = jax.lax.conv_general_dilated(
+        xb, kern, window_strides=(1,),
+        padding=((kw // 2, kw - 1 - kw // 2),),
+        dimension_numbers=("NCH", "OIH", "NCH"),
+        precision=jax.lax.Precision.HIGHEST)            # [B, 2, Tb]
+    return out[:, 0, :] + 1j * out[:, 1, :]
 
 
-def _parabolic_refine(corr: jnp.ndarray, pos: jnp.ndarray) -> jnp.ndarray:
-    """Sub-sample parabolic interpolation, rounded back to int
-    (chirp_sync.hpp:607-620)."""
-    n = corr.shape[-1]
-    p = jnp.clip(pos, 1, n - 2)
-    idx = jnp.arange(corr.shape[0])
-    c0 = corr[idx, p - 1]
-    c1 = corr[idx, p]
-    c2 = corr[idx, p + 1]
-    denom = 2.0 * (c0 - 2.0 * c1 + c2)
-    delta = jnp.where(jnp.abs(denom) > 1e-10,
-                      jnp.clip((c0 - c2) / jnp.where(jnp.abs(denom) > 1e-10,
-                                                     denom, 1.0), -1.0, 1.0),
+@functools.lru_cache(maxsize=None)
+def _templates_dec(cfg: ChirpConfig):
+    """Decimated complex-baseband templates (host, numpy — same filter as
+    the signal path) + the kappa scale mapping decimated correlation
+    magnitudes onto the full-rate numerator scale."""
+    _, _, e_up, e_down = _templates(cfg)
+    t = np.arange(cfg.chirp_samples, dtype=np.float64) / cfg.sample_rate
+    w = _decim_filter(cfg).astype(np.float64)
+    wk = w[0] + 1j * w[1]
+    K = len(wk)
+    P = K // 2
+
+    def dec(x):
+        xp = np.concatenate([np.zeros(P), x, np.zeros(P - 1 + (-len(x)) % DECIM)])
+        n_out = (len(xp) - K) // DECIM + 1
+        idx = np.arange(n_out)[:, None] * DECIM + np.arange(K)[None, :]
+        return (xp[idx] * wk[None, :]).sum(-1)
+
+    up_d = dec(np.sin(_phase_up(cfg, t)))
+    dn_d = dec(np.sin(_phase_down(cfg, t)))
+    # kappa: a clean unit chirp's decimated self-correlation must read as
+    # the full-rate numerator e_up (resp. e_down).
+    k_up = e_up / float(np.abs((up_d * np.conj(up_d)).sum()))
+    k_dn = e_down / float(np.abs((dn_d * np.conj(dn_d)).sum()))
+    return (up_d.real.astype(np.float32), up_d.imag.astype(np.float32), k_up,
+            dn_d.real.astype(np.float32), dn_d.imag.astype(np.float32), k_dn)
+
+
+@functools.lru_cache(maxsize=None)
+def _refine_mats(cfg: ChirpConfig):
+    """Shifted-template matrices for the full-rate refine as ONE dense MXU
+    matmul per candidate set (a 24000-wide conv kernel with 25 outputs
+    lowers poorly on TPU; measured ~7x slower than this formulation).
+
+    Kc [W, 2*(2R+1)]: column j holds cos(template) shifted j rows down,
+    column (2R+1)+j holds -sin(template) shifted j — so seg @ Kc yields
+    Re / -Im of sum s[p+i]*conj(tmpl[i]) at the 2R+1 offsets.
+    Ke [W, 2R+1]: ones-window shifts — (seg*seg) @ Ke yields window energy.
+    """
+    up, down, _, _ = _templates(cfg)
+    L = cfg.chirp_samples
+    R = REFINE_HALF
+    W = L + 2 * R
+    n_off = 2 * R + 1
+
+    def shifts(vec):
+        m = np.zeros((W, n_off), np.float32)
+        for j in range(n_off):
+            m[j:j + L, j] = vec
+        return m
+
+    kc_up = np.concatenate([shifts(up.real.astype(np.float32)),
+                            shifts(-up.imag.astype(np.float32))], 1)
+    kc_dn = np.concatenate([shifts(down.real.astype(np.float32)),
+                            shifts(-down.imag.astype(np.float32))], 1)
+    ke = shifts(np.ones(L, np.float32))
+    return kc_up, kc_dn, ke
+
+
+def _refine_full(cfg: ChirpConfig, samples: jnp.ndarray, pos: jnp.ndarray,
+                 mats, e_t: float):
+    """Exact normalized correlation around a candidate: direct windowed
+    correlation at EVERY full-rate offset in [pos-R, pos+R], peak argmax +
+    parabolic sub-sample interpolation rounded back to int
+    (chirp_sync.hpp:607-620 semantics).  Returns (pos [B] int32, corr [B])."""
+    B, T = samples.shape
+    L = cfg.chirp_samples
+    R = REFINE_HALF
+    W = L + 2 * R
+    start = jnp.clip(pos - R, 0, max(T - W, 0))
+    seg = jax.vmap(lambda b, s: jax.lax.dynamic_slice(b, (s,), (W,))
+                   )(samples, start)
+    kc, ke = mats
+    n_off = 2 * R + 1
+    num = jnp.dot(seg, jnp.asarray(kc),
+                  precision=jax.lax.Precision.HIGHEST)  # [B, 2*(2R+1)]
+    mag = jnp.sqrt(num[:, :n_off] ** 2 + num[:, n_off:] ** 2)
+    en = jnp.dot(seg * seg, jnp.asarray(ke),
+                 precision=jax.lax.Precision.HIGHEST)   # [B, 2R+1]
+    denom = jnp.sqrt(jnp.maximum(en * e_t, 0.0))
+    corr = jnp.where(denom > 1e-10, mag / denom, 0.0)
+
+    idxb = jnp.arange(B)
+    j = jnp.argmax(corr, axis=-1).astype(jnp.int32)
+    c1 = corr[idxb, j]
+    # Parabolic interpolation on the full-rate neighbors, rounded to int.
+    jm = jnp.clip(j - 1, 0, 2 * R)
+    jp = jnp.clip(j + 1, 0, 2 * R)
+    c0 = corr[idxb, jm]
+    c2 = corr[idxb, jp]
+    den = 2.0 * (c0 - 2.0 * c1 + c2)
+    delta = jnp.where(jnp.abs(den) > 1e-10,
+                      jnp.clip((c0 - c2) / jnp.where(jnp.abs(den) > 1e-10,
+                                                     den, 1.0), -1.0, 1.0),
                       0.0)
-    interior = (pos >= 1) & (pos <= n - 2)
-    return jnp.where(interior, jnp.round(pos + delta).astype(jnp.int32), pos)
+    interior = (j >= 1) & (j <= 2 * R - 1)
+    jr = jnp.where(interior, jnp.round(j + delta).astype(jnp.int32), j)
+    return (start + jr).astype(jnp.int32), c1
+
+
+def _window_sum_dec(samples: jnp.ndarray, L: int, n_pos_d: int) -> jnp.ndarray:
+    """Full-rate L-sample sliding energy, evaluated on the D grid only.
+
+    When L is a DECIM multiple (every shipped config) the grid-aligned
+    window sums are EXACT sums of T/D pre-reduced D-sample block energies,
+    so the sliding sum runs on the 8x-shorter block array (through the same
+    block-stable _window_sum — a flat f32 cumsum difference is the
+    precision trap documented in CLAUDE.md).  Otherwise fall back to the
+    full-rate path and subsample."""
+    from projectultra_tpu.sync.schmidl_cox import _window_sum
+    D = DECIM
+    if L % D:
+        return _window_sum(samples * samples, L)[:, ::D][:, :n_pos_d]
+    B, T = samples.shape
+    Tb = T // D
+    blocks = (samples[:, :Tb * D].reshape(B, Tb, D) ** 2).sum(-1)
+    return _window_sum(blocks, L // D)[:, :n_pos_d]
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "threshold"))
@@ -158,47 +310,71 @@ def detect_dual_chirp(cfg: ChirpConfig, samples: jnp.ndarray,
     B, T = samples.shape
     L = cfg.chirp_samples
     gap = cfg.gap_samples
-    n_fft = 1 << int(T - 1).bit_length()
-    up_t, down_t, e_up, e_down = _templates(cfg)
+    D = DECIM
+    up_re, up_im, k_up, dn_re, dn_im, k_dn = _templates_dec(cfg)
+    _, _, e_up, e_down = _templates(cfg)
+    kc_up, kc_dn, ke = _refine_mats(cfg)
 
-    S = jnp.fft.fft(samples.astype(jnp.complex64), n=n_fft, axis=-1)
-    from projectultra_tpu.sync.schmidl_cox import _window_sum
-    energy = _window_sum(samples * samples, L)
-    corr_up = _corr_all(samples, up_t, e_up, n_fft, S, energy)  # [B, T-L+1]
-    corr_dn = _corr_all(samples, down_t, e_down, n_fft, S, energy)
-    n_pos = T - L + 1
+    # --- coarse search on the decimated grid (one FFT ~10x smaller than
+    # the round-2 full-buffer matched filter)
+    xd = _decimate(cfg, samples)                        # [B, Td] complex
+    Td = xd.shape[-1]
+    n_pos = T - L + 1                                   # full-rate positions
+    n_pos_d = (n_pos + D - 1) // D                      # D-grid positions
+    L_d = len(up_re)
+    n_fft = 1 << int(Td - 1).bit_length()
+    S = jnp.fft.fft(xd, n=n_fft, axis=-1)
+
+    def mf(t_re, t_im, kappa):
+        tmpl = jnp.asarray(t_re) + 1j * jnp.asarray(t_im)
+        Tf = jnp.fft.fft(tmpl, n=n_fft)
+        c = jnp.fft.ifft(S * jnp.conj(Tf), axis=-1)[:, :n_pos_d]
+        return jnp.abs(c) * kappa                       # full-rate numerator
+
+    num_up = mf(up_re, up_im, k_up)
+    num_dn = mf(dn_re, dn_im, k_dn)
+    energy = _window_sum_dec(samples, L, n_pos_d)       # full-rate energy
+    den_up = jnp.sqrt(jnp.maximum(energy * e_up, 0.0))
+    den_dn = jnp.sqrt(jnp.maximum(energy * e_down, 0.0))
+    corr_up = jnp.where(den_up > 1e-10, num_up / den_up, 0.0)  # [B, n_pos_d]
+    corr_dn = jnp.where(den_dn > 1e-10, num_dn / den_dn, 0.0)
+
+    pos_d = jnp.arange(n_pos_d)
     # Reference searches pos < samples.size() - L (exclusive of last).
-    search_mask = jnp.arange(n_pos) < (T - L)
-
+    search_mask = pos_d * D < (T - L)
     cu = jnp.where(search_mask[None, :], corr_up, -1.0)
     idxb = jnp.arange(B)
-    pos_idx = jnp.arange(n_pos)[None, :]
     c2s = cfg.cfo_to_samples
+    thr_grid = GRID_LOSS * threshold
 
     def resolve(strong):
-        """Earliest strong up candidate -> down-chirp validation -> CFO."""
+        """Earliest strong up candidate -> full-rate refine -> down-chirp
+        validation -> CFO."""
         first = jnp.argmax(strong, axis=-1).astype(jnp.int32)
-        # Local peak within +-512 of the first crossing.
-        rel = jnp.arange(-512, 513)
-        widx = jnp.clip(first[:, None] + rel[None, :], 0, cu.shape[-1] - 1)
+        # Local peak within +-512 full-rate samples (64 grid steps).
+        rel = jnp.arange(-512 // D, 512 // D + 1)
+        widx = jnp.clip(first[:, None] + rel[None, :], 0, n_pos_d - 1)
         wc = cu[idxb[:, None], widx]
-        up_pos = widx[idxb, jnp.argmax(wc, axis=-1)].astype(jnp.int32)
-        up_corr = cu[idxb, up_pos]
+        up_pos_d = widx[idxb, jnp.argmax(wc, axis=-1)].astype(jnp.int32)
+        up_pos, up_corr = _refine_full(cfg, samples, up_pos_d * D,
+                                       (kc_up, ke), e_up)
         up_found = strong.any(-1) & (up_corr >= threshold)
-        up_pos = _parabolic_refine(corr_up, up_pos)
 
-        # Down-chirp search window (chirp_sync.hpp:420-438).
+        # Down-chirp search window (chirp_sync.hpp:420-438), full-rate
+        # arithmetic masked onto the D grid.
         start = up_pos + L // 2
         expected = up_pos + L + gap
         end = jnp.minimum(T, expected + 2 * L)
         end = jnp.where(end <= start + L, jnp.minimum(T, start + 2 * L), end)
-        dn_mask = (pos_idx >= start[:, None]) & (pos_idx + L <= end[:, None]) \
-            & (pos_idx < (T - L))
+        pfull = pos_d[None, :] * D
+        dn_mask = (pfull >= start[:, None]) & (pfull + L <= end[:, None]) \
+            & (pfull < (T - L))
         cd = jnp.where(dn_mask, corr_dn, -1.0)
-        down_pos = jnp.argmax(cd, axis=-1).astype(jnp.int32)
-        down_corr = cd[idxb, down_pos]
-        down_found = down_corr >= threshold
-        down_pos = _parabolic_refine(corr_dn, down_pos)
+        down_pos_d = jnp.argmax(cd, axis=-1).astype(jnp.int32)
+        down_grid = cd[idxb, down_pos_d]
+        down_pos, down_corr = _refine_full(cfg, samples, down_pos_d * D,
+                                           (kc_dn, ke), e_down)
+        down_found = (down_grid >= thr_grid) & (down_corr >= threshold)
 
         # CFO from gap error (10 samples/Hz sensitivity).
         gap_error = (down_pos - up_pos - (L + gap)).astype(jnp.float32)
@@ -219,8 +395,8 @@ def detect_dual_chirp(cfg: ChirpConfig, samples: jnp.ndarray,
     #      first crossing is a noise spike whose down-chirp never matches.
     # A wins when it fully validates; otherwise fall back to B.
     gmax = cu.max(-1)
-    res_a = resolve(cu >= threshold)
-    res_b = resolve(cu >= jnp.maximum(threshold, 0.7 * gmax[:, None]))
+    res_a = resolve(cu >= thr_grid)
+    res_b = resolve(cu >= jnp.maximum(thr_grid, 0.7 * gmax[:, None]))
     use_a = res_a["success"]
 
     def pick(k):
@@ -241,9 +417,16 @@ def detect_dual_chirp(cfg: ChirpConfig, samples: jnp.ndarray,
     # First strong up-chirp crossing AFTER the chosen one (next frame's
     # chirp): consumers cap buffer consumption there so a mis-sized consume
     # can never eat a following frame's preamble.
-    later = strong & (pos_idx >= (up_pos + L)[:, None])
+    later = strong & (pos_d[None, :] * D >= (up_pos + L)[:, None])
     has_next = later.any(-1)
-    next_up = jnp.where(has_next, jnp.argmax(later, axis=-1), -1).astype(jnp.int32)
+    # The D-grid crossing can read up to D-1 samples late; bias the cap
+    # EARLY (consumers use it as an upper bound on consumption — leaving a
+    # few extra samples unconsumed is harmless, eating into the next
+    # frame's chirp is not).
+    next_up = jnp.where(
+        has_next,
+        jnp.maximum(jnp.argmax(later, axis=-1) * D - (D - 1), 0),
+        -1).astype(jnp.int32)
 
     up_start = jnp.round(up_pos + cfo_hz * c2s).astype(jnp.int32)
     down_start = jnp.round(down_pos - cfo_hz * c2s).astype(jnp.int32)
