@@ -38,17 +38,37 @@ def encode(code: LDPCCode, info_bits: jnp.ndarray) -> jnp.ndarray:
     return jnp.concatenate([info, parity], axis=-1)
 
 
-@functools.partial(jax.jit, static_argnames=("code", "max_iters"))
-def decode(code: LDPCCode, llrs: jnp.ndarray, max_iters: int = DEFAULT_MAX_ITERS):
+# Opt-in default for the edge-message dtype: ULTRA_LDPC_BF16=1 switches
+# every decode() caller that does not pass msg_dtype explicitly (the bench
+# and tools use this; tests pin both modes explicitly).  f32 stays the
+# shipped default for lane-exact C++ parity.
+import os as _os
+_DEFAULT_MSG_DTYPE = (jnp.bfloat16 if _os.environ.get("ULTRA_LDPC_BF16") == "1"
+                      else jnp.float32)
+
+
+@functools.partial(jax.jit, static_argnames=("code", "max_iters", "msg_dtype"))
+def decode(code: LDPCCode, llrs: jnp.ndarray, max_iters: int = DEFAULT_MAX_ITERS,
+           msg_dtype=None):
     """Flooding min-sum BP decode of a batch of codewords.
 
     Args:
       llrs: [B, n] float32 channel LLRs (positive = bit 0).
+      msg_dtype: dtype for the edge-message tensors ([B, m, D] v2c/c2v, the
+        decoder's HBM working set).  float32 (default) is lane-for-lane
+        identical to the reference C++ (ldpc_decoder.cpp:151-236);
+        jnp.bfloat16 is the opt-in fast mode — min-sum only compares and
+        copies magnitudes, so bf16 rounding of the messages costs no
+        measurable waterfall shift (tools/ber_curves.py --bf16 overlay)
+        while halving message traffic.  Channel LLRs, the total-LLR
+        accumulation, and the parity check stay f32 in both modes.
     Returns:
       info_bits [B, k] uint8, success [B] bool, iters [B] int32
       (iters semantics match lastIterations(): 0-based iteration index at
       convergence, or max_iters when decoding failed).
     """
+    if msg_dtype is None:
+        msg_dtype = _DEFAULT_MSG_DTYPE
     B = llrs.shape[0]
     m, n, D = code.m, code.n, code.max_degree
     row_vars = jnp.asarray(code.row_vars)          # [m, D]
@@ -63,13 +83,14 @@ def decode(code: LDPCCode, llrs: jnp.ndarray, max_iters: int = DEFAULT_MAX_ITERS
         # as a matmul.
         return x[:, row_vars]
 
-    v2c0 = jnp.where(row_mask, gather_vars(llr_in), 0.0)
-    c2v0 = jnp.zeros((B, m, D), jnp.float32)
+    v2c0 = jnp.where(row_mask, gather_vars(llr_in), 0.0).astype(msg_dtype)
 
     inf = jnp.float32(np.inf)
     eidx = jnp.arange(D)
 
     def one_iter(v2c):
+        # Messages may be stored bf16; all arithmetic runs f32.
+        v2c = v2c.astype(jnp.float32)
         # --- check-to-variable (min-sum, 0.75 scale) ---
         neg = (v2c < 0) & row_mask
         row_par = neg.sum(-1) & 1                              # [B, m]
@@ -91,7 +112,7 @@ def decode(code: LDPCCode, llrs: jnp.ndarray, max_iters: int = DEFAULT_MAX_ITERS
 
         # --- variable-to-check, clamped ---
         v2c_new = jnp.clip(gather_vars(llr_total) - c2v, -V2C_CLAMP, V2C_CLAMP)
-        v2c_new = jnp.where(row_mask, v2c_new, 0.0)
+        v2c_new = jnp.where(row_mask, v2c_new, 0.0).astype(msg_dtype)
 
         # --- parity check on hard decisions ---
         # Syndrome as an MXU matmul instead of a [B, m, D] gather: with

@@ -119,3 +119,40 @@ def test_coded_size():
     # 324 info bits = 40.5 bytes; 41 bytes -> 328 bits -> 2 blocks -> 1296 bits
     assert ldpc.coded_size(code, 40) == 81
     assert ldpc.coded_size(code, 41) == 162
+
+
+def test_bf16_messages_match_f32_at_operating_point():
+    """Opt-in bf16 edge messages (ops/ldpc.py msg_dtype): min-sum only
+    compares/copies magnitudes, so bf16 rounding must not change decode
+    outcomes at the R1/2 17 dB operating point, and the waterfall shift at
+    a stressed point must be within noise."""
+    code = ldpc.get_code(CodeRate.R1_2)
+    rng = np.random.default_rng(9)
+    B = 256
+    info = jnp.asarray(rng.integers(0, 2, (B, code.k)).astype(np.float32))
+    cw = np.asarray(ldpc_ops.encode(code, info))
+    # BPSK AWGN LLRs at a comfortable sigma: f32 decodes everything
+    # (the R1/2 code is genuinely weak — sigma=0.8 already fails, CLAUDE.md).
+    sigma = 0.5
+    noise = rng.normal(0, sigma, cw.shape)
+    llrs = jnp.asarray((2.0 / sigma**2) * ((1.0 - 2.0 * cw) + noise),
+                       dtype=jnp.float32)
+    out32, ok32, _ = ldpc_ops.decode(code, llrs, msg_dtype=jnp.float32)
+    out16, ok16, _ = ldpc_ops.decode(code, llrs, msg_dtype=jnp.bfloat16)
+    ok32 = np.asarray(ok32)
+    ok16 = np.asarray(ok16)
+    assert ok32.mean() >= 0.97  # weak code: the odd lane fails even here
+    assert ok16.mean() >= ok32.mean() - 0.02
+    both = ok32 & ok16
+    assert (np.asarray(out16)[both] == np.asarray(out32)[both]).all()
+
+    # Stressed point: success rates within a few percent of each other.
+    sigma = 0.72
+    noise = rng.normal(0, sigma, cw.shape)
+    llrs = jnp.asarray((2.0 / sigma**2) * ((1.0 - 2.0 * cw) + noise),
+                       dtype=jnp.float32)
+    _, ok32, _ = ldpc_ops.decode(code, llrs, msg_dtype=jnp.float32)
+    _, ok16, _ = ldpc_ops.decode(code, llrs, msg_dtype=jnp.bfloat16)
+    r32 = float(np.asarray(ok32).mean())
+    r16 = float(np.asarray(ok16).mean())
+    assert abs(r32 - r16) <= 0.04, (r32, r16)

@@ -27,7 +27,12 @@ def main():
     ap.add_argument("--json", default="/tmp/ber_curves.json")
     ap.add_argument("--channel", default="awgn",
                     choices=["awgn", "good", "moderate", "poor", "flutter"])
+    ap.add_argument("--bf16", action="store_true",
+                    help="bf16 LDPC edge messages (overlay against the "
+                         "default f32 run to verify no waterfall shift)")
     args = ap.parse_args()
+    if args.bf16:
+        os.environ["ULTRA_LDPC_BF16"] = "1"
     import jax
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_projectultra")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
@@ -54,7 +59,8 @@ def main():
          [2.0, 4.0, 6.0, 8.0, 10.0, 12.0, 14.0]),
     ]
 
-    artifact = {"frames_per_point": F, "channel": args.channel, "rows": []}
+    artifact = {"frames_per_point": F, "channel": args.channel,
+                "ldpc_msg_dtype": "bf16" if args.bf16 else "f32", "rows": []}
     total_pipelines = 0
     t_all = time.perf_counter()
     for label, mod, rate, snrs in rows:
