@@ -232,3 +232,30 @@ class AdaptiveModeController:
     @property
     def mode_string(self) -> str:
         return f"{self.current_mod.name} {self.current_rate.name[1:].replace('_', '/')}"
+
+
+class CalibratedAdaptiveController(AdaptiveModeController):
+    """Round-3: the same hysteresis machinery driven by the engine's TRUE
+    wideband SNR estimate, with the measured-envelope table (matching
+    connection.recommend_data_mode_calibrated — thresholds from
+    tools/calibrate_mode_table.py decode-rate sweeps, AWGN + moderate
+    fading, ~2 dB margin).  The parent keeps the reference's pilot-scale
+    table for parity."""
+
+    TABLE = [(24.0, Modulation.QAM16, CodeRate.R3_4),
+             (20.0, Modulation.QAM16, CodeRate.R2_3),
+             (17.0, Modulation.DQPSK, CodeRate.R2_3),
+             (15.0, Modulation.DQPSK, CodeRate.R1_2),
+             (11.0, Modulation.DQPSK, CodeRate.R1_4)]
+
+    def reset(self):
+        super().reset()
+        self.current_mod = Modulation.DQPSK
+        self.current_rate = CodeRate.R1_2
+
+    @classmethod
+    def recommend(cls, snr_db: float):
+        for thresh, mod, rate in cls.TABLE:
+            if snr_db > thresh:
+                return mod, rate
+        return Modulation.DBPSK, CodeRate.R1_4

@@ -46,13 +46,20 @@ WEAK_CHIRP_THRESHOLD = 0.08  # second-pass gate: 100% chirp detection at -20 dB
 
 @dataclasses.dataclass
 class DecodedFrame:
-    """One decoded-over-the-air frame delivered to callbacks."""
+    """One decoded-over-the-air frame delivered to callbacks.
+
+    snr_db keeps the reference's per-carrier/training estimator scale
+    (reads 10-30 dB above true wideband SNR, types.hpp mode-table scale);
+    wideband_snr_db is the round-3 TRUE wideband estimate (in-frame power
+    vs min-statistics noise floor) that the calibrated_snr negotiation
+    mode consumes."""
     frame_bytes: bytes
     header: F.HeaderInfo
     cw_ok: list
     snr_db: float = 0.0
     cfo_hz: float = 0.0
     waveform: WaveformMode = WaveformMode.MC_DPSK
+    wideband_snr_db: float = 0.0
 
 
 class ModemEngine:
@@ -492,6 +499,9 @@ class ModemEngine:
                               det["down_correlation"]), 0.999))
             snr_db = 10.0 * np.log10(max(c * c / (1.0 - c * c), 1e-3))
             self.stats.current_snr_db = snr_db
+            # The normalized-correlation SNR is ALREADY wideband-scale:
+            # c^2 = S/(S+N) with N the full-band window noise energy.
+            self.stats.wideband_snr_db = snr_db
             if self.on_ping:
                 self.on_ping(round(snr_db, 1))
             self._consume(min(int(det["up_chirp_start"]) + cc.total_samples,
@@ -522,6 +532,39 @@ class ModemEngine:
             n = max(0, min(n, len(self._rx_buffer)))
             self._rx_buffer = self._rx_buffer[n:]
             self._rx_consumed += n
+
+    NOISE_CHUNK = 480  # 10 ms blocks for the min-statistics noise floor
+
+    def _wideband_snr_db(self, buf: np.ndarray, start: int, end: int) -> float:
+        """TRUE wideband SNR for a frame occupying buf[start:end): mean
+        in-frame power against a min-statistics noise floor (lower-quartile
+        mean of 10 ms chunk powers over the audio BEFORE the frame, falling
+        back to the whole snapshot when the frame opens the buffer).
+
+        This is the round-3 improvement over the reference's negotiation
+        input: the per-carrier/training estimators read 10-30 dB above the
+        wideband channel SNR and collapse under fading (types.hpp scale;
+        tools/calibrate_snr.py measurements), while frame-vs-floor power is
+        calibration-free and averages the fade envelope.  Min-statistics
+        keeps a previous frame's tail in the window from inflating the
+        floor.  Consumed by the calibrated_snr negotiation mode."""
+        start = max(0, start)
+        end = min(end, len(buf))
+        C = self.NOISE_CHUNK
+        if end - start < C:
+            return 0.0
+        sig = buf[start:end].astype(np.float64)
+        ps = float((sig * sig).mean())
+        pre = buf[max(0, start - 24000):start]
+        src = pre if len(pre) >= 4 * C else buf
+        n = (len(src) // C) * C
+        if n == 0:
+            return 0.0
+        cp = (src[:n].astype(np.float64).reshape(-1, C) ** 2).mean(-1)
+        k = max(1, len(cp) // 4)
+        pn = max(float(np.sort(cp)[:k].mean()), 1e-12)
+        snr = max(ps / pn - 1.0, 0.1)
+        return float(np.clip(10.0 * np.log10(snr), -10.0, 40.0))
 
     def _classify_after_chirp(self, tr_start: int, cfo: float) -> str:
         """'ping' when no structured training follows the chirp, 'frame' when
@@ -987,9 +1030,11 @@ class ModemEngine:
                 cfg, jnp.asarray(buf[None, pre_start:data_start]),
                 cfo))[0])
             self.stats.current_snr_db = snr_db
+        wb = self._wideband_snr_db(buf, pre_start, data_start + n_sym * L)
+        self.stats.wideband_snr_db = wb
         return "ok", DecodedFrame(frame_bytes=frame_bytes, header=info,
                                   cw_ok=oks, cfo_hz=float(np.asarray(cfo)[0]),
-                                  snr_db=snr_db,
+                                  snr_db=snr_db, wideband_snr_db=wb,
                                   waveform=WaveformMode.DPSK)
 
     def _decode_frame_otfs(self, ocfg, start: int
@@ -1052,8 +1097,12 @@ class ModemEngine:
         self.stats.bytes_received += len(frame_bytes)
         if not all(oks):
             self.stats.frames_failed += 1
+        wb = self._wideband_snr_db(
+            buf, start, start + total_cw * flen + (total_cw - 1) * gap)
+        self.stats.wideband_snr_db = wb
         return "ok", DecodedFrame(frame_bytes=frame_bytes, header=info,
-                                  cw_ok=oks, waveform=self.waveform_mode)
+                                  cw_ok=oks, wideband_snr_db=wb,
+                                  waveform=self.waveform_mode)
 
     def _decode_frame_cox(self, lts_start: int, cfo: float
                           ) -> tuple[str, Optional[DecodedFrame]]:
@@ -1162,8 +1211,14 @@ class ModemEngine:
         snr_db = float(10.0 * np.log10(
             np.asarray(st.estimated_snr_linear)[0]))
         self.stats.current_snr_db = snr_db
+        # Frame audio begins at the 5-STS preamble ahead of the LTS.
+        wb = self._wideband_snr_db(
+            buf, lts_start - 5 * plen,
+            lts_start + 2 * plen + S * cfg.symbol_duration)
+        self.stats.wideband_snr_db = wb
         return "ok", DecodedFrame(frame_bytes=frame_bytes, header=info,
                                   cw_ok=oks, cfo_hz=cfo, snr_db=snr_db,
+                                  wideband_snr_db=wb,
                                   waveform=WaveformMode.OFDM_COX)
 
     def _decode_frame(self, wf: WaveformMode, tr_start: int, cfo: float
@@ -1289,8 +1344,13 @@ class ModemEngine:
         else:
             # OFDM_CHIRP: LTS-seeded per-carrier SNR stored by demod().
             snr_db = self.stats.current_snr_db
+        # Frame audio begins at the dual-chirp ahead of the training.
+        wb = self._wideband_snr_db(
+            buf, tr_start - self.chirp_config.total_samples, end)
+        self.stats.wideband_snr_db = wb
         return "ok", DecodedFrame(frame_bytes=frame_bytes, header=info,
                                   cw_ok=oks, cfo_hz=cfo, snr_db=snr_db,
+                                  wideband_snr_db=wb,
                                   waveform=wf)
 
     def _bits_per_ofdm_symbol_chirp(self) -> int:

@@ -64,10 +64,17 @@ class ConnectionConfig:
     forced_modulation: Modulation = Modulation.AUTO
     forced_code_rate: CodeRate = CodeRate.AUTO
     arq_mode: ARQMode = ARQMode.SELECTIVE_REPEAT
+    # Round-3 opt-in: negotiate from TRUE wideband SNR (the engine's
+    # frame-power-vs-noise-floor estimate) against tables calibrated on
+    # measured decode envelopes, instead of the reference's inflated
+    # per-carrier/training scale (default keeps reference parity, whose
+    # auto-picks exceed the channel envelope below ~12 dB true SNR).
+    calibrated_snr: bool = False
 
 
 def recommend_data_mode(snr_db: float) -> tuple[Modulation, CodeRate]:
-    """SNR -> (modulation, rate) table (connection_handlers.cpp:13-46)."""
+    """SNR -> (modulation, rate) table (connection_handlers.cpp:13-46).
+    Thresholds live on the reference's INFLATED frame/pilot SNR scale."""
     if snr_db >= 30.0:
         return Modulation.QAM16, CodeRate.R3_4
     if snr_db >= 25.0:
@@ -77,6 +84,33 @@ def recommend_data_mode(snr_db: float) -> tuple[Modulation, CodeRate]:
     if snr_db >= 16.0:
         return Modulation.DQPSK, CodeRate.R1_2
     if snr_db >= 12.0:
+        return Modulation.DQPSK, CodeRate.R1_4
+    return Modulation.DBPSK, CodeRate.R1_4
+
+
+def recommend_data_mode_calibrated(true_snr_db: float
+                                   ) -> tuple[Modulation, CodeRate]:
+    """TRUE-wideband-SNR -> (modulation, rate), calibrated on MEASURED
+    decode envelopes (tools/calibrate_mode_table.py, 2026-08-17 run:
+    engine loopback decode rates over AWGN and moderate-fading Watterson).
+    Key measured facts: Schmidl-Cox ACQUISITION floors OFDM_COX at ~14 dB
+    wideband AWGN regardless of data mode (faithful to the reference's
+    plateau gate), single AWGN envelopes are QAM16 R3/4 @20, QAM16 R2/3
+    @17, DQPSK R2/3 @15, DQPSK R1/2 @15; below the Cox floor the waveform
+    pick (negotiate_mode) routes to MC_DPSK where R1/4 holds to ~2 dB on
+    moderate fading with ARQ covering residual fade losses.  Thresholds
+    carry ~2-3 dB margin for fading.  Used when
+    ConnectionConfig.calibrated_snr is on; the default table above keeps
+    reference parity."""
+    if true_snr_db >= 24.0:
+        return Modulation.QAM16, CodeRate.R3_4
+    if true_snr_db >= 20.0:
+        return Modulation.QAM16, CodeRate.R2_3
+    if true_snr_db >= 17.0:
+        return Modulation.DQPSK, CodeRate.R2_3
+    if true_snr_db >= 15.0:
+        return Modulation.DQPSK, CodeRate.R1_2
+    if true_snr_db >= 11.0:
         return Modulation.DQPSK, CodeRate.R1_4
     return Modulation.DBPSK, CodeRate.R1_4
 
@@ -257,9 +291,18 @@ class Connection:
                 common & int(_MODE_BITS.get(self.config.preferred_mode, 0)):
             return self.config.preferred_mode
         snr = self.measured_snr_db
-        if snr < 0.0 and common & ModeCapabilities.MFSK:
+        # Waveform pick: reference thresholds (<0 MFSK, <17 MC_DPSK) live
+        # on the inflated scale; the calibrated variants are on TRUE
+        # wideband SNR.  Measured (tools/calibrate_mode_table.py): the
+        # Schmidl-Cox plateau gate floors OFDM_COX acquisition at ~14 dB
+        # wideband AWGN regardless of data mode, while MC_DPSK R1/4 holds
+        # to ~2 dB on moderate fading — so everything below 15 dB true
+        # routes to MC_DPSK.
+        mfsk_below, mc_below = (-4.0, 15.0) if self.config.calibrated_snr \
+            else (0.0, 17.0)
+        if snr < mfsk_below and common & ModeCapabilities.MFSK:
             return WaveformMode.MFSK
-        if snr < 17.0 and common & ModeCapabilities.MC_DPSK:
+        if snr < mc_below and common & ModeCapabilities.MC_DPSK:
             return WaveformMode.MC_DPSK
         for mode, bit in ((WaveformMode.OFDM_COX, ModeCapabilities.OFDM_COX),
                           (WaveformMode.OTFS_EQ, ModeCapabilities.OTFS_EQ),
@@ -372,7 +415,9 @@ class Connection:
         self.handshake_confirmed = False
         self.negotiated_mode = self.negotiate_mode(remote_caps, remote_pref)
         snr = self.measured_snr_db
-        rec_mod, rec_rate = recommend_data_mode(snr)
+        rec = recommend_data_mode_calibrated if self.config.calibrated_snr \
+            else recommend_data_mode
+        rec_mod, rec_rate = rec(snr)
         if forced_mod != Modulation.AUTO:
             rec_mod = forced_mod
         if forced_rate != CodeRate.AUTO:

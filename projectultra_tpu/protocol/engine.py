@@ -97,23 +97,39 @@ class ProtocolEngine:
         self.modem.poll()
 
     def _on_modem_frame(self, frame: DecodedFrame):
-        if frame.snr_db:
-            # Feed the per-frame SNR estimate into mode negotiation
-            # (ModemEngine::getCurrentSNR -> Connection::setMeasuredSNR).
-            self.connection.set_measured_snr(frame.snr_db)
-            # The controller's thresholds are calibrated for OFDM pilot SNR
-            # (adaptive_mode.cpp:21-31) — MC-DPSK training estimates live on
-            # a different scale and must not drive mode changes.
-            # Adapt only: (a) on the session INITIATOR — two independent
-            # controllers cross MODE_CHANGE requests and diverge the ends;
-            # (b) while the ARQ is idle — a change straddling in-flight
-            # data frames demodulates them at the wrong mode and costs a
-            # retry round per frame.
+        # Feed the per-frame SNR estimate into mode negotiation
+        # (ModemEngine::getCurrentSNR -> Connection::setMeasuredSNR).
+        # calibrated_snr consumes the engine's TRUE wideband estimate;
+        # the default keeps the reference's inflated estimator scale.
+        meas = frame.wideband_snr_db \
+            if self.connection.config.calibrated_snr else frame.snr_db
+        if meas:
+            self.connection.set_measured_snr(meas)
+        # Mid-session adaptation: the default controller's thresholds are
+        # calibrated for OFDM pilot SNR (adaptive_mode.cpp:21-31) — MC-DPSK
+        # training estimates live on a different scale and must not drive
+        # mode changes.  In calibrated mode the hysteresis machinery runs
+        # on the wideband estimate with the measured-envelope table
+        # (CalibratedAdaptiveController), which is meaningful for EVERY
+        # waveform.  Adapt only: (a) on the session INITIATOR — two
+        # independent controllers cross MODE_CHANGE requests and diverge
+        # the ends; (b) while the ARQ is idle — a change straddling
+        # in-flight data frames demodulates them at the wrong mode and
+        # costs a retry round per frame.
+        if self.connection.config.calibrated_snr:
+            from ..modem.adaptive import CalibratedAdaptiveController
+            if not isinstance(self.adaptive, CalibratedAdaptiveController):
+                self.adaptive = CalibratedAdaptiveController()
+            ctrl_snr = frame.wideband_snr_db
+            wf_ok = True
+        else:
+            ctrl_snr = frame.snr_db
+            wf_ok = frame.waveform == WaveformMode.OFDM_COX
+        if ctrl_snr:
             arq_idle = getattr(self.connection.arq, "in_flight", 0) == 0
             if (self.adaptive_enabled and self.connection.is_connected
                     and self.connection.is_initiator and arq_idle
-                    and frame.waveform == WaveformMode.OFDM_COX
-                    and self.adaptive.update(frame.snr_db)):
+                    and wf_ok and self.adaptive.update(ctrl_snr)):
                 self.connection.request_mode_change(
                     self.adaptive.current_mod, self.adaptive.current_rate)
         self.modem.last_rx_waveform = frame.waveform

@@ -26,6 +26,10 @@ class ModemStats:
     frames_failed: int = 0
     throughput_bps: float = 0.0
     current_snr_db: float = 0.0
+    # Round-3: TRUE wideband SNR (frame power vs min-statistics noise
+    # floor), the calibrated_snr negotiation input; current_snr_db keeps
+    # the reference's inflated per-carrier/training scale.
+    wideband_snr_db: float = 0.0
     current_modulation: Modulation = Modulation.QPSK
     current_code_rate: CodeRate = CodeRate.R1_2
 

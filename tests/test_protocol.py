@@ -397,3 +397,122 @@ def test_file_transfer_over_lossy_air(tmp_path):
         b.tick(5000)
     assert received and received[0][1], "file transfer did not complete"
     assert open(received[0][0], "rb").read() == content
+
+
+def test_calibrated_tables_and_waveform_pick():
+    """Round-3 calibrated negotiation: thresholds live on TRUE wideband SNR
+    (measured envelopes, tools/calibrate_mode_table.py) — everything below
+    the ~14 dB Schmidl-Cox acquisition floor routes to MC_DPSK."""
+    from projectultra_tpu.protocol.connection import (
+        Connection, ConnectionConfig, recommend_data_mode_calibrated)
+    from projectultra_tpu.config import Modulation, CodeRate
+    from projectultra_tpu.protocol.frame_v2 import WaveformMode
+
+    assert recommend_data_mode_calibrated(8.0) == \
+        (Modulation.DBPSK, CodeRate.R1_4)
+    assert recommend_data_mode_calibrated(12.0) == \
+        (Modulation.DQPSK, CodeRate.R1_4)
+    assert recommend_data_mode_calibrated(16.0) == \
+        (Modulation.DQPSK, CodeRate.R1_2)
+    assert recommend_data_mode_calibrated(21.0) == \
+        (Modulation.QAM16, CodeRate.R2_3)
+
+    c = Connection(ConnectionConfig(calibrated_snr=True))
+    c.set_measured_snr(8.0)
+    assert c.negotiate_mode(0xFF, WaveformMode.AUTO) == WaveformMode.MC_DPSK
+    c.set_measured_snr(16.0)
+    assert c.negotiate_mode(0xFF, WaveformMode.AUTO) == WaveformMode.OFDM_COX
+    c.set_measured_snr(-6.0)
+    assert c.negotiate_mode(0xFF, WaveformMode.AUTO) == WaveformMode.MFSK
+    # Parity default unchanged: 8 dB on the INFLATED scale -> MC_DPSK, and
+    # 18 dB inflated -> OFDM_COX.
+    d = Connection(ConnectionConfig())
+    d.set_measured_snr(8.0)
+    assert d.negotiate_mode(0xFF, WaveformMode.AUTO) == WaveformMode.MC_DPSK
+    d.set_measured_snr(18.0)
+    assert d.negotiate_mode(0xFF, WaveformMode.AUTO) == WaveformMode.OFDM_COX
+
+
+def test_wideband_snr_estimator_tracks_truth():
+    """The engine's frame-power-vs-noise-floor estimate must track TRUE
+    wideband SNR within ~1.5 dB (the reference estimators read +10/+30 dB
+    and scatter 4-6 dB under fading — tools/calibrate_snr.py)."""
+    import jax
+    import jax.numpy as jnp
+    from projectultra_tpu.modem.engine import ModemEngine
+    from projectultra_tpu.protocol import frame_v2 as F
+    from projectultra_tpu.protocol.frame_v2 import WaveformMode
+    from projectultra_tpu.sim import watterson as W
+
+    for true_snr in (6.0, 14.0):
+        tx, rx = ModemEngine(), ModemEngine()
+        for m in (tx, rx):
+            m.set_waveform_mode(WaveformMode.MC_DPSK)
+            m.connect_waveform = WaveformMode.MC_DPSK
+        audio = tx.transmit(
+            F.ControlFrame.make_ack("AA1AA", "BB2BB", 1).serialize())
+        a = jnp.asarray(np.concatenate(
+            [np.zeros(2400, np.float32), audio,
+             np.zeros(4000, np.float32)])[None, :])
+        noisy = W.add_noise_active(jax.random.PRNGKey(31), a, true_snr)
+        got = []
+        rx.on_frame = got.append
+        rx.feed_audio(np.asarray(noisy)[0])
+        rx.poll()
+        assert got, f"no decode at {true_snr} dB"
+        assert abs(got[0].wideband_snr_db - true_snr) < 1.5, \
+            (true_snr, got[0].wideband_snr_db)
+
+
+def test_file_transfer_over_lossy_air_auto_calibrated(tmp_path):
+    """VERDICT r2 #2 done-criterion: the 8 dB moderate-fading file transfer
+    with AUTO negotiation — no forced code rate — under calibrated_snr.
+    The wideband estimate keeps the negotiated mode inside the channel
+    envelope (MC_DPSK R1/4-class), where the reference-parity inflated
+    scale auto-picked OFDM/R1_2 beyond it (see the forced-R1/4 twin test
+    above, kept as the parity pin)."""
+    import jax
+    import jax.numpy as jnp
+    from projectultra_tpu.protocol.engine import ProtocolEngine
+    from projectultra_tpu.sim import watterson as W
+
+    key = jax.random.PRNGKey(23)
+    counter = [0]
+
+    def channel(audio):
+        counter[0] += 1
+        a = jnp.asarray(np.concatenate(
+            [np.zeros(2000, np.float32), audio,
+             np.zeros(4000, np.float32)])[None, :])
+        a = W.watterson(jax.random.fold_in(key, counter[0]), a,
+                        W.PRESETS["moderate"](8.0))
+        return np.asarray(a)[0]
+
+    a, b = ProtocolEngine(), ProtocolEngine()
+    a.connection.config.calibrated_snr = True
+    b.connection.config.calibrated_snr = True
+    a.connection.set_local_callsign("W1AW")
+    b.connection.set_local_callsign("VE3ABC")
+    b.connection.set_measured_snr(8.0)
+    b.connection.file_transfer.receive_dir = str(tmp_path)
+    a.on_tx_audio = lambda audio: b.feed_audio(channel(audio))
+    b.on_tx_audio = lambda audio: a.feed_audio(channel(audio))
+
+    assert a.connect("VE3ABC")
+    from projectultra_tpu.config import CodeRate
+    assert b.connection.data_code_rate == CodeRate.R1_4  # within envelope
+    src = tmp_path / "lossy_auto.bin"
+    rng = np.random.default_rng(5)
+    content = bytes(rng.integers(0, 256, 600, dtype=np.uint8))
+    src.write_bytes(content)
+    received = []
+    b.connection.file_transfer.on_received = \
+        lambda path, ok: received.append((path, ok))
+    assert a.connection.send_file(str(src))
+    for _ in range(160):
+        if received:
+            break
+        a.tick(5000)
+        b.tick(5000)
+    assert received and received[0][1], "file transfer did not complete"
+    assert open(received[0][0], "rb").read() == content

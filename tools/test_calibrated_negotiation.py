@@ -1,0 +1,110 @@
+#!/usr/bin/env python
+"""Auto-negotiation envelope sweep (VERDICT r2 #2 done-criterion).
+
+For true wideband SNRs across 5-20 dB on AWGN and moderate-fading Watterson
+channels, run a full two-ProtocolEngine over-the-air session with
+calibrated_snr on: connect (auto-negotiate waveform + data mode from the
+measured SNR), exchange messages both ways, and report the negotiated mode
+plus delivery success.  PASS = every point connects and delivers all
+messages — i.e. the auto-picked mode stays inside the channel envelope.
+Optionally --parity runs the same sweep on the reference-parity inflated
+scale for comparison (expected to fail below ~12 dB true).
+
+Usage: python tools/test_calibrated_negotiation.py [--messages N] [--parity]
+"""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def run_session(true_snr, chan, n_msgs, calibrated):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from projectultra_tpu.protocol.engine import ProtocolEngine
+    from projectultra_tpu.sim import watterson as W
+
+    key = jax.random.PRNGKey(int(true_snr * 13) + (7 if chan == "fade" else 0))
+    counter = [0]
+
+    def channel(audio):
+        counter[0] += 1
+        a = jnp.asarray(np.concatenate(
+            [np.zeros(2000, np.float32), audio,
+             np.zeros(4000, np.float32)])[None, :])
+        k = jax.random.fold_in(key, counter[0])
+        if chan == "awgn":
+            a = W.add_noise_active(k, a, true_snr)
+        else:
+            a = W.watterson(k, a, W.PRESETS["moderate"](true_snr))
+        return np.asarray(a)[0]
+
+    a, b = ProtocolEngine(), ProtocolEngine()
+    for e in (a, b):
+        e.connection.config.calibrated_snr = calibrated
+    a.connection.set_local_callsign("W1AW")
+    b.connection.set_local_callsign("VE3ABC")
+    b.connection.set_measured_snr(true_snr)
+    a.on_tx_audio = lambda audio: b.feed_audio(channel(audio))
+    b.on_tx_audio = lambda audio: a.feed_audio(channel(audio))
+    got_a, got_b = [], []
+    a.connection.on_message_received = got_a.append
+    b.connection.on_message_received = got_b.append
+
+    if not a.connect("VE3ABC"):
+        return None
+    mode = b.connection.negotiated_mode.name
+    dmode = f"{b.connection.data_modulation.name}/" \
+            f"{b.connection.data_code_rate.name}"
+
+    ia = ib = 0
+    for _ in range(1500):
+        if ia < n_msgs and a.send_message(f"a{ia:02d}"):
+            ia += 1
+        if ib < n_msgs and b.send_message(f"b{ib:02d}"):
+            ib += 1
+        a.tick(5000)
+        b.tick(5000)
+        if (ia >= n_msgs and ib >= n_msgs
+                and len(got_a) >= n_msgs and len(got_b) >= n_msgs):
+            break
+    ok = (got_b == [f"a{i:02d}" for i in range(n_msgs)]
+          and got_a == [f"b{i:02d}" for i in range(n_msgs)])
+    return mode, dmode, ok
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--messages", type=int, default=6)
+    ap.add_argument("--parity", action="store_true",
+                    help="sweep the reference-parity inflated scale instead")
+    args = ap.parse_args()
+    import jax
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_projectultra")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    jax.config.update("jax_platforms", "cpu")
+
+    calibrated = not args.parity
+    print(f"=== auto-negotiation envelope sweep "
+          f"({'calibrated' if calibrated else 'reference-parity'} scale) ===")
+    all_ok = True
+    for chan in ("awgn", "fade"):
+        for snr in (5.0, 8.0, 12.0, 16.0, 20.0):
+            r = run_session(snr, chan, args.messages, calibrated)
+            if r is None:
+                print(f"  {chan:5s} {snr:5.1f} dB: CONNECT FAILED")
+                all_ok = False
+                continue
+            mode, dmode, ok = r
+            print(f"  {chan:5s} {snr:5.1f} dB: {mode:9s} {dmode:13s} "
+                  f"{'PASS' if ok else 'FAIL'}", flush=True)
+            all_ok = all_ok and ok
+    print("RESULT:", "PASS" if all_ok else "FAIL")
+    return 0 if all_ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
