@@ -131,6 +131,15 @@ class ModemEngine:
         # position of the frame we are waiting on, last seen absolute buffer
         # length, and consecutive polls in this state (see _cox_wait_tick).
         self._cox_wait = None
+        # Cox acquisition cache: (abs_lts_start, cfo) of a found preamble
+        # whose frame has not fully arrived — polls while it streams in
+        # retry the DECODE, not the full-buffer preamble search.
+        self._cox_pending = None
+        # Per-path (consumed, buflen) of the last full acquisition search:
+        # _search_due rate-limits searches to the reference's ~100 ms
+        # new-audio cadence (modem_rx.cpp) so chunked streaming feeds do
+        # not re-dispatch detection per 20 ms chunk.
+        self._acq_searched = {}
 
         from ..utils.metrics import ModemStats
         self.stats = ModemStats()
@@ -181,6 +190,8 @@ class ModemEngine:
         self._dpsk_wait = None
         self._chirp_last_key = None
         self._cox_wait = None
+        self._cox_pending = None
+        self._acq_searched = {}
 
     def _active_tx_waveform(self) -> WaveformMode:
         """4-way priority (modem_engine.cpp:372-397)."""
@@ -419,10 +430,18 @@ class ModemEngine:
         # buffer is deterministic, and the poll loop can land here several
         # times per poll while a frame is pending.  The key includes the
         # waveform mode and DPSK preamble length because both change the
-        # fail-path tail-trim bookkeeping over the SAME buffer.
+        # fail-path tail-trim bookkeeping over the SAME buffer.  On top of
+        # the exact-state memo, pace re-searches over a GROWING buffer to
+        # the ~100 ms new-audio cadence (chunked streaming feeds would
+        # otherwise re-dispatch detection per 20 ms chunk).
         key = (self._rx_consumed, len(buf), self.waveform_mode,
                self.dpsk_config.preamble_samples)
         if key == self._chirp_last_key:
+            return 0
+        last = self._chirp_last_key
+        if (last is not None and last[0] == key[0]
+                and key[1] - last[1] < self.ACQ_SEARCH_CADENCE
+                and key[2:] == last[2:]):
             return 0
         self._chirp_last_key = key
         # While a waveform frame is pending ("wait"), the buffer grows for
@@ -532,6 +551,22 @@ class ModemEngine:
             n = max(0, min(n, len(self._rx_buffer)))
             self._rx_buffer = self._rx_buffer[n:]
             self._rx_consumed += n
+
+    ACQ_SEARCH_CADENCE = 4800  # re-search only after 100 ms of new audio
+
+    def _search_due(self, path) -> bool:
+        """Rate-limit full-buffer acquisition searches to the reference's
+        ~100 ms poll cadence (modem_rx.cpp): re-run only when the buffer
+        was consumed from (positions shifted) or >= ACQ_SEARCH_CADENCE new
+        samples arrived since the last search on this path.  Keyed per
+        path so the Cox/OTFS/chirp searches pace independently."""
+        key = (self._rx_consumed, len(self._rx_buffer))
+        last = self._acq_searched.get(path)
+        if last is not None and last[0] == key[0] \
+                and key[1] - last[1] < self.ACQ_SEARCH_CADENCE:
+            return False
+        self._acq_searched[path] = key
+        return True
 
     NOISE_CHUNK = 480  # 10 ms blocks for the min-statistics noise floor
 
@@ -651,13 +686,24 @@ class ModemEngine:
         plen = cfg.fft_size + cfg.cyclic_prefix
         if len(buf) < 10 * plen:
             return None
-        det = {k: np.asarray(v)[0] for k, v in SC.detect_preamble(
-            cfg, jnp.asarray(self._bucketed(buf)[None, :])).items()}
-        if not bool(det["found"]):
-            self._cox_wait = None
-            return None
-        lts_start = int(det["lts_start"])
-        cfo = float(det["cfo_hz"])
+        if self._cox_pending is not None:
+            # A found preamble is streaming in: retry the decode directly,
+            # no full-buffer re-search.
+            lts_start = self._cox_pending[0] - self._rx_consumed
+            cfo = self._cox_pending[1]
+            if lts_start < 0:
+                self._cox_pending = None
+                return None
+        else:
+            if not self._search_due("cox"):
+                return None
+            det = {k: np.asarray(v)[0] for k, v in SC.detect_preamble(
+                cfg, jnp.asarray(self._bucketed(buf)[None, :])).items()}
+            if not bool(det["found"]):
+                self._cox_wait = None
+                return None
+            lts_start = int(det["lts_start"])
+            cfo = float(det["cfo_hz"])
         status, frame = self._decode_frame_cox(lts_start, cfo)
         if status == "fail":
             # LDPC-validated timing hunt (huntForCodeword,
@@ -693,7 +739,16 @@ class ModemEngine:
                 if done:
                     break
         if status == "wait":
-            return self._cox_wait_tick(lts_start, plen)
+            # Cache the found preamble so later polls retry the decode
+            # directly instead of re-running the full-buffer search; the
+            # wait tick's preemption/timeout consumes invalidate it via
+            # the consumed-position check above.
+            self._cox_pending = (self._rx_consumed + lts_start, cfo)
+            r = self._cox_wait_tick(lts_start, plen)
+            if r != "wait":
+                self._cox_pending = None
+            return r
+        self._cox_pending = None
         self._cox_wait = None
         if status == "fail":
             self._consume(lts_start + 2 * plen)
@@ -786,6 +841,8 @@ class ModemEngine:
         buf = self._rx_buffer
         ocfg = self._otfs_config(self.waveform_mode)
         if len(buf) < ocfg.frame_len:
+            return None
+        if not self._search_due("otfs"):
             return None
         found, start = O.detect_frame(ocfg, jnp.asarray(buf[None, :]))
         if not bool(np.asarray(found)[0]):
