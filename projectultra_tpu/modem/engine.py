@@ -554,6 +554,22 @@ class ModemEngine:
 
     ACQ_SEARCH_CADENCE = 4800  # re-search only after 100 ms of new audio
 
+    def _chirp_strong_pos(self) -> int:
+        """Earliest strong up-chirp-template crossing in the current
+        buffer (relative), or -1.  The guard that keeps failure-path
+        consumes from eating into an ARRIVING chirp: a chirp lights up the
+        Schmidl-Cox plateau and an LTS fluke at the signal boundary can
+        confirm a false Cox preamble while the chirp's down half is still
+        streaming in — the blind fail-consume then truncates the chirp
+        head and the mutilated chirp fails the CFO gate forever (caught by
+        tools/test_hf_reality.py)."""
+        buf = self._rx_buffer
+        if len(buf) < 4800:
+            return -1
+        det = chirp_mod.detect_dual_chirp(
+            self.chirp_config, jnp.asarray(self._bucketed(buf)[None, :]))
+        return int(np.asarray(det["first_strong_up"])[0])
+
     def _search_due(self, path) -> bool:
         """Rate-limit full-buffer acquisition searches to the reference's
         ~100 ms poll cadence (modem_rx.cpp): re-run only when the buffer
@@ -751,7 +767,14 @@ class ModemEngine:
         self._cox_pending = None
         self._cox_wait = None
         if status == "fail":
-            self._consume(lts_start + 2 * plen)
+            planned = lts_start + 2 * plen
+            guard = self._chirp_strong_pos()
+            if 0 <= guard < planned:
+                # A chirp is arriving inside the claimed span: consume only
+                # up to it and fall through to the chirp path this pass.
+                self._consume(guard)
+                return None
+            self._consume(planned)
             return 0
         self.frames_received += 1
         import time as _t
@@ -811,7 +834,9 @@ class ModemEngine:
                    > self._cox_max_symbols() * self.config.symbol_duration)
         if give_up:
             self._cox_wait = None
-            self._consume(lts_start + 2 * plen)
+            planned = lts_start + 2 * plen
+            guard = self._chirp_strong_pos()
+            self._consume(guard if 0 <= guard < planned else planned)
             return 0
 
         if st["polls"] >= 2:

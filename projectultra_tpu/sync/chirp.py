@@ -431,8 +431,20 @@ def detect_dual_chirp(cfg: ChirpConfig, samples: jnp.ndarray,
     up_start = jnp.round(up_pos + cfo_hz * c2s).astype(jnp.int32)
     down_start = jnp.round(down_pos - cfo_hz * c2s).astype(jnp.int32)
 
+    # Earliest strong up-template crossing regardless of validation — a
+    # PARTIALLY-ARRIVED chirp (down chirp still streaming in) fails the
+    # full up+down+CFO chain but already correlates strongly; consumers use
+    # this to avoid consuming into an arriving chirp (e.g. the engine's
+    # Cox false-positive fail path).  Biased early like next_up.
+    any_strong = (cu >= thr_grid).any(-1)
+    first_strong = jnp.where(
+        any_strong,
+        jnp.maximum(jnp.argmax(cu >= thr_grid, axis=-1) * D - (D - 1), 0),
+        -1).astype(jnp.int32)
+
     return {
         "success": success,
+        "first_strong_up": first_strong,
         "cfo_hz": jnp.where(success, cfo_hz, 0.0),
         "up_chirp_start": up_start,
         "down_chirp_start": down_start,

@@ -1,0 +1,172 @@
+#!/usr/bin/env python
+"""HF reality soak — realistic receiver audio through ONE engine.
+
+Reference: tools/test_hf_reality.cpp:1-17 (continuous noise floor from
+sample 0, variable leading silence, random inter-frame gaps, TX ramp
+up/down, mixed modulation modes).  This port is STRICTER than the
+reference's harness: the C++ decodes an oracle window around each KNOWN
+frame position with a fresh demodulator; here the whole stream feeds ONE
+ModemEngine in audio-callback-sized chunks with the normal poll cadence and
+no position oracle (docs/TESTING_METHODOLOGY anti-cheat rules).
+
+Stream contents: OFDM_COX data frames (DQPSK R1/2), chirp-led MC-DPSK data
+frames, and a chirp PING, every frame with a 25 ms cosine TX ramp, random
+0.7-1.3x inter-frame gaps, 2-4 s leading noise-only audio, continuous noise
+floor at --snr (vs mean in-frame signal power, the reference's definition).
+
+Second phase: a --soak-minutes pure-noise soak through the same engine —
+zero events required (the false-decode gate the stale hardware recordings
+cannot provide).
+
+Usage: python tools/test_hf_reality.py [--snr 25] [--frames 12]
+           [--duration 60] [--soak-minutes 10] [--cpu] [--quick]
+"""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def tx_ramp(audio, n=1200):
+    """25 ms cosine ramp on both edges (test_hf_reality.cpp applyTxRamp)."""
+    import numpy as np
+    if len(audio) < 2 * n:
+        return audio
+    w = 0.5 * (1.0 - np.cos(np.pi * np.arange(n) / n))
+    out = audio.copy()
+    out[:n] *= w
+    out[-n:] *= w[::-1]
+    return out
+
+
+def run(snr_db=25.0, num_frames=12, duration_sec=60.0, soak_minutes=10.0,
+        chunk=960, verbose=True):
+    import numpy as np
+    from projectultra_tpu.config import Modulation, CodeRate
+    from projectultra_tpu.modem.engine import ModemEngine
+    from projectultra_tpu.protocol import frame_v2 as F
+    from projectultra_tpu.protocol.frame_v2 import WaveformMode
+
+    rng = np.random.default_rng(42)
+
+    def make_tx(wf):
+        e = ModemEngine()
+        e.set_waveform_mode(wf)
+        e.connect_waveform = wf
+        e.connected = True
+        e.handshake_complete = True
+        e.data_modulation = Modulation.DQPSK
+        e.data_code_rate = CodeRate.R1_2
+        return e
+
+    tx_cox = make_tx(WaveformMode.OFDM_COX)
+    tx_mc = make_tx(WaveformMode.MC_DPSK)
+
+    # --- build the stream: frames at random positions over continuous noise
+    msgs = [f"MSG{i}_HF_TEST" for i in range(num_frames)]
+    frame_audio = []
+    for i, msg in enumerate(msgs):
+        tx = tx_cox if i % 2 == 0 else tx_mc
+        fb = F.DataFrame.make_data("W1AW", "VE3ABC", i, msg).serialize()
+        frame_audio.append(tx_ramp(tx.transmit(fb)))
+    ping_audio = tx_ramp(tx_mc.transmit_ping())
+
+    total = int(duration_sec * 48000)
+    stream = np.zeros(total, np.float32)
+    avg_gap = duration_sec / (num_frames + 2)
+    t = float(rng.uniform(2.0, 4.0))  # leading noise-only audio
+    positions = []
+    placed = list(frame_audio) + [ping_audio]
+    for audio in placed:
+        pos = int(t * 48000)
+        if pos + len(audio) > total:
+            stream = np.concatenate(
+                [stream, np.zeros(pos + len(audio) + 48000 - total,
+                                  np.float32)])
+            total = len(stream)
+        stream[pos:pos + len(audio)] += audio
+        positions.append(pos)
+        t += len(audio) / 48000.0 + avg_gap * float(rng.uniform(0.7, 1.3))
+
+    sig_power = float(np.mean(np.concatenate(placed) ** 2))
+    noise_std = float(np.sqrt(sig_power / 10 ** (snr_db / 10.0)))
+    stream = stream + rng.normal(0, noise_std, len(stream)).astype(np.float32)
+
+    # --- ONE engine, chunked feed, no oracle
+    rx = make_tx(WaveformMode.OFDM_COX)
+    got, pings = [], []
+    rx.on_frame = got.append
+    rx.on_ping = pings.append
+    fed = 0
+    for i in range(0, len(stream), chunk):
+        rx.feed_audio(stream[i:i + chunk])
+        fed += chunk
+        if fed % 4800 < chunk:
+            rx.poll()
+    rx.feed_audio(np.zeros(8000, np.float32))
+    rx.poll()
+
+    texts = []
+    for fr in got:
+        df = F.DataFrame.deserialize(fr.frame_bytes)
+        if df:
+            texts.append(df.payload_as_text())
+    missing = [m for m in msgs if m not in texts]
+    extra = [x for x in texts if x not in msgs]
+    if verbose:
+        print(f"frames decoded: {len(texts)}/{num_frames}  "
+              f"pings: {len(pings)}/1")
+        for m in missing:
+            print(f"  MISSING: {m}")
+        for x in extra:
+            print(f"  UNEXPECTED: {x!r}")
+    phase1 = not missing and not extra and len(pings) == 1
+
+    # --- pure-noise false-decode soak (bigger chunks: the soak gates false
+    # events, not callback cadence)
+    soak_samples = int(soak_minutes * 60 * 48000)
+    rx2 = make_tx(WaveformMode.OFDM_COX)
+    events = []
+    rx2.on_frame = events.append
+    rx2.on_ping = events.append
+    soak_chunk = 48000
+    left = soak_samples
+    while left > 0:
+        n = min(soak_chunk, left)
+        rx2.feed_audio(rng.normal(0, noise_std, n).astype(np.float32))
+        rx2.poll()
+        left -= n
+    if verbose:
+        print(f"noise soak: {soak_minutes:.1f} min, "
+              f"false events: {len(events)}")
+    phase2 = len(events) == 0
+    return phase1, phase2
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--snr", type=float, default=25.0)
+    ap.add_argument("--frames", type=int, default=12)
+    ap.add_argument("--duration", type=float, default=60.0)
+    ap.add_argument("--soak-minutes", type=float, default=10.0)
+    ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--quick", action="store_true",
+                    help="6 frames / 30 s / 1 min soak (test-suite scale)")
+    args = ap.parse_args()
+    import jax
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_projectultra")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    if args.quick:
+        args.frames, args.duration, args.soak_minutes = 6, 30.0, 1.0
+    p1, p2 = run(args.snr, args.frames, args.duration, args.soak_minutes)
+    print(f"frames+ping: {'PASS' if p1 else 'FAIL'}   "
+          f"false-decode soak: {'PASS' if p2 else 'FAIL'}")
+    return 0 if (p1 and p2) else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
