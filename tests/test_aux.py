@@ -76,3 +76,22 @@ def test_waterfall_batch_and_short_inputs():
     np.testing.assert_allclose(p2, pflat, rtol=1e-5)
     p1, freqs = waterfall(np.ones(500, np.float32), fft_size=2048)
     assert p1.shape == (1, 1025) and np.isfinite(p1).all()
+
+
+def test_webui_scripted_session():
+    """Browser front-end (tools/webui.py): scripted end-to-end session
+    through the HTTP API — connect, waterfall rows present, chat echo from
+    the virtual remote, constellation points, disconnect (the GUI rows'
+    closing evidence; SURVEY §2.5 App/widgets)."""
+    import os
+    import subprocess
+    import sys
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ)
+    env["PYTHONPATH"] = repo
+    r = subprocess.run(
+        [sys.executable, os.path.join(repo, "tools", "webui.py"),
+         "--cpu", "--script", "--port", "8761"],
+        capture_output=True, text=True, env=env, cwd=repo, timeout=900)
+    assert r.returncode == 0, r.stdout[-1500:] + r.stderr[-1500:]
+    assert "PASS" in r.stdout

@@ -1,0 +1,308 @@
+#!/usr/bin/env python
+"""Browser front-end: the reference GUI's panels served over HTTP.
+
+Reference: src/gui/app.cpp panels (live waterfall, constellation, status
+bar, message console, connect/send/disconnect controls) and the `-sim`
+virtual remote station.  This container has no display/SDL, so the same
+data products (utils/observability.py — the 2048-point waterfall FFT and
+equalized constellation symbols) render in a browser from a stdlib
+http.server: no extra dependencies, JS polls /api/state and paints two
+canvases.
+
+Backend = the tui.py --sim pair: a local station (W1AW) and a virtual
+remote (VE3ABC) behind a noisy channel.  Controls POST to /api/connect,
+/api/send, /api/ping, /api/disconnect; the remote auto-replies to chat so
+traffic flows both ways.
+
+Usage:
+  python tools/webui.py [--cpu] [--snr 15] [--port 8752]      # serve
+  python tools/webui.py --script [--cpu]    # CI: drive a scripted session
+                                            # through the HTTP API, verify
+                                            # waterfall/constellation/chat
+"""
+
+import argparse
+import json
+import os
+import sys
+import threading
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+PAGE = """<!DOCTYPE html>
+<html><head><title>ultra-tpu</title><style>
+body{background:#101418;color:#cdd6dd;font-family:monospace;margin:14px}
+h1{font-size:16px;color:#7fd4a0} .row{display:flex;gap:16px;flex-wrap:wrap}
+canvas{background:#000;border:1px solid #2a3740;image-rendering:pixelated}
+#status{white-space:pre;background:#161d23;padding:8px;border:1px solid #2a3740}
+#console{white-space:pre-wrap;background:#161d23;height:140px;overflow-y:auto;
+ padding:8px;border:1px solid #2a3740;width:640px}
+button{background:#22303a;color:#cdd6dd;border:1px solid #3a4a56;padding:4px 10px;
+ cursor:pointer} input{background:#0c1114;color:#cdd6dd;border:1px solid #3a4a56;
+ padding:4px;width:320px}
+</style></head><body>
+<h1>ultra-tpu &mdash; HF modem console (virtual remote: VE3ABC)</h1>
+<div class=row>
+ <div><div>waterfall 0-3 kHz</div>
+  <canvas id=wf width=256 height=120></canvas></div>
+ <div><div>constellation</div>
+  <canvas id=ct width=120 height=120></canvas></div>
+ <div id=status>connecting to backend...</div>
+</div>
+<p>
+ <button onclick="act('connect')">Connect</button>
+ <button onclick="act('ping')">Ping</button>
+ <button onclick="act('disconnect')">Disconnect</button>
+ <input id=msg placeholder="message text" onkeydown="if(event.key=='Enter')send()">
+ <button onclick="send()">Send</button>
+</p>
+<div id=console></div>
+<script>
+async function act(a){await fetch('/api/'+a,{method:'POST'});}
+async function send(){const m=document.getElementById('msg');
+ if(!m.value)return; await fetch('/api/send',{method:'POST',body:m.value});
+ m.value='';}
+async function tick(){
+ try{
+  const s=await (await fetch('/api/state')).json();
+  document.getElementById('status').textContent=s.status;
+  const wf=document.getElementById('wf'),g=wf.getContext('2d');
+  if(s.waterfall.length){
+   const rows=s.waterfall,W=rows[0].length,H=rows.length;
+   const img=g.createImageData(W,H);
+   for(let y=0;y<H;y++)for(let x=0;x<W;x++){
+    const v=rows[y][x],i=4*(y*W+x);
+    img.data[i]=v*0.2; img.data[i+1]=v; img.data[i+2]=v*0.55; img.data[i+3]=255;}
+   wf.width=W; wf.height=H; g.putImageData(img,0,0);}
+  const ct=document.getElementById('ct'),c=ct.getContext('2d');
+  c.fillStyle='#000'; c.fillRect(0,0,120,120);
+  c.strokeStyle='#2a3740'; c.beginPath(); c.moveTo(60,0); c.lineTo(60,120);
+  c.moveTo(0,60); c.lineTo(120,60); c.stroke(); c.fillStyle='#7fd4a0';
+  for(const p of s.constellation)
+   c.fillRect(60+p[0]*54-1,60-p[1]*54-1,2,2);
+  const con=document.getElementById('console');
+  con.textContent=s.console.join('\\n');
+  con.scrollTop=con.scrollHeight;
+ }catch(e){}
+ setTimeout(tick,500);}
+tick();
+</script></body></html>"""
+
+
+class Station:
+    """tui.py --sim backend: local + virtual remote over a noisy channel."""
+
+    def __init__(self, snr_db: float):
+        import numpy as np
+        import jax
+        import jax.numpy as jnp
+        from projectultra_tpu.protocol.engine import ProtocolEngine
+        from projectultra_tpu.sim import watterson as W
+
+        self.lock = threading.Lock()
+        self.console = []
+        self.last_rx = None
+        self.snr_db = snr_db
+        a, b = ProtocolEngine(), ProtocolEngine()
+        a.connection.set_local_callsign("W1AW")
+        b.connection.set_local_callsign("VE3ABC")
+        b.connection.set_measured_snr(snr_db)
+        a.modem.collect_constellation = True
+        b.modem.collect_constellation = True
+
+        def channel(audio):
+            x = jnp.asarray(np.concatenate(
+                [np.zeros(2000, np.float32), audio,
+                 np.zeros(4000, np.float32)])[None, :])
+            x = W.add_noise_active(
+                jax.random.PRNGKey(len(audio) & 0xFFFF), x, snr_db)
+            return np.asarray(x)[0]
+
+        def a_to_b(audio):
+            b.feed_audio(channel(audio))
+
+        def b_to_a(audio):
+            rx = channel(audio)
+            self.last_rx = rx
+            a.feed_audio(rx)
+
+        a.on_tx_audio = a_to_b
+        b.on_tx_audio = b_to_a
+        a.connection.on_message_received = \
+            lambda t: self.console.append(f"VE3ABC> {t}")
+        # Virtual remote auto-reply (GUI -sim behavior).
+        b.connection.on_message_received = \
+            lambda t: b.send_message(f"rx ok: {t}")
+        self.a, self.b = a, b
+
+    # --- actions (serialized by the lock; each pumps the full exchange)
+    def connect(self):
+        with self.lock:
+            self.a.connect("VE3ABC")
+            self.console.append(
+                "* connected" if self.a.connection.is_connected
+                else "* connect failed")
+
+    def ping(self):
+        with self.lock:
+            self.a._tx_ping()  # chirp PING over the air (ProtocolEngine TX)
+            self.console.append("* ping sent")
+
+    def send(self, text: str):
+        with self.lock:
+            ok = self.a.send_message(text)
+            self.console.append(f"me> {text}" if ok else "* send failed")
+            for _ in range(20):
+                self.a.tick(1000)
+                self.b.tick(1000)
+
+    def disconnect(self):
+        with self.lock:
+            self.a.disconnect()
+            self.console.append("* disconnected")
+
+    def state(self) -> dict:
+        import numpy as np
+        from projectultra_tpu.utils.observability import (constellation,
+                                                          waterfall)
+        with self.lock:
+            c = self.a.connection
+            m = self.a.modem
+            status = (
+                f"state:    {c.state.name}\n"
+                f"remote:   {c.remote_call or '-'}\n"
+                f"waveform: "
+                f"{c.negotiated_mode.name if c.is_connected else '-'}\n"
+                f"mode:     {m.data_modulation.name} "
+                f"{m.data_code_rate.name[1:].replace('_', '/')}\n"
+                f"snr:      {m.stats.current_snr_db:5.1f} dB "
+                f"(wideband {m.stats.wideband_snr_db:5.1f})\n"
+                f"frames:   tx {m.stats.frames_sent} / "
+                f"rx {m.stats.frames_received}\n"
+                f"pings rx: {m.pings_received}")
+            wf_rows = []
+            if self.last_rx is not None and len(self.last_rx) >= 4096:
+                db, freqs = waterfall(self.last_rx)
+                keep = freqs <= 3000.0
+                db = db[-40:, keep]
+                lo, hi = float(db.min()), float(max(db.max(),
+                                                    db.min() + 1e-6))
+                norm = ((db - lo) / (hi - lo) * 255).astype(np.uint8)
+                cols = np.linspace(0, norm.shape[1] - 1, 256).astype(int)
+                wf_rows = norm[:, cols].tolist()
+            pts = []
+            if m.last_constellation is not None and \
+                    len(m.last_constellation):
+                iq = constellation(m.last_constellation)
+                lim = max(1e-6, float(np.abs(iq).max()))
+                pts = [[float(p[0]) / lim, float(p[1]) / lim]
+                       for p in iq[:400]]
+            return {"status": status, "waterfall": wf_rows,
+                    "constellation": pts, "console": self.console[-50:]}
+
+
+def make_server(station: Station, port: int):
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *a):
+            pass
+
+        def _reply(self, code, body, ctype="application/json"):
+            data = body.encode() if isinstance(body, str) else body
+            self.send_response(code)
+            self.send_header("Content-Type", ctype)
+            self.send_header("Content-Length", str(len(data)))
+            self.end_headers()
+            self.wfile.write(data)
+
+        def do_GET(self):
+            if self.path == "/":
+                self._reply(200, PAGE, "text/html")
+            elif self.path == "/api/state":
+                self._reply(200, json.dumps(station.state()))
+            else:
+                self._reply(404, "{}")
+
+        def do_POST(self):
+            n = int(self.headers.get("Content-Length") or 0)
+            body = self.rfile.read(n).decode() if n else ""
+            if self.path == "/api/connect":
+                station.connect()
+            elif self.path == "/api/ping":
+                station.ping()
+            elif self.path == "/api/send":
+                station.send(body)
+            elif self.path == "/api/disconnect":
+                station.disconnect()
+            else:
+                return self._reply(404, "{}")
+            self._reply(200, "{}")
+
+    return ThreadingHTTPServer(("127.0.0.1", port), Handler)
+
+
+def run_script(port: int) -> int:
+    """Scripted end-to-end session through the HTTP API (CI mode)."""
+    import urllib.request
+
+    def post(path, data=b""):
+        urllib.request.urlopen(
+            f"http://127.0.0.1:{port}{path}", data=data, timeout=600).read()
+
+    def state():
+        with urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/api/state", timeout=600) as r:
+            return json.loads(r.read())
+
+    s0 = state()
+    assert "DISCONNECTED" in s0["status"], s0["status"]
+    post("/api/connect")
+    s1 = state()
+    assert "CONNECTED" in s1["status"], s1["status"]
+    assert len(s1["waterfall"]) > 0, "no waterfall rows after connect"
+    post("/api/send", b"hello from browser")
+    s2 = state()
+    assert any("rx ok: hello from browser" in ln for ln in s2["console"]), \
+        s2["console"]
+    assert len(s2["constellation"]) > 0, "no constellation points"
+    post("/api/disconnect")
+    s3 = state()
+    assert "DISCONNECTED" in s3["status"], s3["status"]
+    print("webui scripted session: PASS")
+    return 0
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--snr", type=float, default=15.0)
+    ap.add_argument("--port", type=int, default=8752)
+    ap.add_argument("--script", action="store_true",
+                    help="drive a scripted session through the HTTP API")
+    args = ap.parse_args()
+    import jax
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_projectultra")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    station = Station(args.snr)
+    srv = make_server(station, args.port)
+    if args.script:
+        t = threading.Thread(target=srv.serve_forever, daemon=True)
+        t.start()
+        try:
+            return run_script(args.port)
+        finally:
+            srv.shutdown()
+    print(f"ultra-tpu web console: http://127.0.0.1:{args.port}/")
+    try:
+        srv.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
