@@ -24,6 +24,13 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 # benchmarking purposes (tests keep threefry for reproducibility).
 jax.config.update("jax_default_prng_impl", "rbg")
 
+# bf16 LDPC edge messages: +6.3% headline at identical FER/BER (min-sum
+# only compares/copies magnitudes; overlay in docs/PERF.md).  The bench is
+# correctness-gated below, so a wrong fast mode scores 0; tests keep the
+# f32 default for lane-exact C++ parity.
+import os
+os.environ.setdefault("ULTRA_LDPC_BF16", "1")
+
 import jax.numpy as jnp
 import numpy as np
 
