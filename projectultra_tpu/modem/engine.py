@@ -135,6 +135,15 @@ class ModemEngine:
         # whose frame has not fully arrived — polls while it streams in
         # retry the DECODE, not the full-buffer preamble search.
         self._cox_pending = None
+        # Chirp acquisition cache: (abs_up, abs_tr, cfo, abs_cap) of a
+        # validated dual-chirp whose frame/ping is still arriving — the
+        # paced full-buffer search must not be the thing that completes a
+        # pending decode (the stream can end <1 cadence after the last
+        # search; caught by the OTFS/chunked loopbacks).
+        self._chirp_pending = None
+        self._chirp_kind = None  # last classification for pending retries
+        # OTFS search-gate bypass while a found frame is streaming in.
+        self._otfs_waiting = False
         # Per-path (consumed, buflen) of the last full acquisition search:
         # _search_due rate-limits searches to the reference's ~100 ms
         # new-audio cadence (modem_rx.cpp) so chunked streaming feeds do
@@ -191,6 +200,8 @@ class ModemEngine:
         self._chirp_last_key = None
         self._cox_wait = None
         self._cox_pending = None
+        self._chirp_pending = None
+        self._otfs_waiting = False
         self._acq_searched = {}
 
     def _active_tx_waveform(self) -> WaveformMode:
@@ -424,6 +435,24 @@ class ModemEngine:
             waveform_waiting = handled == "wait"
         buf = self._rx_buffer
         cc = self.chirp_config
+        if self._chirp_pending is not None:
+            # A validated chirp's ping/frame is still arriving: retry the
+            # classify/decode directly — no re-search, no cadence gate.
+            abs_up, abs_tr, pcfo, pcorr, abs_cap, pkind = self._chirp_pending
+            c0 = self._rx_consumed
+            if abs_up < c0:
+                self._chirp_pending = None
+            else:
+                cap = (abs_cap - c0) if abs_cap >= 0 else len(buf)
+                r = self._handle_chirp(abs_tr - c0, pcfo, abs_up - c0,
+                                       pcorr, min(cap, len(buf)),
+                                       kind_hint=pkind)
+                if r == "wait":
+                    self._chirp_pending = (abs_up, abs_tr, pcfo, pcorr,
+                                           abs_cap, self._chirp_kind)
+                    return 0
+                self._chirp_pending = None
+                return r
         if len(buf) < cc.total_samples + 4000:
             return 0
         # Memoize identical-state passes: detection over an unchanged
@@ -493,18 +522,43 @@ class ModemEngine:
 
         tr_start = int(det["down_chirp_start"]) + cc.chirp_samples + cc.gap_samples
         cfo = float(det["cfo_hz"])
+        next_up = int(det["next_up_start"])
+        cap = next_up if next_up >= 0 else len(buf)
+        up_start = int(det["up_chirp_start"])
+        corr = float(min(max(det["up_correlation"],
+                             det["down_correlation"]), 0.999))
+        r = self._handle_chirp(tr_start, cfo, up_start, corr, cap)
+        if r == "wait":
+            # Cache the validated chirp so later polls retry the
+            # classify/decode DIRECTLY: the paced full-buffer search must
+            # not be the thing that completes a pending decode (the stream
+            # can end less than one cadence after the last search).
+            c0 = self._rx_consumed
+            self._chirp_pending = (c0 + up_start, c0 + tr_start, cfo, corr,
+                                   c0 + cap if next_up >= 0 else -1,
+                                   self._chirp_kind)
+            return 0
+        self._chirp_pending = None
+        return r
+
+    def _handle_chirp(self, tr_start: int, cfo: float, up_start: int,
+                      corr: float, cap: int, kind_hint: str | None = None):
+        """Classify + decode a VALIDATED dual-chirp at known relative
+        positions.  Returns the delivered-event count, or "wait" while the
+        ping probe / frame is still arriving.  `cap` bounds every consume
+        so a mis-sized consume can never eat the next frame's chirp.
+        kind_hint carries a previous poll's classification so pending
+        retries skip the per-poll classify dispatch while the frame body
+        streams in."""
+        cc = self.chirp_config
 
         # Chirp-only PING vs frame: require STRUCTURED training after the
         # chirp, not just energy (the reference's absolute RMS gate,
         # modem_rx.cpp:60-67, misclassifies once the noise floor exceeds it).
-        # Never consume past the NEXT frame's chirp (a truncated frame's
-        # detection can overestimate its own extent).
-        next_up = int(det["next_up_start"])
-        cap = next_up if next_up >= 0 else len(buf)
-
-        kind = self._classify_after_chirp(tr_start, cfo)
+        kind = kind_hint or self._classify_after_chirp(tr_start, cfo)
+        self._chirp_kind = kind if kind in ("ping", "frame") else None
         if kind == "wait":
-            return 0
+            return "wait"
         if kind == "ping":
             self.pings_received += 1
             # SNR from the chirp matched-filter correlation: for a
@@ -514,17 +568,15 @@ class ModemEngine:
             # chirp is strictly more informative and feeds the same
             # mode-recommendation path (and the stat updates even for
             # callback-less consumers).
-            c = float(min(max(det["up_correlation"],
-                              det["down_correlation"]), 0.999))
-            snr_db = 10.0 * np.log10(max(c * c / (1.0 - c * c), 1e-3))
+            snr_db = 10.0 * np.log10(max(corr * corr / (1.0 - corr * corr),
+                                         1e-3))
             self.stats.current_snr_db = snr_db
             # The normalized-correlation SNR is ALREADY wideband-scale:
             # c^2 = S/(S+N) with N the full-band window noise energy.
             self.stats.wideband_snr_db = snr_db
             if self.on_ping:
                 self.on_ping(round(snr_db, 1))
-            self._consume(min(int(det["up_chirp_start"]) + cc.total_samples,
-                              cap))
+            self._consume(min(up_start + cc.total_samples, cap))
             return 1
 
         wf = self.waveform_mode if self.waveform_mode == WaveformMode.OFDM_CHIRP \
@@ -532,12 +584,11 @@ class ModemEngine:
         status, frame = self._decode_frame(wf, tr_start, cfo)
         if status == "wait":
             # Frame still arriving (streaming feed): keep the buffer intact.
-            return 0
+            return "wait"
         if status == "fail":
             # False positive or undecodable (e.g. an interrupted frame):
             # drop only the UP-chirp — and never past the next frame's chirp.
-            self._consume(min(int(det["up_chirp_start"]) + cc.chirp_samples,
-                              cap))
+            self._consume(min(up_start + cc.chirp_samples, cap))
             return 0
         self.frames_received += 1
         import time as _t
@@ -867,10 +918,11 @@ class ModemEngine:
         ocfg = self._otfs_config(self.waveform_mode)
         if len(buf) < ocfg.frame_len:
             return None
-        if not self._search_due("otfs"):
+        if not self._otfs_waiting and not self._search_due("otfs"):
             return None
         found, start = O.detect_frame(ocfg, jnp.asarray(buf[None, :]))
         if not bool(np.asarray(found)[0]):
+            self._otfs_waiting = False
             return None
         # The 0.98 fine-sync rule lands within ~half a CP of the true start
         # (same bias as otfs.cpp:479-500).  OTFS_EQ absorbs that in the
@@ -885,12 +937,15 @@ class ModemEngine:
         lo = max(0, coarse - ocfg.sym_len)
         hi = min(len(buf) - len(pre), coarse + ocfg.sym_len)
         if hi <= lo:
+            self._otfs_waiting = True
             return "wait"  # preamble not fully buffered yet
         corr = np.correlate(buf[lo:hi + len(pre)], pre, mode="valid")
         start0 = lo + int(np.argmax(np.abs(corr)))
         status, frame = self._decode_frame_otfs(ocfg, start0)
         if status == "wait":
+            self._otfs_waiting = True
             return "wait"
+        self._otfs_waiting = False
         if status == "fail":
             self._consume(start0 + ocfg.frame_len)
             return 0

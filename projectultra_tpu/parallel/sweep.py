@@ -341,6 +341,13 @@ def run_matrix_stream(rows=None, seed: int = 42, frames: int | None = None,
     for point, min_rate in rows:
         if frames is not None:
             point = dataclasses.replace(point, frames=frames)
+        import time as _t
+        t0 = _t.perf_counter()
         res = run_point_stream(point, seed=seed, chunk=chunk)
-        out.append((res, min_rate, res.decode_rate >= min_rate))
+        ok = res.decode_rate >= min_rate
+        print(f"  [stream] {point.waveform:<11} {point.channel:<9} "
+              f"{point.snr_db:>5.1f} dB: {res.decode_rate:.0%} "
+              f"(min {min_rate:.0%}) {'PASS' if ok else 'FAIL'} "
+              f"[{_t.perf_counter() - t0:.0f}s]", flush=True)
+        out.append((res, min_rate, ok))
     return out
