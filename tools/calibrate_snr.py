@@ -3,13 +3,13 @@
 
 The reference's frame/pilot SNR estimates (MC-DPSK training, OFDM pilots,
 DPSK preamble) read 10-20 dB ABOVE the true wideband channel SNR
-(types.hpp's own mode-table scale; CLAUDE.md "SNR scales").  The calibrated
-negotiation mode (protocol/connection.py `calibrated_snr`) needs the
-inverse mapping: this tool drives the FULL engine TX->channel->RX path per
-waveform over a grid of true SNRs and prints the measured estimator
-readings plus a least-squares linear fit est = a*true + b per
-(waveform, channel) pair.  The fitted constants are pinned in
-modem/snr_cal.py — rerun this tool to re-derive them.
+(types.hpp's own mode-table scale; CLAUDE.md "SNR scales").  This tool drives the
+FULL engine TX->channel->RX path per waveform over a grid of true SNRs and
+prints, per (waveform, channel) pair: the legacy estimator readings (with
+a least-squares fit est = a*true + b documenting the inflation), and the
+round-3 WIDEBAND estimate (ModemEngine._wideband_snr_db) that the
+calibrated_snr negotiation mode consumes — the wideband column tracking
+`true` within ~1 dB is the estimator's acceptance evidence.
 
 Usage: python tools/calibrate_snr.py [--trials N] [--tpu]
 """
@@ -97,7 +97,7 @@ def main():
                 fits[(wf.name, chan)] = (float(coef[0]), float(coef[1]))
                 print(f"  fit: est = {coef[0]:.3f} * true + {coef[1]:.2f}")
 
-    print("\n=== snr_cal.py constants ===")
+    print("\n=== legacy-estimator inflation fits (est = a*true + b) ===")
     for k, (a, b) in fits.items():
         print(f"  {k}: slope={a:.3f} offset={b:.2f}")
 
