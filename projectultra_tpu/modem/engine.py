@@ -753,6 +753,7 @@ class ModemEngine:
         plen = cfg.fft_size + cfg.cyclic_prefix
         if len(buf) < 10 * plen:
             return None
+        from_pending = False
         if self._cox_pending is not None:
             # A found preamble is streaming in: retry the decode directly,
             # no full-buffer re-search.
@@ -761,6 +762,7 @@ class ModemEngine:
             if lts_start < 0:
                 self._cox_pending = None
                 return None
+            from_pending = True
         else:
             if not self._search_due("cox"):
                 return None
@@ -772,6 +774,16 @@ class ModemEngine:
             lts_start = int(det["lts_start"])
             cfo = float(det["cfo_hz"])
         status, frame = self._decode_frame_cox(lts_start, cfo)
+        if status == "fail" and from_pending:
+            # The cached position came from a detection over a PARTIAL
+            # preamble (plateau edge still forming) and can be mistimed by
+            # >1000 samples; re-detect on the now-fuller buffer before
+            # treating the frame as undecodable (caught by the full-length
+            # HF-reality soak: two Cox frames failed at stale positions
+            # and the fail-consume then ate their preambles).
+            self._cox_pending = None
+            self._acq_searched.pop("cox", None)
+            return self._try_cox_once()
         if status == "fail":
             # LDPC-validated timing hunt (huntForCodeword,
             # ofdm_sync.cpp:572-643): a CONFIDENT preamble whose CW0 did not
