@@ -1011,14 +1011,21 @@ class ModemEngine:
             if abs_len - self._dpsk_searched_until < 4800:
                 return None
             self._dpsk_searched_until = abs_len
-            padded = self._bucketed(buf)
+            # The search caps candidate offsets at DPSK_MAX_SEARCH_OFFSETS,
+            # so slicing the buffer VIEW to that span before bucketing is
+            # free — and it bounds the jitted search to a handful of shapes
+            # instead of one per bucket of an unbounded growing buffer
+            # (robust DPSK frames are ~40 s = ~30 buckets each, a compile
+            # storm on first contact with a backend).
+            view = buf[:self.DPSK_MAX_SEARCH_OFFSETS + pre_n + L]
+            padded = self._bucketed(view)
             # Derive the search span from the BUCKETED length so the jit key
             # (T, max_syms) only changes per bucket, not per 960-sample chunk.
             max_syms = min(-(-(len(padded) - pre_n) // L),
                            self.DPSK_MAX_SEARCH_OFFSETS // L)
             found, ds, cfo, ipo, prev = DP.find_preamble(
                 cfg, jnp.asarray(padded[None, :]), max_search_symbols=max_syms,
-                valid_len=jnp.asarray([len(buf)], jnp.int32))
+                valid_len=jnp.asarray([len(view)], jnp.int32))
             if not bool(np.asarray(found)[0]):
                 # No preamble STARTS in the searched span — that region is
                 # provably clean and the chirp fallback's tail trim may
@@ -1108,6 +1115,13 @@ class ModemEngine:
             cw0_end = data_start + (-(-F.LDPC_CODEWORD_BITS //
                                       cfg.bits_per_symbol)) * L
             tail_off = min(cw0_end, len(buf))
+            # Slide a bounded window over the newest audio: a new frame's
+            # preamble arrives at the buffer END, and the 4800-sample
+            # search cadence guarantees some poll sees it fully inside the
+            # window — searching the whole (growing, minutes-long at the
+            # robust preset) tail would be quadratic AND a compile storm.
+            win = pre_n + self.STREAM_BUCKET
+            tail_off = max(tail_off, len(buf) - win)
             tail = buf[tail_off:]
             if len(tail) >= pre_n + L:
                 st["searched"] = abs_len
