@@ -483,7 +483,8 @@ class ModemEngine:
         if waveform_waiting:
             win = 2 * cc.total_samples + self.STREAM_BUCKET
             base = max(0, len(buf) - win)
-        view = buf[base:]
+        view = buf[base:base + self.ACQ_VIEW_CAP]
+        searched_end = base + len(view)
         bucketed = jnp.asarray(self._bucketed(view)[None, :])
         det = {k: np.asarray(v)[0] for k, v in chirp_mod.detect_dual_chirp(
             cc, bucketed).items()}
@@ -504,19 +505,22 @@ class ModemEngine:
                 # A Cox/OTFS/DPSK frame may still be arriving — keep everything.
                 return 0
             # keep a chirp-length tail for boundary-spanning preambles
-            # (or a DPSK-preamble-length tail if that is longer)
+            # (or a DPSK-preamble-length tail if that is longer) — and
+            # never trim past what this pass actually searched
             tail = cc.total_samples
-            consume = len(buf) - min(len(buf), tail + 8000)
+            consume = min(len(buf) - min(len(buf), tail + 8000),
+                          max(0, searched_end - (tail + 8000)))
             if self.waveform_mode == WaveformMode.DPSK:
                 tail = max(tail, self.dpsk_config.preamble_samples)
+                consume = min(len(buf) - min(len(buf), tail + 8000),
+                              max(0, searched_end - (tail + 8000)))
                 # Never trim samples the bounded DPSK preamble search has
                 # not cleared: the search covers only the first
                 # DPSK_MAX_SEARCH_OFFSETS samples per pass, and a frame
                 # further into the buffer would be destroyed before any
                 # search ever saw it.
                 cleared = self._dpsk_clean_until - self._rx_consumed
-                consume = max(0, min(len(buf) - min(len(buf), tail + 8000),
-                                     cleared))
+                consume = max(0, min(consume, cleared))
             self._consume(consume)
             return 0
 
@@ -604,6 +608,12 @@ class ModemEngine:
             self._rx_consumed += n
 
     ACQ_SEARCH_CADENCE = 4800  # re-search only after 100 ms of new audio
+    # Cap every full-buffer search VIEW: a backlogged buffer (slow consumer,
+    # batch feeds) must slide through bounded-shape searches instead of
+    # compiling one detector per 65536-sample bucket of an unbounded
+    # buffer.  The no-detect trim is capped to the searched span so a
+    # frame beyond the view is never trimmed unsearched.
+    ACQ_VIEW_CAP = 4 * (1 << 16)  # 262144
 
     def _chirp_strong_pos(self) -> int:
         """Earliest strong up-chirp-template crossing in the current
@@ -767,7 +777,8 @@ class ModemEngine:
             if not self._search_due("cox"):
                 return None
             det = {k: np.asarray(v)[0] for k, v in SC.detect_preamble(
-                cfg, jnp.asarray(self._bucketed(buf)[None, :])).items()}
+                cfg, jnp.asarray(self._bucketed(
+                    buf[:self.ACQ_VIEW_CAP])[None, :])).items()}
             if not bool(det["found"]):
                 self._cox_wait = None
                 return None
