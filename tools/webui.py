@@ -24,6 +24,7 @@ Usage:
 import argparse
 import json
 import os
+import queue
 import sys
 import threading
 
@@ -89,10 +90,41 @@ tick();
 </script></body></html>"""
 
 
+class MainThreadExecutor:
+    """Run closures submitted by HTTP handler threads on the main thread:
+    the axon transport only services device->host readbacks on main (a
+    worker-thread readback hangs — see tools/threaded_simulator.py)."""
+
+    def __init__(self):
+        self._q = queue.Queue()
+
+    def run(self, fn):
+        ev = threading.Event()
+        box = {}
+        self._q.put((fn, ev, box))
+        ev.wait()
+        if "err" in box:
+            raise box["err"]
+        return box.get("val")
+
+    def pump_once(self, timeout=0.2) -> bool:
+        try:
+            fn, ev, box = self._q.get(timeout=timeout)
+        except queue.Empty:
+            return False
+        try:
+            box["val"] = fn()
+        except Exception as e:
+            box["err"] = e
+        ev.set()
+        return True
+
+
 class Station:
     """tui.py --sim backend: local + virtual remote over a noisy channel."""
 
-    def __init__(self, snr_db: float):
+    def __init__(self, snr_db: float, executor=None):
+        self._ex = executor
         import numpy as np
         import jax
         import jax.numpy as jnp
@@ -135,30 +167,38 @@ class Station:
             lambda t: b.send_message(f"rx ok: {t}")
         self.a, self.b = a, b
 
+    def _run(self, fn):
+        if self._ex is not None:
+            return self._ex.run(fn)
+        return fn()
+
     # --- actions (serialized by the lock; each pumps the full exchange)
     def connect(self):
         with self.lock:
-            self.a.connect("VE3ABC")
+            self._run(lambda: self.a.connect("VE3ABC"))
             self.console.append(
                 "* connected" if self.a.connection.is_connected
                 else "* connect failed")
 
     def ping(self):
         with self.lock:
-            self.a._tx_ping()  # chirp PING over the air (ProtocolEngine TX)
+            self._run(self.a._tx_ping)  # chirp PING over the air
             self.console.append("* ping sent")
 
     def send(self, text: str):
         with self.lock:
-            ok = self.a.send_message(text)
+            ok = self._run(lambda: self.a.send_message(text))
             self.console.append(f"me> {text}" if ok else "* send failed")
-            for _ in range(20):
-                self.a.tick(1000)
-                self.b.tick(1000)
+
+            def _ticks():
+                for _ in range(20):
+                    self.a.tick(1000)
+                    self.b.tick(1000)
+            self._run(_ticks)
 
     def disconnect(self):
         with self.lock:
-            self.a.disconnect()
+            self._run(self.a.disconnect)
             self.console.append("* disconnected")
 
     def state(self) -> dict:
@@ -287,18 +327,42 @@ def main():
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
 
-    station = Station(args.snr)
+    # On the axon transport device readbacks only complete on the MAIN
+    # thread; HTTP handlers run on worker threads, so their jax-touching
+    # actions marshal to a main-thread executor (CPU runs direct).
+    import jax.numpy as jnp
+    jax.block_until_ready(jnp.zeros(8))  # main-thread backend init
+    ex = None if args.cpu else MainThreadExecutor()
+    station = Station(args.snr, executor=ex)
     srv = make_server(station, args.port)
     if args.script:
         t = threading.Thread(target=srv.serve_forever, daemon=True)
         t.start()
-        try:
-            return run_script(args.port)
-        finally:
-            srv.shutdown()
+        sc = {"rc": 1}
+
+        def drive():
+            try:
+                sc["rc"] = run_script(args.port)
+            finally:
+                srv.shutdown()
+                sc["done"] = True
+        d = threading.Thread(target=drive, daemon=True)
+        d.start()
+        while not sc.get("done"):
+            if ex is not None:
+                ex.pump_once()
+            else:
+                d.join(timeout=0.2)
+        return sc["rc"]
     print(f"ultra-tpu web console: http://127.0.0.1:{args.port}/")
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
     try:
-        srv.serve_forever()
+        while True:
+            if ex is not None:
+                ex.pump_once()
+            else:
+                t.join(timeout=0.5)
     except KeyboardInterrupt:
         pass
     return 0
