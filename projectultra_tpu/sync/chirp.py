@@ -240,35 +240,44 @@ def _refine_mats(cfg: ChirpConfig):
 
 def _refine_full(cfg: ChirpConfig, samples: jnp.ndarray, pos: jnp.ndarray,
                  mats, e_t: float):
-    """Exact normalized correlation around a candidate: direct windowed
+    """Exact normalized correlation around candidates: direct windowed
     correlation at EVERY full-rate offset in [pos-R, pos+R], peak argmax +
     parabolic sub-sample interpolation rounded back to int
-    (chirp_sync.hpp:607-620 semantics).  Returns (pos [B] int32, corr [B])."""
+    (chirp_sync.hpp:607-620 semantics).
+
+    pos may be [B] or [B, K] (K candidates per row, e.g. the A/B resolver
+    rules — ONE [B*K, W] matmul instead of K dispatch groups); returns
+    (pos, corr) with pos's shape."""
     B, T = samples.shape
     L = cfg.chirp_samples
     R = REFINE_HALF
     W = L + 2 * R
-    start = jnp.clip(pos - R, 0, max(T - W, 0))
-    seg = jax.vmap(lambda b, s: jax.lax.dynamic_slice(b, (s,), (W,))
-                   )(samples, start)
+    squeeze = pos.ndim == 1
+    posk = pos[:, None] if squeeze else pos              # [B, K]
+    K = posk.shape[1]
+    start = jnp.clip(posk - R, 0, max(T - W, 0))
+    seg = jax.vmap(lambda b, st: jax.vmap(
+        lambda s: jax.lax.dynamic_slice(b, (s,), (W,)))(st)
+    )(samples, start)                                    # [B, K, W]
+    seg2 = seg.reshape(B * K, W)
     kc, ke = mats
     n_off = 2 * R + 1
-    num = jnp.dot(seg, jnp.asarray(kc),
-                  precision=jax.lax.Precision.HIGHEST)  # [B, 2*(2R+1)]
+    num = jnp.dot(seg2, jnp.asarray(kc),
+                  precision=jax.lax.Precision.HIGHEST)   # [B*K, 2*(2R+1)]
     mag = jnp.sqrt(num[:, :n_off] ** 2 + num[:, n_off:] ** 2)
-    en = jnp.dot(seg * seg, jnp.asarray(ke),
-                 precision=jax.lax.Precision.HIGHEST)   # [B, 2R+1]
+    en = jnp.dot(seg2 * seg2, jnp.asarray(ke),
+                 precision=jax.lax.Precision.HIGHEST)    # [B*K, 2R+1]
     denom = jnp.sqrt(jnp.maximum(en * e_t, 0.0))
     corr = jnp.where(denom > 1e-10, mag / denom, 0.0)
 
-    idxb = jnp.arange(B)
+    idx = jnp.arange(B * K)
     j = jnp.argmax(corr, axis=-1).astype(jnp.int32)
-    c1 = corr[idxb, j]
+    c1 = corr[idx, j]
     # Parabolic interpolation on the full-rate neighbors, rounded to int.
     jm = jnp.clip(j - 1, 0, 2 * R)
     jp = jnp.clip(j + 1, 0, 2 * R)
-    c0 = corr[idxb, jm]
-    c2 = corr[idxb, jp]
+    c0 = corr[idx, jm]
+    c2 = corr[idx, jp]
     den = 2.0 * (c0 - 2.0 * c1 + c2)
     delta = jnp.where(jnp.abs(den) > 1e-10,
                       jnp.clip((c0 - c2) / jnp.where(jnp.abs(den) > 1e-10,
@@ -276,7 +285,11 @@ def _refine_full(cfg: ChirpConfig, samples: jnp.ndarray, pos: jnp.ndarray,
                       0.0)
     interior = (j >= 1) & (j <= 2 * R - 1)
     jr = jnp.where(interior, jnp.round(j + delta).astype(jnp.int32), j)
-    return (start + jr).astype(jnp.int32), c1
+    outp = (start.reshape(B * K) + jr).astype(jnp.int32).reshape(B, K)
+    outc = c1.reshape(B, K)
+    if squeeze:
+        return outp[:, 0], outc[:, 0]
+    return outp, outc
 
 
 def _window_sum_dec(samples: jnp.ndarray, L: int, n_pos_d: int) -> jnp.ndarray:
@@ -347,21 +360,17 @@ def detect_dual_chirp(cfg: ChirpConfig, samples: jnp.ndarray,
     c2s = cfg.cfo_to_samples
     thr_grid = GRID_LOSS * threshold
 
-    def resolve(strong):
-        """Earliest strong up candidate -> full-rate refine -> down-chirp
-        validation -> CFO."""
+    def up_candidate(strong):
+        """Earliest strong crossing -> local grid peak (+-512 full-rate)."""
         first = jnp.argmax(strong, axis=-1).astype(jnp.int32)
-        # Local peak within +-512 full-rate samples (64 grid steps).
         rel = jnp.arange(-512 // D, 512 // D + 1)
         widx = jnp.clip(first[:, None] + rel[None, :], 0, n_pos_d - 1)
         wc = cu[idxb[:, None], widx]
-        up_pos_d = widx[idxb, jnp.argmax(wc, axis=-1)].astype(jnp.int32)
-        up_pos, up_corr = _refine_full(cfg, samples, up_pos_d * D,
-                                       (kc_up, ke), e_up)
-        up_found = strong.any(-1) & (up_corr >= threshold)
+        return widx[idxb, jnp.argmax(wc, axis=-1)].astype(jnp.int32)
 
-        # Down-chirp search window (chirp_sync.hpp:420-438), full-rate
-        # arithmetic masked onto the D grid.
+    def down_candidate(up_pos):
+        """Down-chirp search window (chirp_sync.hpp:420-438), full-rate
+        arithmetic masked onto the D grid."""
         start = up_pos + L // 2
         expected = up_pos + L + gap
         end = jnp.minimum(T, expected + 2 * L)
@@ -371,19 +380,7 @@ def detect_dual_chirp(cfg: ChirpConfig, samples: jnp.ndarray,
             & (pfull < (T - L))
         cd = jnp.where(dn_mask, corr_dn, -1.0)
         down_pos_d = jnp.argmax(cd, axis=-1).astype(jnp.int32)
-        down_grid = cd[idxb, down_pos_d]
-        down_pos, down_corr = _refine_full(cfg, samples, down_pos_d * D,
-                                           (kc_dn, ke), e_down)
-        down_found = (down_grid >= thr_grid) & (down_corr >= threshold)
-
-        # CFO from gap error (10 samples/Hz sensitivity).
-        gap_error = (down_pos - up_pos - (L + gap)).astype(jnp.float32)
-        cfo_hz = gap_error / (2.0 * c2s)
-        cfo_ok = jnp.abs(cfo_hz) <= MAX_REASONABLE_CFO_HZ
-        success = up_found & down_found & cfo_ok
-        return dict(success=success, up_pos=up_pos, up_corr=up_corr,
-                    down_pos=down_pos, down_corr=down_corr,
-                    down_found=down_found, cfo_hz=cfo_hz, strong=strong)
+        return down_pos_d, cd[idxb, down_pos_d]
 
     # EARLIEST chirp wins, not the globally strongest: with several frames
     # in one buffer a global argmax would lock onto a later chirp and
@@ -393,26 +390,45 @@ def detect_dual_chirp(cfg: ChirpConfig, samples: jnp.ndarray,
     #      (faded) early frame that a relative floor would skip;
     #   B: earliest above max(threshold, 0.7*global max) — robust when A's
     #      first crossing is a noise spike whose down-chirp never matches.
-    # A wins when it fully validates; otherwise fall back to B.
+    # A wins when it fully validates; otherwise fall back to B.  Both
+    # rules' refines run as ONE K=2 batched matmul group.
     gmax = cu.max(-1)
-    res_a = resolve(cu >= thr_grid)
-    res_b = resolve(cu >= jnp.maximum(thr_grid, 0.7 * gmax[:, None]))
-    use_a = res_a["success"]
+    strong_a = cu >= thr_grid
+    strong_b = cu >= jnp.maximum(thr_grid, 0.7 * gmax[:, None])
+    upd2 = jnp.stack([up_candidate(strong_a), up_candidate(strong_b)], 1)
+    up_pos2, up_corr2 = _refine_full(cfg, samples, upd2 * D, (kc_up, ke),
+                                     e_up)                  # [B, 2]
+    any2 = jnp.stack([strong_a.any(-1), strong_b.any(-1)], 1)
+    up_found2 = any2 & (up_corr2 >= threshold)
 
-    def pick(k):
-        a, b = res_a[k], res_b[k]
-        if a.ndim == 1:
-            return jnp.where(use_a, a, b)
-        return jnp.where(use_a[:, None], a, b)
+    dnd_a, dng_a = down_candidate(up_pos2[:, 0])
+    dnd_b, dng_b = down_candidate(up_pos2[:, 1])
+    dnd2 = jnp.stack([dnd_a, dnd_b], 1)
+    down_pos2, down_corr2 = _refine_full(cfg, samples, dnd2 * D,
+                                         (kc_dn, ke), e_down)
+    down_grid2 = jnp.stack([dng_a, dng_b], 1)
+    down_found2 = (down_grid2 >= thr_grid) & (down_corr2 >= threshold)
 
-    success = jnp.where(use_a, res_a["success"], res_b["success"])
-    up_pos = pick("up_pos")
-    up_corr = pick("up_corr")
-    down_pos = pick("down_pos")
-    down_corr = pick("down_corr")
-    down_found = jnp.where(use_a, res_a["down_found"], res_b["down_found"])
-    cfo_hz = pick("cfo_hz")
-    strong = pick("strong")
+    # CFO from gap error (10 samples/Hz sensitivity).
+    gap_error2 = (down_pos2 - up_pos2 - (L + gap)).astype(jnp.float32)
+    cfo_hz2 = gap_error2 / (2.0 * c2s)
+    cfo_ok2 = jnp.abs(cfo_hz2) <= MAX_REASONABLE_CFO_HZ
+    success2 = up_found2 & down_found2 & cfo_ok2
+
+    use_a = success2[:, 0]
+    sel = jnp.where(use_a, 0, 1)
+
+    def pick2(arr2):
+        return arr2[idxb, sel]
+
+    success = pick2(success2)
+    up_pos = pick2(up_pos2)
+    up_corr = pick2(up_corr2)
+    down_pos = pick2(down_pos2)
+    down_corr = pick2(down_corr2)
+    down_found = pick2(down_found2)
+    cfo_hz = pick2(cfo_hz2)
+    strong = jnp.where(use_a[:, None], strong_a, strong_b)
 
     # First strong up-chirp crossing AFTER the chosen one (next frame's
     # chirp): consumers cap buffer consumption there so a mis-sized consume
