@@ -943,11 +943,7 @@ class ModemEngine:
             return None
         if not self._otfs_waiting and not self._search_due("otfs"):
             return None
-        # Bucketed, capped view: one jitted detect shape per 65536 bucket
-        # instead of one per streaming chunk length (zero padding carries
-        # no energy and cannot create or shift detections).
-        found, start = O.detect_frame(ocfg, jnp.asarray(
-            self._bucketed(buf[:self.ACQ_VIEW_CAP])[None, :]))
+        found, start = O.detect_frame(ocfg, jnp.asarray(buf[None, :]))
         if not bool(np.asarray(found)[0]):
             self._otfs_waiting = False
             return None
