@@ -135,6 +135,18 @@ class ModemEngine:
         # whose frame has not fully arrived — polls while it streams in
         # retry the DECODE, not the full-buffer preamble search.
         self._cox_pending = None
+        # DEEP Cox acquisition (below the faithful ~14 dB plateau floor,
+        # sync/schmidl_cox.py DEEP_* gates).  A deep candidate is
+        # speculative: it consumes nothing and blocks nothing until its CW0
+        # LDPC-decodes with a valid header.  (abs_lts, cfo, abs_len, idle)
+        # awaiting the CW0 span — retried on EVERY poll (host length check
+        # only) so a stream ending <1 search cadence after the candidate
+        # was found still completes it.  _cox_deep_rejected memoizes
+        # validation failures by absolute position so the cadence-paced
+        # re-search does not revalidate the same junk.
+        self.deep_acquisition = True
+        self._cox_deep_pending = None
+        self._cox_deep_rejected = set()
         # Chirp acquisition cache: (abs_up, abs_tr, cfo, abs_cap) of a
         # validated dual-chirp whose frame/ping is still arriving — the
         # paced full-buffer search must not be the thing that completes a
@@ -200,6 +212,8 @@ class ModemEngine:
         self._chirp_last_key = None
         self._cox_wait = None
         self._cox_pending = None
+        self._cox_deep_pending = None
+        self._cox_deep_rejected = set()
         self._chirp_pending = None
         self._otfs_waiting = False
         self._acq_searched = {}
@@ -774,13 +788,31 @@ class ModemEngine:
                 return None
             from_pending = True
         else:
+            if self._cox_deep_pending is not None:
+                # A below-the-floor candidate awaits its CW0 span: retry on
+                # EVERY poll (host length check until the span arrives) so a
+                # stream ending between search cadences still completes it.
+                abs_lts, dcfo = self._cox_deep_pending[:2]
+                rel = abs_lts - self._rx_consumed
+                if rel < 0:
+                    self._cox_deep_pending = None
+                else:
+                    r = self._cox_deep_candidate(rel, dcfo)
+                    if r is not None:
+                        return r
             if not self._search_due("cox"):
                 return None
             det = {k: np.asarray(v)[0] for k, v in SC.detect_preamble(
                 cfg, jnp.asarray(self._bucketed(
-                    buf[:self.ACQ_VIEW_CAP])[None, :])).items()}
+                    buf[:self.ACQ_VIEW_CAP])[None, :]),
+                with_deep=self.deep_acquisition).items()}
             if not bool(det["found"]):
                 self._cox_wait = None
+                if self.deep_acquisition and bool(det.get("deep_found",
+                                                          False)):
+                    return self._cox_deep_candidate(
+                        int(det["deep_lts_start"]),
+                        float(det["deep_cfo_hz"]))
                 return None
             lts_start = int(det["lts_start"])
             cfo = float(det["cfo_hz"])
@@ -929,6 +961,89 @@ class ModemEngine:
                     self._consume(keep_from)
                     return 0
         return "wait"
+
+    def _cox_deep_candidate(self, lts_start: int, cfo: float):
+        """Validate-then-decode a BELOW-THE-FLOOR Schmidl-Cox candidate.
+
+        Deep acquisition is a capability extension past the reference: its
+        0.90 plateau gate (demodulator_constants.hpp:51) floors coherent
+        OFDM acquisition at ~14 dB wideband AWGN even though the payload
+        decodes far lower; the DEEP_* gates (sync/schmidl_cox.py) admit
+        exact-timing candidates down to ~7-8 dB.  A deep candidate is
+        SPECULATIVE: it consumes nothing and preempts nothing until its CW0
+        LDPC-decodes with a valid header (the same magic gate the normal
+        path applies), so junk candidates cannot wedge the receiver —
+        validation failures are memoized by absolute position in
+        _cox_deep_rejected, and while a candidate waits for its CW0 span
+        the chirp path keeps running underneath via the "wait" contract.
+
+        Returns 1 on a delivered frame, "wait" while the span arrives,
+        None when the candidate is rejected (callers fall through)."""
+        from ..sync import schmidl_cox as SC
+        cfg = self.config
+        plen = cfg.fft_size + cfg.cyclic_prefix
+        abs_lts = self._rx_consumed + lts_start
+        self._cox_deep_rejected = {
+            p for p in self._cox_deep_rejected if p >= self._rx_consumed}
+        if abs_lts in self._cox_deep_rejected:
+            self._cox_deep_pending = None
+            return None
+        status, frame = self._decode_frame_cox(lts_start, cfo)
+        if status == "wait":
+            # CW0 span not buffered yet: keep the candidate pending with an
+            # idle timeout so a dead stream cannot pin it forever.
+            abs_len = self._rx_consumed + len(self._rx_buffer)
+            st = self._cox_deep_pending
+            idle = 0
+            if st is not None and st[0] == abs_lts:
+                idle = st[3] + 1 if abs_len == st[2] else 0
+                if idle >= self.COX_MAX_IDLE_POLLS:
+                    self._cox_deep_pending = None
+                    self._cox_deep_rejected.add(abs_lts)
+                    return None
+            self._cox_deep_pending = (abs_lts, cfo, abs_len, idle)
+            return "wait"
+        self._cox_deep_pending = None
+        if status == "fail":
+            # Same LDPC-magic timing hunt as the normal fail path: a deep
+            # candidate from a partially-formed plateau can be mistimed.
+            hunt_rates = [CodeRate.R1_4]
+            if self.connected and self.data_code_rate not in hunt_rates:
+                hunt_rates.append(self.data_code_rate)
+            hunt_mods = [self.data_modulation]
+            if (self.prev_data_modulation is not None
+                    and self.prev_data_modulation not in hunt_mods):
+                hunt_mods.append(self.prev_data_modulation)
+            done = False
+            for hm in hunt_mods:
+                for hr in hunt_rates:
+                    hunted, off = SC.hunt_for_codeword(
+                        cfg, hm, self._rx_buffer, lts_start + 2 * plen,
+                        rate=hr, cfo_hz=cfo,
+                        interleaved=self.interleaving_enabled)
+                    if hunted and off:
+                        status, frame = self._decode_frame_cox(
+                            lts_start + off, cfo)
+                        done = True
+                        break
+                if done:
+                    break
+            if status == "wait":
+                # The hunt VALIDATED CW0 at the offset but the full frame is
+                # still arriving: promote to the normal validated-pending
+                # machinery (retried every poll, wait-tick resilience).
+                self._cox_pending = (abs_lts + off, cfo)
+                return "wait"
+        if status != "ok":
+            self._cox_deep_rejected.add(abs_lts)
+            return None
+        self._cox_wait = None
+        self.frames_received += 1
+        import time as _t
+        self._last_rx_complete_time = _t.monotonic()
+        if self.on_frame:
+            self.on_frame(frame)
+        return 1
 
     def _try_otfs_once(self) -> Optional[int]:
         """One OTFS acquisition+decode pass (modem_rx_decode.cpp:700-830

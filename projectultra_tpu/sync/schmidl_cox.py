@@ -128,11 +128,39 @@ def lts_passband_template(config: ModemConfig) -> np.ndarray:
     return mixed.astype(np.complex64)  # real=I template, imag=Q template
 
 
-@functools.partial(jax.jit, static_argnames=("config", "sync_threshold"))
+# Deep-acquisition gates (NOT reference behavior — a capability extension).
+# The Schmidl-Cox metric's expectation is ~SNR'/(SNR'+1) with SNR' the
+# analytic-signal SNR; the faithful 0.85 plateau gate therefore floors
+# coherent OFDM acquisition at ~13-14 dB wideband AWGN.  These gates admit
+# candidates down to ~7-8 dB wideband (measured: 24/24 exact-timing
+# detections at 8-9 dB, 0/40 fires on pure noise thanks to the energy +
+# LTS gates) — but a deep candidate is only BELIEVED after its CW0
+# LDPC-decodes with the 0x554C magic (ModemEngine._try_cox_deep), so the
+# waterfall of admitted-vs-decoded stays clean.
+DEEP_SYNC_THRESHOLD = 0.60
+DEEP_PLATEAU_THRESHOLD = 0.62
+DEEP_MIN_PLATEAU = 12
+DEEP_LTS_THRESHOLD = 0.22
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "config", "sync_threshold", "plateau_threshold", "min_plateau",
+    "lts_threshold", "with_deep"))
 def detect_preamble(config: ModemConfig, samples: jnp.ndarray,
-                    sync_threshold: float = 0.80):
+                    sync_threshold: float = 0.80,
+                    plateau_threshold: float = PLATEAU_THRESHOLD,
+                    min_plateau: int = MIN_PLATEAU_SAMPLES,
+                    lts_threshold: float | None = None,
+                    with_deep: bool = False):
     """Batched SEARCHING logic: Schmidl-Cox plateau -> coarse CFO -> LTS fine
     timing (demodulator.cpp:474-599).
+
+    plateau_threshold/min_plateau default to the reference-faithful gates.
+    with_deep=True additionally evaluates the DEEP_* gate set on the same
+    metric/matched-filter arrays (one dispatch, the heavy FFTs are shared)
+    and returns the result under "deep_"-prefixed keys — the engine's
+    below-the-floor acquisition pass, validated downstream by an LDPC-magic
+    CW0 probe before anything is believed (ModemEngine._try_cox_deep).
 
     Returns dict of [B] arrays: found, data_start (first data-symbol sample),
     cfo_hz, peak_corr, lts_corr, lts_start.
@@ -168,37 +196,14 @@ def detect_preamble(config: ModemConfig, samples: jnp.ndarray,
     # 8-strided candidate grid, like the reference's coarse loop.
     grid = jnp.arange(0, n_off, SEARCH_STEP)
     gcorr = corr[:, grid]                                # [B, G]
-
-    # Plateau count: in [g, g+300], strided by 8 -> 38 grid points.
     win_pts = PLATEAU_SEARCH_WINDOW // SEARCH_STEP + 1
-    above = (gcorr >= PLATEAU_THRESHOLD).astype(jnp.float32)
-    counts = _window_sum(above, win_pts)                 # [B, G-win+1]
-    Gc = counts.shape[-1]
-    cand = (gcorr[:, :Gc] > sync_threshold) & (counts >= MIN_PLATEAU_SAMPLES)
     # Leave room for the full preamble + LTS search beyond the candidate.
     max_start = n_off - 6 * plen - 2 * plen
-    cand = cand & (grid[None, :Gc] < jnp.maximum(max_start, 1))
-
-    found_sc = cand.any(-1)
-    first = jnp.argmax(cand, axis=-1)                    # first candidate
     idxb = jnp.arange(B)
-
-    # Peak within the plateau window after the first candidate.
     rel = jnp.arange(win_pts)
-    win_idx = jnp.clip(first[:, None] + rel[None, :], 0, gcorr.shape[-1] - 1)
-    wcorr = gcorr[idxb[:, None], win_idx]
-    peak_rel = jnp.argmax(wcorr, axis=-1)
-    sync_off = grid[jnp.clip(first + peak_rel, 0, len(grid) - 1)]
-    peak_corr = wcorr[idxb, peak_rel]
 
-    # Coarse CFO from P at the sync offset (ofdm_sync.cpp:230-258).
-    phase = jnp.angle(P[idxb, sync_off])
-    cfo = phase * config.sample_rate / (np.pi * N)
-    max_cfo = config.sample_rate / N
-    cfo = jnp.clip(cfo, -max_cfo, max_cfo)
-
-    # LTS fine timing: matched filter around sync_off + 4*plen
-    # (ofdm_sync.cpp:386-466), search [-3*plen, +plen/2].
+    # LTS fine-timing matched filter (shared by both gate sets): FFT
+    # correlation against the passband LTS template (ofdm_sync.cpp:386-466).
     tmpl = lts_passband_template(config)
     L = len(tmpl)
     e_ref = float((np.abs(tmpl) ** 2).sum()) * 0.5
@@ -207,33 +212,70 @@ def detect_preamble(config: ModemConfig, samples: jnp.ndarray,
     energy = _window_sum(samples * samples, L)
     nmf = jnp.where(energy * e_ref > 1e-12,
                     mf / jnp.sqrt(jnp.maximum(energy * e_ref, 1e-30)), 0.0)
-
-    coarse_lts = sync_off + 4 * plen
     pos = jnp.arange(nmf.shape[-1])[None, :]
-    win = (pos >= (coarse_lts - 3 * plen)[:, None]) & \
-          (pos <= (coarse_lts + plen // 2)[:, None])
-    lts_start = jnp.argmax(jnp.where(win, nmf, -1.0), axis=-1).astype(jnp.int32)
-    lts_corr = nmf[idxb, lts_start]
-    # The two LTS symbols are identical, so the matched filter has a
-    # one-symbol ambiguity: under noise/multipath the SECOND symbol's peak
-    # can edge out the first, shifting training and data by a full symbol.
-    # If a comparable peak exists one symbol EARLIER (still in the window),
-    # prefer it.  (The reference's plain argmax has the same ambiguity.)
-    prev_pos = jnp.clip(lts_start - plen, 0, nmf.shape[-1] - 1)
-    prev_corr = nmf[idxb, prev_pos]
-    prev_in_win = (lts_start - plen) >= (coarse_lts - 3 * plen)
-    take_prev = prev_in_win & (prev_corr >= 0.85 * lts_corr)
-    lts_start = jnp.where(take_prev, prev_pos, lts_start)
-    lts_corr = jnp.where(take_prev, prev_corr, lts_corr)
-    lts_thresh = 0.05 if config.fft_size >= 1024 else 0.35
-    lts_ok = lts_corr >= lts_thresh
 
-    found = found_sc & lts_ok
-    data_start = lts_start + 2 * plen   # consume both LTS symbols
+    def run_gates(sync_t, plat_t, min_plat, lts_t):
+        # Plateau count: in [g, g+300], strided by 8 -> 38 grid points.
+        above = (gcorr >= plat_t).astype(jnp.float32)
+        counts = _window_sum(above, win_pts)             # [B, G-win+1]
+        Gc = counts.shape[-1]
+        cand = (gcorr[:, :Gc] > sync_t) & (counts >= min_plat)
+        cand = cand & (grid[None, :Gc] < jnp.maximum(max_start, 1))
 
-    return {"found": found, "data_start": data_start, "cfo_hz": cfo,
-            "peak_corr": peak_corr, "lts_corr": lts_corr,
-            "lts_start": lts_start, "sync_off": sync_off}
+        found_sc = cand.any(-1)
+        first = jnp.argmax(cand, axis=-1)                # first candidate
+
+        # Peak within the plateau window after the first candidate.
+        win_idx = jnp.clip(first[:, None] + rel[None, :], 0,
+                           gcorr.shape[-1] - 1)
+        wcorr = gcorr[idxb[:, None], win_idx]
+        peak_rel = jnp.argmax(wcorr, axis=-1)
+        sync_off = grid[jnp.clip(first + peak_rel, 0, len(grid) - 1)]
+        peak_corr = wcorr[idxb, peak_rel]
+
+        # Coarse CFO from P at the sync offset (ofdm_sync.cpp:230-258).
+        phase = jnp.angle(P[idxb, sync_off])
+        cfo = phase * config.sample_rate / (np.pi * N)
+        max_cfo = config.sample_rate / N
+        cfo = jnp.clip(cfo, -max_cfo, max_cfo)
+
+        # LTS fine timing around sync_off + 4*plen, search [-3*plen, +plen/2].
+        coarse_lts = sync_off + 4 * plen
+        win = (pos >= (coarse_lts - 3 * plen)[:, None]) & \
+              (pos <= (coarse_lts + plen // 2)[:, None])
+        lts_start = jnp.argmax(jnp.where(win, nmf, -1.0),
+                               axis=-1).astype(jnp.int32)
+        lts_corr = nmf[idxb, lts_start]
+        # The two LTS symbols are identical, so the matched filter has a
+        # one-symbol ambiguity: under noise/multipath the SECOND symbol's
+        # peak can edge out the first, shifting training and data by a full
+        # symbol.  If a comparable peak exists one symbol EARLIER (still in
+        # the window), prefer it.  (The reference's plain argmax has the
+        # same ambiguity.)
+        prev_pos = jnp.clip(lts_start - plen, 0, nmf.shape[-1] - 1)
+        prev_corr = nmf[idxb, prev_pos]
+        prev_in_win = (lts_start - plen) >= (coarse_lts - 3 * plen)
+        take_prev = prev_in_win & (prev_corr >= 0.85 * lts_corr)
+        lts_start = jnp.where(take_prev, prev_pos, lts_start)
+        lts_corr = jnp.where(take_prev, prev_corr, lts_corr)
+        lts_ok = lts_corr >= lts_t
+
+        found = found_sc & lts_ok
+        data_start = lts_start + 2 * plen   # consume both LTS symbols
+        return {"found": found, "data_start": data_start, "cfo_hz": cfo,
+                "peak_corr": peak_corr, "lts_corr": lts_corr,
+                "lts_start": lts_start, "sync_off": sync_off}
+
+    if lts_threshold is None:
+        lts_threshold = 0.05 if config.fft_size >= 1024 else 0.35
+    out = run_gates(sync_threshold, plateau_threshold, min_plateau,
+                    lts_threshold)
+    if with_deep:
+        deep_lts = min(DEEP_LTS_THRESHOLD, lts_threshold)
+        deep = run_gates(DEEP_SYNC_THRESHOLD, DEEP_PLATEAU_THRESHOLD,
+                         DEEP_MIN_PLATEAU, deep_lts)
+        out.update({"deep_" + k: v for k, v in deep.items()})
+    return out
 
 
 def hunt_for_codeword(config: ModemConfig, mod, samples, data_start: int,
