@@ -177,15 +177,20 @@ def detect_preamble(config: ModemConfig, samples: jnp.ndarray,
     n_off = corr.shape[-1]
 
     # Energy gate (hasMinimumEnergy, ofdm_sync.cpp:20-50): window energy must
-    # exceed 4x the tracked noise floor.  Batch equivalent of the sequential
-    # EMA floor: floor = max(0.1 * low-quantile energy, 1e-10) — silence is
-    # rejected, all-signal buffers pass (matching the EMA's 0.1x first-energy
-    # initialization).
+    # exceed 4x the tracked noise floor.  The reference's floor is a RUNNING
+    # MINIMUM (init 0.1x first energy, track min, slow upward EMA only within
+    # 3x of the floor) — its batch equivalent is min(0.1 * first-window
+    # energy, min window energy), NOT a low quantile: a quantile floor reads
+    # SIGNAL energy when a long frame fills most of the buffer (a 6 s frame
+    # leaves <2% noise offsets) and then zeroes ~30% of the preamble's own
+    # plateau windows, killing detection of long frames at ANY SNR (caught
+    # by the 400-byte calibration rows).  Silence stays rejected by the
+    # 1e-10 absolute clamp and the 40 dB peak-ratio clause below.
     # Energy of the exact FFT window the correlation runs on ([p+cp, p+cp+N)).
     e_fft = _window_sum(samples * samples, N) / N
     e_all = e_fft[:, cp:cp + n_off]
-    floor = jnp.maximum(0.1 * jnp.quantile(e_all, 0.10, axis=-1,
-                                           keepdims=True), 1e-10)
+    floor = jnp.maximum(jnp.minimum(0.1 * e_all[:, :1],
+                                    e_all.min(-1, keepdims=True)), 1e-10)
     energy_ok = e_all >= 4.0 * floor
     # Also reject windows >40 dB below the buffer peak: true silence only
     # carries the FFT-Hilbert's numerical ringing, which is tiny but

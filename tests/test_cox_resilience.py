@@ -116,3 +116,36 @@ def test_pending_frame_idle_timeout_releases_receiver():
     texts = [F.DataFrame.deserialize(fr.frame_bytes).payload_as_text()
              for fr in got if all(fr.cw_ok)]
     assert texts == ["after timeout"]
+
+
+def test_long_frame_fills_buffer_still_detected():
+    """A ~6 s frame (400-byte payload, R1/4) leaves <2% noise offsets in
+    the detection view.  The energy gate's noise floor must be a running
+    MINIMUM (hasMinimumEnergy, ofdm_sync.cpp:20-50 tracks min energy) —
+    a low-QUANTILE floor reads signal energy on such buffers and zeroes
+    ~30% of the preamble's own plateau windows, killing detection of
+    long frames at ANY SNR (regression: caught by the 400-byte
+    calibration rows at 25 dB AWGN)."""
+    from projectultra_tpu.config import Modulation
+    from projectultra_tpu.sim import watterson as W
+    import jax
+    import jax.numpy as jnp
+
+    tx, rx = _cox_pair()
+    for m in (tx, rx):
+        m.data_modulation = Modulation.DQPSK
+        m.data_code_rate = CodeRate.R1_4
+    frame = F.DataFrame.make_data("AA1AA", "BB2BB", 0, "x" * 400)
+    audio = tx.transmit(frame.serialize())
+    clean = np.concatenate([np.zeros(2400, np.float32), audio,
+                            np.zeros(4000, np.float32)])
+    noisy = np.asarray(W.add_noise_active(
+        jax.random.PRNGKey(7), jnp.asarray(clean[None, :]), 25.0))[0]
+
+    got = []
+    rx.on_frame = got.append
+    rx.feed_audio(noisy)
+    rx.poll()
+    assert len(got) == 1 and all(got[0].cw_ok)
+    df = F.DataFrame.deserialize(got[0].frame_bytes)
+    assert df and df.payload_as_text() == "x" * 400
