@@ -252,6 +252,9 @@ class CalibratedAdaptiveController(AdaptiveModeController):
         super().reset()
         self.current_mod = Modulation.DQPSK
         self.current_rate = CodeRate.R1_2
+        self._ema_snr = None
+        self._pending: tuple | None = None
+        self._pending_count = 0
 
     @classmethod
     def recommend(cls, snr_db: float):
@@ -259,3 +262,50 @@ class CalibratedAdaptiveController(AdaptiveModeController):
             if snr_db > thresh:
                 return mod, rate
         return Modulation.DBPSK, CodeRate.R1_4
+
+    @staticmethod
+    def _throughput_rank(mod: Modulation, rate: CodeRate) -> float:
+        from ..config import bits_per_symbol, code_rate_value
+        return bits_per_symbol(mod) * code_rate_value(rate)
+
+    def update(self, snr_db: float, fade_spread_db: float = -1.0) -> bool:
+        """Outage-SNR tracking with asymmetric debounce.
+
+        On the TRUE wideband scale, per-frame readings under fading
+        scatter +-3 dB (engine fade detector measurements) — enough to
+        cross a table boundary every frame, and the parent's
+        frames_at_current escape hatch then fires a MODE_CHANGE every ~3
+        frames (observed at 16 dB moderate fading: R1/4<->R1/2<->R2/3
+        thrash stalling the ARQ; each change is a transmit-then-apply
+        round trip that a fade dip can desynchronize).  Three defenses:
+        (1) the fade-spread penalty retargets the controller at the fade
+        TROUGHS (spread - 1 dB: the 90/10 envelope spread minus the ~1 dB
+        AWGN baseline), which is the level the decode envelope actually
+        cares about; (2) an EMA removes single-frame scatter; (3) the
+        switch itself is debounced — DOWNGRADES (safety) need 2
+        consecutive recommendations, UPGRADES (throughput-optional) 4.
+        Flat channels (spread ~0, stable readings) settle in <=4 frames
+        and never thrash."""
+        eff = snr_db
+        if fade_spread_db is not None and fade_spread_db > 0.0:
+            eff = snr_db - max(0.0, fade_spread_db - 1.0)
+        self._ema_snr = eff if self._ema_snr is None \
+            else 0.7 * self._ema_snr + 0.3 * eff
+        rec = self.recommend(self._ema_snr)
+        if rec == (self.current_mod, self.current_rate):
+            self._pending, self._pending_count = None, 0
+            self.frames_at_current += 1
+            return False
+        if self._pending == rec:
+            self._pending_count += 1
+        else:
+            self._pending, self._pending_count = rec, 1
+        going_up = self._throughput_rank(*rec) \
+            > self._throughput_rank(self.current_mod, self.current_rate)
+        if self._pending_count >= (4 if going_up else 2):
+            self.current_mod, self.current_rate = rec
+            self.last_switch_snr = self._ema_snr
+            self.frames_at_current = 0
+            self._pending, self._pending_count = None, 0
+            return True
+        return False

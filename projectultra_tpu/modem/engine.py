@@ -60,6 +60,10 @@ class DecodedFrame:
     cfo_hz: float = 0.0
     waveform: WaveformMode = WaveformMode.MC_DPSK
     wideband_snr_db: float = 0.0
+    # 90/10 dB spread of 100 ms-smoothed in-frame chunk powers: ~0-1 dB on
+    # AWGN, ~5-9 dB under Watterson fading; -1.0 when the frame is too
+    # short (<1 s active) to measure.  See _wideband_snr_db.
+    fade_spread_db: float = -1.0
 
 
 class ModemEngine:
@@ -662,7 +666,9 @@ class ModemEngine:
     NOISE_CHUNK = 480  # 10 ms blocks for the min-statistics noise floor
 
     def _wideband_snr_db(self, buf: np.ndarray, start: int, end: int,
-                         noise_before: int | None = None) -> float:
+                         noise_before: int | None = None,
+                         segments: list[tuple[int, int]] | None = None
+                         ) -> float:
         """TRUE wideband SNR for a frame occupying buf[start:end): mean
         in-frame power against a min-statistics noise floor (lower-quartile
         mean of 10 ms chunk powers over the audio BEFORE the frame, falling
@@ -692,6 +698,7 @@ class ModemEngine:
         Consumed by the calibrated_snr negotiation mode."""
         start = max(0, start)
         end = min(end, len(buf))
+        self.stats.fade_spread_db = -1.0
         if noise_before is None:
             noise_before = start
         noise_before = max(0, min(noise_before, start))
@@ -708,14 +715,63 @@ class ModemEngine:
         pn = max(float(np.sort(cp)[:k].mean()), 1e-12)
 
         sig = buf[start:end].astype(np.float64)
-        ps = float((sig * sig).mean())
+        ps_raw = float((sig * sig).mean())
+        ps = ps_raw
         nsc = (len(sig) // C) * C
+        w = 10  # 100 ms smoothing window, in chunks
         if nsc >= 12 * C:
             sp = (sig[:nsc].reshape(-1, C) ** 2).mean(-1)
-            w = 10  # 100 ms
             smooth = np.convolve(sp, np.full(w, 1.0 / w), mode="valid")
             ps = min(float(sp.mean()),
                      float(np.percentile(smooth, 25.0)) * 10 ** 0.075)
+        if segments:
+            # Chirp-led frames: the nominal/true SNR scale is the ACTIVE-
+            # sample average over the WHOLE frame (INV-TEST-001 noise
+            # normalization), and the constant-envelope chirps run ~2x the
+            # multicarrier body power — body-only measurement under-reads
+            # the frame by ~3 dB.  Rescale the outage-clipped body power
+            # by (all-active mean / raw body mean) so the estimate lands
+            # on the same scale the mode tables were calibrated against,
+            # while the outage percentile still charges fade dips.
+            tot, cnt = float((sig * sig).sum()), len(sig)
+            for s0, s1 in segments:
+                seg = buf[max(0, s0):min(s1, len(buf))].astype(np.float64)
+                tot += float((seg * seg).sum())
+                cnt += len(seg)
+            if cnt and ps_raw > 1e-12:
+                ps *= (tot / cnt) / ps_raw
+
+        # Fade-spread: 90/10 percentile ratio of 100 ms-SMOOTHED chunk
+        # powers, pooled over every active TX segment of the frame (main
+        # span + any extra `segments`, e.g. the two 500 ms chirps of a
+        # chirp-led preamble) with each segment normalized by its own
+        # median.  The smoothing cancels multicarrier PAPR beating
+        # (sub-symbol) while fade envelopes (>=250 ms coherence) survive,
+        # and the per-segment normalization cancels TX level structure
+        # between segments (a constant-envelope chirp and an OFDM/DPSK
+        # body sit at different RMS for the same peak scale), so AWGN
+        # reads ~0-1 dB and Watterson fading ~5-9 dB.  Only >=1 s of
+        # pooled active signal is trusted (less can sit inside one fade
+        # coherence time and alias fading as flat); -1.0 = unmeasured.
+        # Consumed by the calibrated negotiation's benign-channel
+        # relaxation (protocol/connection.py negotiate_mode).
+        pooled = []
+        for s0, s1 in [(start, end)] + list(segments or []):
+            seg = buf[max(0, s0):min(s1, len(buf))].astype(np.float64)
+            nsc_s = (len(seg) // C) * C
+            if nsc_s < 12 * C:
+                continue
+            sp_s = (seg[:nsc_s].reshape(-1, C) ** 2).mean(-1)
+            sm = np.convolve(sp_s, np.full(w, 1.0 / w), mode="valid")
+            pooled.append(sm / max(float(np.median(sm)), 1e-12))
+        spread = -1.0
+        if pooled:
+            allsm = np.concatenate(pooled)
+            if len(allsm) >= 91:  # >= 1 s contiguous-equivalent
+                spread = float(np.clip(10.0 * np.log10(
+                    np.percentile(allsm, 90.0)
+                    / max(np.percentile(allsm, 10.0), 1e-12)), 0.0, 40.0))
+        self.stats.fade_spread_db = spread
         snr = max(ps / pn - 1.0, 0.1)
         return float(np.clip(10.0 * np.log10(snr), -10.0, 40.0))
 
@@ -1351,6 +1407,7 @@ class ModemEngine:
         return "ok", DecodedFrame(frame_bytes=frame_bytes, header=info,
                                   cw_ok=oks, cfo_hz=float(np.asarray(cfo)[0]),
                                   snr_db=snr_db, wideband_snr_db=wb,
+                                  fade_spread_db=self.stats.fade_spread_db,
                                   waveform=WaveformMode.DPSK)
 
     def _decode_frame_otfs(self, ocfg, start: int
@@ -1418,6 +1475,7 @@ class ModemEngine:
         self.stats.wideband_snr_db = wb
         return "ok", DecodedFrame(frame_bytes=frame_bytes, header=info,
                                   cw_ok=oks, wideband_snr_db=wb,
+                                  fade_spread_db=self.stats.fade_spread_db,
                                   waveform=self.waveform_mode)
 
     def _decode_frame_cox(self, lts_start: int, cfo: float
@@ -1535,6 +1593,7 @@ class ModemEngine:
         return "ok", DecodedFrame(frame_bytes=frame_bytes, header=info,
                                   cw_ok=oks, cfo_hz=cfo, snr_db=snr_db,
                                   wideband_snr_db=wb,
+                                  fade_spread_db=self.stats.fade_spread_db,
                                   waveform=WaveformMode.OFDM_COX)
 
     def _decode_frame(self, wf: WaveformMode, tr_start: int, cfo: float
@@ -1661,14 +1720,23 @@ class ModemEngine:
             # OFDM_CHIRP: LTS-seeded per-carrier SNR stored by demod().
             snr_db = self.stats.current_snr_db
         # Gap-free span: training+data (the chirp preamble has 2x100 ms
-        # silent gaps); the noise window sits before the up-chirp.
+        # silent gaps); the noise window sits before the up-chirp.  The
+        # two constant-envelope chirps join the fade-spread pool as extra
+        # active segments — a 3-CW connect frame's training+data alone is
+        # ~0.9 s, under the 1 s spread trust gate, and negotiation needs
+        # the spread measured from exactly that frame.
+        cc = self.chirp_config
+        up0 = tr_start - cc.total_samples
+        dn0 = up0 + cc.chirp_samples + cc.gap_samples
         wb = self._wideband_snr_db(
-            buf, tr_start, end,
-            noise_before=tr_start - self.chirp_config.total_samples)
+            buf, tr_start, end, noise_before=up0,
+            segments=[(up0, up0 + cc.chirp_samples),
+                      (dn0, dn0 + cc.chirp_samples)])
         self.stats.wideband_snr_db = wb
         return "ok", DecodedFrame(frame_bytes=frame_bytes, header=info,
                                   cw_ok=oks, cfo_hz=cfo, snr_db=snr_db,
                                   wideband_snr_db=wb,
+                                  fade_spread_db=self.stats.fade_spread_db,
                                   waveform=wf)
 
     def _bits_per_ofdm_symbol_chirp(self) -> int:

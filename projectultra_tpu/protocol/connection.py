@@ -136,6 +136,12 @@ class Connection:
         self.data_modulation = Modulation.QPSK
         self.data_code_rate = CodeRate.R1_2
         self.measured_snr_db = 15.0
+        # Decaying max of recent frames' fade-spread readings (engine
+        # fade_spread_db: ~0-1 dB AWGN, ~5-9 dB Watterson; -1 unknown).
+        # A single high reading is hard evidence of fading and disquali-
+        # fies the benign relaxation for a while; benign needs sustained
+        # low readings.  Starts unknown = no relaxation.
+        self.measured_fade_spread_db = -1.0
         self.is_initiator = False
         self.handshake_confirmed = False
 
@@ -178,8 +184,12 @@ class Connection:
     def set_local_callsign(self, call: str):
         self.local_call = F.sanitize_callsign(call)
 
-    def set_measured_snr(self, snr_db: float):
+    def set_measured_snr(self, snr_db: float,
+                         fade_spread_db: float | None = None):
         self.measured_snr_db = snr_db
+        if fade_spread_db is not None and fade_spread_db >= 0.0:
+            self.measured_fade_spread_db = max(
+                fade_spread_db, 0.7 * self.measured_fade_spread_db)
 
     def _set_state(self, state: ConnectionState, info: str = ""):
         self.state = state
@@ -305,6 +315,23 @@ class Connection:
         # MC_DPSK R1/4 still delivers (measured envelope).
         mfsk_below, mc_below = (-4.0, 17.0) if self.config.calibrated_snr \
             else (0.0, 17.0)
+        # Fade-aware routing (calibrated mode only).  The engine's fade
+        # detector (engine._wideband_snr_db fade_spread_db: AWGN reads
+        # ~0-1 dB, every Watterson preset >=3.4 dB over >=1 s of pooled
+        # active signal) splits the one-size 17 dB guard band three ways:
+        # - channel PROVEN FLAT (sustained spread <2.5): deep Cox
+        #   acquisition (PARITY.md deviation 9, streaming floor ~8 dB)
+        #   carries OFDM_COX down to the DQPSK R1/4 envelope; 11 dB keeps
+        #   ~3 dB margin over the measured 6/6-at-8-9-dB floor.
+        # - channel PROVEN FADING (spread >=2.5): Cox acquisition under
+        #   moderate fading needs ~19 dB true — 21 adds margin for the
+        #   estimator's +-2.5 dB single-frame scatter under fades.  (The
+        #   old 17 threshold was calibrated against the body-only
+        #   estimator scale, which read chirp-led frames ~3 dB low.)
+        # - spread UNKNOWN (short frames only): keep 17, the mixed-case
+        #   compromise.
+        if self.config.calibrated_snr and self.measured_fade_spread_db >= 0:
+            mc_below = 11.0 if self.measured_fade_spread_db < 2.5 else 21.0
         if snr < mfsk_below and common & ModeCapabilities.MFSK:
             return WaveformMode.MFSK
         if snr < mc_below and common & ModeCapabilities.MC_DPSK:
@@ -425,9 +452,15 @@ class Connection:
             # SNR reading under fading sees no fade dip, so the initial
             # pick must not commit beyond the all-channels envelope; the
             # CalibratedAdaptiveController walks the mode UP once
-            # sustained readings justify it.
+            # sustained readings justify it.  When the fade detector has
+            # evidence, charge the measured envelope spread (minus the
+            # ~1 dB AWGN baseline) so the initial pick targets the fade
+            # TROUGHS like the mid-session controller does.
+            outage_snr = snr
+            if self.measured_fade_spread_db > 0.0:
+                outage_snr -= max(0.0, self.measured_fade_spread_db - 1.0)
             rec_mod, rec_rate = recommend_data_mode_calibrated(
-                min(snr, 16.0))
+                min(outage_snr, 16.0))
         else:
             rec_mod, rec_rate = recommend_data_mode(snr)
         if forced_mod != Modulation.AUTO:

@@ -104,7 +104,7 @@ class ProtocolEngine:
         meas = frame.wideband_snr_db \
             if self.connection.config.calibrated_snr else frame.snr_db
         if meas:
-            self.connection.set_measured_snr(meas)
+            self.connection.set_measured_snr(meas, frame.fade_spread_db)
         # Mid-session adaptation: the default controller's thresholds are
         # calibrated for OFDM pilot SNR (adaptive_mode.cpp:21-31) — MC-DPSK
         # training estimates live on a different scale and must not drive
@@ -127,9 +127,18 @@ class ProtocolEngine:
             wf_ok = frame.waveform == WaveformMode.OFDM_COX
         if ctrl_snr:
             arq_idle = getattr(self.connection.arq, "in_flight", 0) == 0
+            if self.connection.config.calibrated_snr:
+                # Outage-aware update: the calibrated controller penalizes
+                # the reading by the frame's measured fade spread.
+                def _upd():
+                    return self.adaptive.update(ctrl_snr,
+                                                frame.fade_spread_db)
+            else:
+                def _upd():
+                    return self.adaptive.update(ctrl_snr)
             if (self.adaptive_enabled and self.connection.is_connected
                     and self.connection.is_initiator and arq_idle
-                    and wf_ok and self.adaptive.update(ctrl_snr)):
+                    and wf_ok and _upd()):
                 self.connection.request_mode_change(
                     self.adaptive.current_mod, self.adaptive.current_rate)
         self.modem.last_rx_waveform = frame.waveform

@@ -30,6 +30,10 @@ class ModemStats:
     # floor), the calibrated_snr negotiation input; current_snr_db keeps
     # the reference's inflated per-carrier/training scale.
     wideband_snr_db: float = 0.0
+    # Fade-spread companion to wideband_snr_db (90/10 dB spread of the
+    # smoothed in-frame envelope; -1.0 = unmeasured).  Lets negotiation
+    # distinguish flat/AWGN channels from fading ones.
+    fade_spread_db: float = -1.0
     current_modulation: Modulation = Modulation.QPSK
     current_code_rate: CodeRate = CodeRate.R1_2
 

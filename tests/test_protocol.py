@@ -531,3 +531,128 @@ def test_file_transfer_over_lossy_air_auto_calibrated(tmp_path):
         b.tick(5000)
     assert received and received[0][1], "file transfer did not complete"
     assert open(received[0][0], "rb").read() == content
+
+
+def test_fade_spread_benign_relaxation():
+    """Round-3 fade detector: calibrated negotiation relaxes the MC_DPSK
+    routing floor to 11 dB only on EVIDENCE of a flat channel (sustained
+    fade_spread < 2.5 dB); unknown or high spread keeps the conservative
+    17 dB guard band, and a single high reading disqualifies benign for a
+    while (decaying max)."""
+    from projectultra_tpu.protocol.connection import (
+        Connection, ConnectionConfig)
+    from projectultra_tpu.protocol.frame_v2 import WaveformMode
+
+    c = Connection(ConnectionConfig(calibrated_snr=True))
+    c.set_measured_snr(12.0)  # spread unknown -> conservative
+    assert c.negotiate_mode(0xFF, WaveformMode.AUTO) == WaveformMode.MC_DPSK
+    c.set_measured_snr(12.0, 0.2)  # flat channel proven
+    assert c.negotiate_mode(0xFF, WaveformMode.AUTO) == WaveformMode.OFDM_COX
+    c.set_measured_snr(10.0, 0.2)  # below the relaxed floor: still robust
+    assert c.negotiate_mode(0xFF, WaveformMode.AUTO) == WaveformMode.MC_DPSK
+    c.set_measured_snr(12.0, 6.0)  # fading evidence
+    assert c.negotiate_mode(0xFF, WaveformMode.AUTO) == WaveformMode.MC_DPSK
+    c.set_measured_snr(12.0, 0.2)  # decaying max: 0.7*6 = 4.2 still fading
+    assert c.negotiate_mode(0xFF, WaveformMode.AUTO) == WaveformMode.MC_DPSK
+    # Unmeasured frames (-1) leave the fading evidence in place.
+    c.set_measured_snr(12.0, -1.0)
+    assert c.measured_fade_spread_db > 2.5
+    # Parity scale ignores the spread entirely.
+    d = Connection(ConnectionConfig())
+    d.set_measured_snr(12.0, 0.2)
+    assert d.negotiate_mode(0xFF, WaveformMode.AUTO) == WaveformMode.MC_DPSK
+
+
+def test_fade_spread_metric_separation():
+    """The engine's fade-spread metric on a real decoded CONNECT frame:
+    AWGN reads ~0.1-0.2 dB, Watterson moderate >= 2.5 dB.  The dual
+    chirps join the pool as per-segment-normalized active spans — the
+    chirp sweeps 2.4 kHz, so the Watterson two-path echo comb appears as
+    envelope ripple on the chirp even at slow Doppler, and the 0.9 s
+    training+data body alone would sit under the 1 s trust gate.  Also
+    pins the segment-weighted estimator scale: body-only measurement
+    under-reads the chirp-led frame ~3 dB vs the active-average truth."""
+    import jax
+    import jax.numpy as jnp
+    from projectultra_tpu.modem.engine import ModemEngine
+    from projectultra_tpu.protocol import frame_v2 as F
+    from projectultra_tpu.sim import watterson as W
+
+    tx = ModemEngine()
+    cf = F.ConnectFrame.make_connect(
+        "W1AW", "VE3ABC", int(F.ModeCapabilities.ALL), 0, 0xFF, 0xFF)
+    audio = tx.transmit(cf.serialize())
+
+    def measure(chan, key):
+        a = jnp.asarray(np.concatenate(
+            [np.zeros(2000, np.float32), audio,
+             np.zeros(4000, np.float32)])[None, :])
+        noisy = W.add_noise_active(key, a, 12.0) if chan == "awgn" \
+            else W.watterson(key, a, W.PRESETS["moderate"](12.0))
+        rx = ModemEngine()
+        got = []
+        rx.on_frame = got.append
+        rx.feed_audio(np.asarray(noisy)[0])
+        rx.poll()
+        assert got, f"no decode on {chan}"
+        return got[0]
+
+    import jax as _j
+    fa = measure("awgn", _j.random.PRNGKey(156))
+    assert 0.0 <= fa.fade_spread_db < 1.5, fa.fade_spread_db
+    assert abs(fa.wideband_snr_db - 12.0) <= 1.5, fa.wideband_snr_db
+    fm = measure("moderate", _j.random.PRNGKey(156))
+    assert fm.fade_spread_db >= 2.5, fm.fade_spread_db
+
+
+def test_benign_awgn_session_negotiates_ofdm():
+    """End-to-end: at 12 dB TRUE wideband AWGN with calibrated_snr, the
+    fade detector proves the channel flat and negotiation picks OFDM_COX
+    (deep Cox acquisition floor ~8 dB, PARITY.md deviation 9) instead of
+    parking on MC_DPSK below the 17 dB fading guard band — ~4x the
+    over-the-air throughput at the same SNR.  Messages must deliver both
+    ways."""
+    import jax
+    import jax.numpy as jnp
+    from projectultra_tpu.protocol.engine import ProtocolEngine
+    from projectultra_tpu.protocol.frame_v2 import WaveformMode
+    from projectultra_tpu.sim import watterson as W
+
+    key = jax.random.PRNGKey(77)
+    counter = [0]
+
+    def channel(audio):
+        counter[0] += 1
+        a = jnp.asarray(np.concatenate(
+            [np.zeros(2000, np.float32), audio,
+             np.zeros(4000, np.float32)])[None, :])
+        a = W.add_noise_active(jax.random.fold_in(key, counter[0]), a, 12.0)
+        return np.asarray(a)[0]
+
+    a, b = ProtocolEngine(), ProtocolEngine()
+    for e in (a, b):
+        e.connection.config.calibrated_snr = True
+    a.connection.set_local_callsign("W1AW")
+    b.connection.set_local_callsign("VE3ABC")
+    a.on_tx_audio = lambda audio: b.feed_audio(channel(audio))
+    b.on_tx_audio = lambda audio: a.feed_audio(channel(audio))
+    got_a, got_b = [], []
+    a.connection.on_message_received = got_a.append
+    b.connection.on_message_received = got_b.append
+
+    assert a.connect("VE3ABC")
+    assert b.connection.negotiated_mode == WaveformMode.OFDM_COX
+
+    N = 2
+    ia = ib = 0
+    for _ in range(300):
+        if ia < N and a.send_message(f"a{ia}"):
+            ia += 1
+        if ib < N and b.send_message(f"b{ib}"):
+            ib += 1
+        a.tick(5000)
+        b.tick(5000)
+        if (ia >= N and ib >= N
+                and len(got_a) >= N and len(got_b) >= N):
+            break
+    assert got_b == ["a0", "a1"] and got_a == ["b0", "b1"]
