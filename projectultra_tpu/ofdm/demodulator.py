@@ -42,6 +42,11 @@ MIN_CARRIER_NOISE_VAR = 1e-6
 MAX_CARRIER_NOISE_VAR = 100.0
 LDPC_BLOCK_SIZE = 648
 
+# 256QAM RX flavor: "analytic" (Hilbert front-end + folded-Tukey window,
+# no conjugate image by construction) or "real" (real passband + Tukey +
+# closed-form image cancellation).  See maybe_analytic for the physics.
+QAM256_RX = "analytic"
+
 
 class DemodState(NamedTuple):
     """Scan carry == OFDMDemodulator::Impl tracked state, batched on [B]."""
@@ -97,19 +102,52 @@ def init_state(config: ModemConfig, B: int, cfo_hz, initial_phase) -> DemodState
 # Per-symbol kernels
 # ---------------------------------------------------------------------------
 
+def _fold_ramp(config: ModemConfig, L: int) -> int:
+    """Ramp length of the folded-Tukey analysis window: the usable cyclic
+    slack, bounded by the CP."""
+    return max(0, min(config.cyclic_prefix, L - config.fft_size))
+
+
 @functools.lru_cache(maxsize=None)
-def _used_bins_w(config: ModemConfig, L: int):
+def _used_bins_w(config: ModemConfig, L: int, window: str = "rect"):
     """DFT rows of the USED bins ([data..., pilot...]) with the CP/guard
     region zeroed, as real/imag f32 [L, Cu] pairs (the device transport
-    rejects multi-dim complex64 host constants)."""
+    rejects multi-dim complex64 host constants).
+
+    window="tukey" replaces the rectangular [cp, cp+N) window with a
+    folded Tukey window over [0, N+R) (ramps of length R = min(cp, L-N),
+    w[n] + w[n+N] = 1 on the overlap).  For content that is cyclic after
+    the CFO-corrected demix — true whenever fc*N/fs is an integer, which
+    holds for every config (1500 Hz, 48 kHz, N >= 32) — the folded window
+    computes EXACTLY the same bin values as the rectangular one.  What
+    changes is the weighting of symbol-boundary samples: a true (SSB)
+    frequency offset Hilbert-rings at the rect-window edge that abuts the
+    symbol boundary (~1/(pi*d) from the FIRST sample, a payload-dependent
+    -25 dB ICI floor), and the Tukey taper de-weights exactly those
+    samples (~-50 dB).  Used by the 256QAM real-passband path together
+    with the matching windowed image kernel in cancel_conjugate_image."""
     cm = carriers_mod.carrier_map(config)
     N, cp = config.fft_size, config.cyclic_prefix
     bins = np.concatenate([np.asarray(cm.data_idx),
                            np.asarray(cm.pilot_idx)]).astype(np.float64)
-    n_idx = np.arange(L) - cp
-    live = (n_idx >= 0) & (n_idx < N)
-    W = np.exp(-2j * np.pi * np.outer(n_idx % N, bins) / N)
-    W = np.where(live[:, None], W, 0.0)
+    n = np.arange(L)
+    if window == "tukey":
+        R = _fold_ramp(config, L)
+        w = np.zeros(L)
+        if R > 0:
+            up = np.sin(np.pi * (np.arange(R) + 0.5) / (2 * R)) ** 2
+            w[:R] = up
+            w[R:N] = 1.0
+            w[N:N + R] = 1.0 - up
+        else:
+            w[:N] = 1.0
+        W = w[:, None] * np.exp(-2j * np.pi
+                                * np.outer((n - cp) % N, bins) / N)
+    else:
+        n_idx = n - cp
+        live = (n_idx >= 0) & (n_idx < N)
+        W = np.exp(-2j * np.pi * np.outer(n_idx % N, bins) / N)
+        W = np.where(live[:, None], W, 0.0)
     return W.real.astype(np.float32), W.imag.astype(np.float32)
 
 
@@ -130,18 +168,135 @@ def analytic_half(samples: jnp.ndarray) -> jnp.ndarray:
 
 
 def maybe_analytic(mod: Modulation, samples: jnp.ndarray) -> jnp.ndarray:
-    """analytic_half for COHERENT modulations only.  The real passband's
-    negative-frequency image is bin-aligned (harmless) at zero CFO but leaks
-    ICI that grows with CFO; QAM decision boundaries cannot absorb it, while
-    the differential modes tolerate it across the validated CFO range — and
-    skipping the Hilbert FFT there keeps the headline pipeline FFT-free."""
-    if is_differential(mod):
+    """analytic_half for COHERENT modulations.  The real passband's
+    negative-frequency image is bin-aligned (harmless) at zero CFO but
+    leaks ICI that grows with CFO; QAM decision boundaries cannot absorb
+    it, while the differential modes tolerate it across the validated CFO
+    range — and skipping the Hilbert FFT there keeps the headline
+    pipeline FFT-free.
+
+    256QAM sits at a -32 dB-ish EVM budget where BOTH front-ends have a
+    measurable floor, and which one binds is subtle (all measured, see
+    docs/PERF.md '256QAM ICI ladder'):
+
+    * analytic + rect window: the within-window tone model differs from
+      the global Hilbert's output by symbol-boundary ringing (~1/(pi*d)
+      from a window edge that abuts the boundary) — a payload-dependent,
+      CFO-INDEPENDENT ~-25 dB ICI floor, saturated 12% codeword failures
+      identical at 42 and 90 dB.
+    * real passband: exact at zero CFO (no Hilbert anywhere, the image is
+      bin-orthogonal), but a true (SSB) frequency offset couples the
+      boundary ringing in — fatal beyond ~0.5 Hz uncancelled, and still
+      ~-21 dB on the lowest carrier after closed-form image cancellation
+      (cancel_conjugate_image) + Tukey taper.
+    * analytic + folded-Tukey window (CHOSEN, QAM256_RX="analytic"): a
+      true frequency shift of a real passband preserves one-sidedness, so
+      the RX Hilbert recovers the TX analytic signal essentially exactly
+      under CFO; the taper then de-weights the boundary samples where the
+      TX-side ringing lives.  No image by construction, no K matrices.
+
+    Combined with the decision-directed refinement pass
+    (_demod_coherent_refined) this holds 256QAM R5/6 at 100% codewords
+    across +-10 Hz CFO at 42 dB on 32-codeword NVIS frames."""
+    if is_differential(mod) or (mod == Modulation.QAM256
+                                and QAM256_RX == "real"):
         return samples
     return analytic_half(samples)
 
 
+@functools.lru_cache(maxsize=None)
+def _used_bins_k(config: ModemConfig) -> np.ndarray:
+    """Signed bin numbers of the USED bins in to_baseband_fd's
+    [data..., pilot...] layout."""
+    cm = carriers_mod.carrier_map(config)
+    return np.concatenate([np.asarray(cm.data_k),
+                           np.asarray(cm.pilot_k)]).astype(np.float32)
+
+
+def _dirichlet(x, R: int, N: int):
+    """D_R(x) = sum_{n=0}^{R-1} e^{-j*2pi*n*x/N}, safe at x = 0 (-> R)."""
+    mag = R * jnp.sinc(R * x / N) / jnp.sinc(x / N)
+    ang = -(np.pi * (R - 1) / N) * x
+    return jax.lax.complex(mag * jnp.cos(ang), mag * jnp.sin(ang))
+
+
+def cancel_conjugate_image(config: ModemConfig, state: DemodState,
+                           fd: jnp.ndarray, t0, L: int) -> jnp.ndarray:
+    """Frequency-domain cancellation of a REAL passband's conjugate image.
+
+    A real passband window is x[n] = Re{sum_m u_m e^{j2pi(fc+f_m+d)(t0+n)/fs}}
+    (d = true CFO); after the demixer (conj(osc) * CFO correction) the
+    conjugate half lands at -(2fc + f_m + d + d_hat)/df bins — integer
+    (bin-orthogonal, zero leak) at d = 0, but misaligned by ~2d/df under
+    CFO, leaking ICI into every used bin k with a closed-form windowed
+    Dirichlet weight.  Writing the leak as fd = fd_clean + K conj(fd_clean),
+    for the folded-Tukey analysis window of _used_bins_w (ramp R):
+
+        K[b,k,m]  = e^{j*Gamma_b} / N * e^{j*2pi*cp*(k_k+k_m)/N}
+                     * E_w(nu[b,m] + k_k)
+        nu[b,m]   = (2fc + 2*d_hat_b) * N/fs + k_m
+        Gamma_b   = 2*freq_phase_b - 2*phi0(t0)
+        E_w(x)    = E_N(x) - (1 - e^{-j*2pi*x}) * G(x)
+        G(x)      = D_R(x)/2 + [e^{j*pi/(2R)} D_R(x - N/(2R))
+                                + e^{-j*pi/(2R)} D_R(x + N/(2R))] / 4
+        D_R(x)    = sum_{n<R} e^{-j*2pi*n*x/N}   (Dirichlet)
+
+    with phi0(t0) = 2pi*fc*t0/fs computed integer-modular (exact, like
+    ops/mixer.osc_int) and k the signed used-bin numbers.  Inverting to
+    second order (||K|| ~ 0.05 at 10 Hz): w = fd - K conj(fd), then
+    fd_clean ~= w + K conj(K) w.  Combined with the Tukey taper's
+    suppression of symbol-boundary Hilbert ringing (see _used_bins_w)
+    the residual image sits < -50 dB across the +-10 Hz acquisition
+    envelope, vs -18 dB uncancelled at 10 Hz.  All terms ride the MXU as
+    [B,Cu,Cu]x[B,Cu] matmuls; K -> 0 smoothly as the tracked CFO -> 0.
+    Used by the 256QAM real-passband path (see maybe_analytic); <=32QAM
+    decision distances never needed it."""
+    N, cp = config.fft_size, config.cyclic_prefix
+    fs, fc = config.sample_rate, config.center_freq
+    R = _fold_ramp(config, L)
+    k = jnp.asarray(_used_bins_k(config))                       # [Cu]
+
+    active = jnp.abs(state.freq_offset_hz) > 0.01
+    d_hat = jnp.where(active, state.freq_offset_hz, 0.0)        # [B]
+    fp = jnp.where(active, state.freq_phase, 0.0)               # [B]
+
+    # Exact 2*pi*fc*t0/fs mod 2*pi via integer-modular arithmetic.
+    t0i = jnp.asarray(t0, jnp.int32)
+    num = jnp.mod(fc * jnp.mod(t0i, fs), fs)
+    phi0 = (2.0 * np.pi / fs) * num.astype(jnp.float32)
+
+    nu = (2.0 * fc + 2.0 * d_hat[:, None]) * (N / fs) + k[None, :]   # [B,Cu]
+    x = nu[:, None, :] + k[None, :, None]                       # [B, k, m]
+    gamma = 2.0 * fp - 2.0 * phi0                               # [B]
+
+    EN = _dirichlet(x, N, N)
+    if R > 0:
+        half = N / (2.0 * R)
+        rot = np.exp(1j * np.pi / (2.0 * R)).astype(np.complex64)
+        G = (0.5 * _dirichlet(x, R, N)
+             + 0.25 * (rot * _dirichlet(x - half, R, N)
+                       + np.conj(rot) * _dirichlet(x + half, R, N)))
+        tx2pi = 2.0 * np.pi * x
+        one_m = 1.0 - jax.lax.complex(jnp.cos(tx2pi), -jnp.sin(tx2pi))
+        Ew = EN - one_m * G
+    else:
+        Ew = EN
+
+    ang = (gamma[:, None, None]
+           + (2.0 * np.pi * cp / N) * (k[None, :, None] + k[None, None, :]))
+    K = (1.0 / N) * jax.lax.complex(jnp.cos(ang), jnp.sin(ang)) * Ew
+
+    hi = jax.lax.Precision.HIGHEST
+    mv = functools.partial(jnp.einsum, "bkm,bm->bk", precision=hi)
+    w = fd - mv(K, jnp.conj(fd))
+    clean = w + mv(K, jnp.conj(mv(K, jnp.conj(w))))
+    return clean.astype(jnp.complex64)
+
+
 def to_baseband_fd(config: ModemConfig, state: DemodState,
-                   sym_samples: jnp.ndarray, t0) -> tuple[jnp.ndarray, DemodState]:
+                   sym_samples: jnp.ndarray, t0,
+                   image_cancel: bool = False,
+                   taper: bool = False) -> tuple[jnp.ndarray, DemodState]:
     """toBaseband + extractSymbol (channel_equalizer.cpp:19-71) for one
     symbol: [B, L] passband -> [B, Cu] USED frequency bins, laid out
     [data..., pilot...].  Only those bins are ever consumed, so downmix +
@@ -161,12 +316,15 @@ def to_baseband_fd(config: ModemConfig, state: DemodState,
     corr = jnp.where(active, corr, jnp.complex64(1.0))
 
     z = sym_samples.astype(jnp.complex64) * jnp.conj(osc)[None, :] * corr
-    Wr, Wi = _used_bins_w(config, int(L))
+    Wr, Wi = _used_bins_w(config, int(L),
+                          "tukey" if (image_cancel or taper) else "rect")
     Wr, Wi = jnp.asarray(Wr), jnp.asarray(Wi)
     hi = jax.lax.Precision.HIGHEST
     mm = functools.partial(jnp.matmul, precision=hi)
     fd = jax.lax.complex(mm(z.real, Wr) - mm(z.imag, Wi),
                          mm(z.real, Wi) + mm(z.imag, Wr))
+    if image_cancel:
+        fd = cancel_conjugate_image(config, state, fd, t0, int(L))
 
     new_phase = jnp.where(
         active[:, 0],
@@ -467,7 +625,9 @@ def demodulate_symbol(config: ModemConfig, mod: Modulation, state: DemodState,
 def estimate_channel_from_lts(config: ModemConfig, state: DemodState,
                               training: jnp.ndarray,
                               t0_base: int = 0,
-                              t0_stride: int | None = None) -> DemodState:
+                              t0_stride: int | None = None,
+                              image_cancel: bool = False,
+                              taper: bool = False) -> DemodState:
     """(channel_equalizer.cpp:77-328): LS estimates from each training
     symbol; data carriers take the LAST symbol's H (closest in time to the
     first data symbol), pilots take the average; SNR seeded from |H|avg^2 /
@@ -493,7 +653,8 @@ def estimate_channel_from_lts(config: ModemConfig, state: DemodState,
     Cd = len(cm.data_idx)
     for s in range(n_sym):
         fd, state = to_baseband_fd(config, state, training[:, s],
-                                   t0_base + s * stride)
+                                   t0_base + s * stride,
+                                   image_cancel=image_cancel, taper=taper)
         h_data_last = fd[:, :Cd] / tx_data[None, :]
         if len(cm.pilot_idx):
             h_pilot_sum = h_pilot_sum + fd[:, Cd:] / jnp.asarray(cm.pilot_seq)[None, :]
@@ -533,12 +694,127 @@ def demodulate_with_lts(config: ModemConfig, mod: Modulation,
     complex state construction is unimplemented on the accelerator backend
     (INV-TPU-007)."""
     B = lts.shape[0]
+    q256 = (mod == Modulation.QAM256)
+    ic = q256 and QAM256_RX == "real"   # see maybe_analytic
     state = init_state(config, B, cfo_hz, initial_phase)
     state = estimate_channel_from_lts(config, state, lts, t0_base=t0_lts,
-                                      t0_stride=t0_lts_stride)
+                                      t0_stride=t0_lts_stride,
+                                      image_cancel=ic, taper=q256)
+    if (q256 and len(carriers_mod.carrier_map(config).pilot_idx) == 0
+            and not config.adaptive_eq_enabled):
+        llrs = _demod_coherent_refined(config, mod, state, data,
+                                       t0_base=t0_data)
+        return llrs, state
     state, llrs = _scan_data_symbols(config, mod, state, data,
                                      t0_base=t0_data)
     return llrs, state
+
+
+def _demod_coherent_refined(config: ModemConfig, mod: Modulation,
+                            state: DemodState, data: jnp.ndarray,
+                            t0_base) -> jnp.ndarray:
+    """Two-pass no-pilot coherent demod with decision-directed channel
+    refinement, used by the 256QAM path (both RX flavors).
+
+    Under a true (SSB) CFO the LTS-only channel estimate is contaminated
+    by the Hilbert ringing of the LTS<->data boundary — a PAYLOAD-dependent
+    error reaching ~-27 dB on the lowest carriers (measured lane-to-lane H
+    spread with a shared preamble; identically zero at CFO 0), which
+    multiplies every data symbol and is the binding ICI floor for 256QAM.
+    Pilots would track it away, but the NVIS frame has none — so refit the
+    per-carrier complex gain from ALL S data symbols (LS against hard
+    decisions): averaging over S >> 2 symbols beats the 2-symbol LTS
+    estimate by ~10*log10(S/2) dB on both ringing and noise.  Decisions
+    use ZF equalization (the MMSE denominator's default-nv shrink moves
+    256QAM's outer rings by ~a decision distance); the final LLRs keep
+    the MMSE + CE_MARGIN semantics of the scan path."""
+    cm = carriers_mod.carrier_map(config)
+    B, S, L = data.shape
+    Cd = len(cm.data_idx)
+
+    def step(carry, xs):
+        st = carry
+        sym, s_idx = xs
+        fd, st = to_baseband_fd(config, st, sym, t0_base + s_idx * L,
+                                image_cancel=(QAM256_RX == "real"),
+                                taper=True)
+        return st, fd
+
+    xs = (jnp.moveaxis(data, 1, 0), jnp.arange(S))
+    _, fds = jax.lax.scan(step, state, xs)               # [S, B, Cu]
+    fd = jnp.moveaxis(fds, 0, 1)[:, :, :Cd]              # [B, S, Cd]
+
+    # Alternating rank-1 LS fit fd ~= g[s] * h[c] * d[s,c]: per-carrier
+    # complex gain h refit from ALL S symbols PLUS a per-symbol common
+    # factor g — the ~1 s 32-codeword frame accrues residual-CFO phase
+    # drift (~0.1 rad at the detector's ~15 mHz estimate error), about a
+    # decision distance on 256QAM's outer ring, and this frame has no
+    # pilots to track it.  g is estimated from all Cd decisions jointly
+    # (robust) and absorbs drift + any slow amplitude wander.
+    didx = jnp.asarray(cm.data_idx)
+    h = state.channel_estimate[:, didx][:, None, :]      # [B, 1, Cd]
+    nv = state.noise_variance[:, None, None]
+
+    # Seed g with a decision-directed PLL scan: a worse-than-usual CFO
+    # estimate drifts past a decision distance by mid-frame, where the
+    # one-shot per-symbol fit's initial decisions are already wrong and
+    # the alternating LS sticks there (measured: symbols 35+ of a 44-
+    # symbol frame decode as noise while 0-34 are clean).  The loop only
+    # ever tracks the small per-symbol increment, so its decisions stay
+    # inside the correct cell all the way down the frame.
+    h2 = h[:, 0, :]                                      # [B, Cd]
+    hp2 = jnp.maximum(jnp.abs(h2) ** 2, 1e-12)
+
+    def pll_step(carry, fd_s):
+        phi, om = carry                                  # [B], [B]
+        rot = jnp.exp(-1j * phi.astype(jnp.complex64))[:, None]
+        z = fd_s * rot
+        d_s = demap_ops.hard_decision(mod, z * jnp.conj(h2) / hp2)
+        e = (z * jnp.conj(h2 * d_s)).sum(-1)
+        err = jnp.arctan2(e.imag, e.real)
+        om = om + 0.05 * err
+        phi_s = phi + err                                # best phase for s
+        phi = phi + om + 0.3 * err
+        return (phi, om), phi_s
+
+    zero = jnp.zeros((B,), jnp.float32)
+    _, phis = jax.lax.scan(pll_step, (zero, zero),
+                           jnp.moveaxis(fd, 0, 1))       # [S, B]
+    g = jnp.exp(1j * jnp.moveaxis(phis, 0, 1))[:, :, None].astype(
+        jnp.complex64)                                   # [B, S, 1]
+    d = None
+    for _ in range(3):
+        G = g * h
+        Gp = jnp.maximum(jnp.abs(G) ** 2, 1e-12)
+        d = demap_ops.hard_decision(mod, fd * jnp.conj(G) / Gp)
+        hd = h * d
+        g = ((fd * jnp.conj(hd)).sum(-1, keepdims=True)
+             / jnp.maximum((jnp.abs(hd) ** 2).sum(-1, keepdims=True), 1e-30))
+        gd = g * d
+        h = ((fd * jnp.conj(gd)).sum(1, keepdims=True)
+             / jnp.maximum((jnp.abs(gd) ** 2).sum(1, keepdims=True), 1e-30))
+
+    # Honest per-carrier noise: the decision residual measures EACH
+    # carrier's actual disturbance (thermal + residual image + Hilbert
+    # ringing), which is far from white here — the lowest carriers carry
+    # ~15 dB more ringing than the median.  Without this, a residual-ICI
+    # symbol error on a low carrier demaps at the +-10 LLR clip and
+    # min-sum converges to a WRONG valid codeword (measured: 1-2
+    # max-confidence wrong bits flip R5/6); with it those carriers'
+    # LLRs deflate to their true reliability and the decoder walks
+    # through.  Pilot configs get the same effect from pilot tracking.
+    G = g * h
+    resid = fd - G * d
+    r = (jnp.abs(resid) ** 2).mean(1, keepdims=True)     # [B, 1, Cd]
+    r = jnp.maximum(r, 0.25 * nv)
+
+    hp = jnp.abs(G) ** 2
+    eq = jnp.conj(G) * fd / jnp.maximum(hp + nv, 1e-30)
+    cnv = jnp.clip(r / (hp + 1e-6), MIN_CARRIER_NOISE_VAR,
+                   MAX_CARRIER_NOISE_VAR)
+    nv_eff = cnv * demap_ops.CE_MARGIN.get(mod, 1.0)
+    llrs = demap_ops.demap(mod, eq.astype(jnp.complex64), nv_eff)
+    return llrs.reshape(B, -1)
 
 
 @functools.partial(jax.jit, static_argnames=("config", "mod", "n_lts", "S"))
@@ -593,9 +869,12 @@ def equalized_symbols(config: ModemConfig, mod: Modulation,
     instead of LLRs."""
     B = lts.shape[0]
     L = data.shape[-1]
+    q256 = (mod == Modulation.QAM256)
+    ic = q256 and QAM256_RX == "real"
     state = init_state(config, B, cfo_hz, initial_phase)
     state = estimate_channel_from_lts(config, state, lts, t0_base=t0_lts,
-                                      t0_stride=t0_lts_stride)
+                                      t0_stride=t0_lts_stride,
+                                      image_cancel=ic, taper=q256)
     has_pilots = len(carriers_mod.carrier_map(config).pilot_idx) > 0
 
     adaptive = config.adaptive_eq_enabled and not is_differential(mod)
@@ -604,7 +883,8 @@ def equalized_symbols(config: ModemConfig, mod: Modulation,
     def step(carry, xs):
         st = carry
         sym, s_idx = xs
-        fd, st = to_baseband_fd(config, st, sym, t0_data + s_idx * L)
+        fd, st = to_baseband_fd(config, st, sym, t0_data + s_idx * L,
+                                image_cancel=ic, taper=q256)
         if has_pilots:
             st = update_channel_estimate(config, st, fd)
         eq, cnv = equalize(config, mod, st, fd)
@@ -652,7 +932,10 @@ def demodulate_presynced(config: ModemConfig, mod: Modulation,
 
     if training_symbols > 0:
         tr = samples[:, :training_symbols * L].reshape(B, training_symbols, L)
-        state = estimate_channel_from_lts(config, state, tr)
+        state = estimate_channel_from_lts(
+            config, state, tr,
+            image_cancel=(mod == Modulation.QAM256 and QAM256_RX == "real"),
+            taper=(mod == Modulation.QAM256))
 
     data = samples[:, training_symbols * L:(training_symbols + num_data_symbols) * L]
     data = data.reshape(B, num_data_symbols, L)
@@ -763,11 +1046,14 @@ def _scan_data_symbols(config: ModemConfig, mod: Modulation, state: DemodState,
 
     adaptive = config.adaptive_eq_enabled and not is_differential(mod)
     Cd = len(carriers_mod.carrier_map(config).data_idx)
+    q256 = (mod == Modulation.QAM256)
+    ic = q256 and QAM256_RX == "real"
 
     def step(carry, xs):
         state = carry
         sym, s_idx = xs
-        fd, state = to_baseband_fd(config, state, sym, t0_base + s_idx * L)
+        fd, state = to_baseband_fd(config, state, sym, t0_base + s_idx * L,
+                                   image_cancel=ic, taper=q256)
         if has_pilots:
             state = update_channel_estimate(config, state, fd)
         eq, cnv = equalize(config, mod, state, fd)

@@ -96,6 +96,35 @@ def test_nvis_1024_qam64_r56_beats_industry_leader():
     assert ok.all() and match.all()
 
 
+def test_nvis_1024_qam256_r56():
+    """BEYOND-reference NVIS ceiling: 1024-FFT 256QAM R5/6 (16.9 kbps
+    theoretical) with full acquisition at 10 Hz CFO.  256QAM runs the
+    analytic + folded-Tukey + decision-directed-refinement path
+    (ofdm/demodulator.py maybe_analytic / _demod_coherent_refined): the
+    symbol-boundary Hilbert ringing of a true SSB frequency offset is the
+    binding ICI floor at this constellation density, and the rect-window
+    paths fail here (measured ladder in docs/PERF.md)."""
+    cfg = nvis_mode()
+    ok, match = _cox_e2e(cfg, Modulation.QAM256, CodeRate.R5_6, 42.0,
+                         cfo=10.0)
+    assert ok.all() and match.all()
+
+
+def test_qam256_real_passband_mode(monkeypatch):
+    """The alternate FFT-free 256QAM front-end (QAM256_RX="real"): real
+    passband + folded-Tukey window + closed-form conjugate-image
+    cancellation (cancel_conjugate_image).  Exact at zero CFO; validated
+    to +-5 Hz at 42 dB — the residual low-carrier ringing binds beyond
+    that, which is why "analytic" is the default (maybe_analytic)."""
+    from projectultra_tpu.ofdm import demodulator as D
+    monkeypatch.setattr(D, "QAM256_RX", "real")
+    cfg = nvis_mode()
+    for cfo in (0.0, 3.0):
+        ok, match = _cox_e2e(cfg, Modulation.QAM256, CodeRate.R5_6, 42.0,
+                             cfo=cfo, seed=5)
+        assert ok.all() and match.all(), cfo
+
+
 def test_high_throughput_qam16_pilots():
     """high_throughput preset: 1024-FFT, 59 carriers, pilot spacing 4,
     16QAM R2/3 (types.hpp:312-326)."""

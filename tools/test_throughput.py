@@ -85,6 +85,10 @@ def main():
         # codewords (run with --codewords 32).
         ("NVIS 1024 64QAM R3/4 (beyond-ref)", nvis_mode(), Modulation.QAM64, CodeRate.R3_4, 33.0, "cox"),
         ("NVIS 1024 64QAM R5/6 (beyond-ref)", nvis_mode(), Modulation.QAM64, CodeRate.R5_6, 36.0, "cox"),
+        # 256QAM ceiling row: analytic + folded-Tukey + DD-refinement RX
+        # (ofdm/demodulator.py), 100% codewords across +-10 Hz CFO at
+        # this SNR on 32-codeword frames (tests/test_nvis_waveforms.py).
+        ("NVIS 1024 256QAM R5/6 (beyond-ref)", nvis_mode(), Modulation.QAM256, CodeRate.R5_6, 42.0, "cox"),
     ]
 
     print(f"{'mode':<32} {'payload':>8} {'audio_s':>8} {'bps':>7} "
