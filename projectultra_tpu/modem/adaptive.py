@@ -248,6 +248,45 @@ class CalibratedAdaptiveController(AdaptiveModeController):
              (15.0, Modulation.DQPSK, CodeRate.R1_2),
              (11.0, Modulation.DQPSK, CodeRate.R1_4)]
 
+    # Beyond-reference high-order ladder, reachable only with PROVEN-FLAT
+    # fade evidence (sustained fade_spread_db < FLAT_SPREAD_DB; AWGN reads
+    # ~0.2 dB, every Watterson preset >= 3.4): the measured fade envelopes
+    # of these modes collapse at ALL SNRs (tools/calibrate_mode_table.py —
+    # 0/6 decode to +36 dB moderate fading), so unlike the main table no
+    # outage margin can make them fade-safe; they are flat-channel-only by
+    # construction.  Thresholds = measured AWGN envelope (clean from
+    # 22/28 dB, 20/20 random payloads) + ~2 dB margin.  R3/4 and R5/6
+    # rows are deliberately absent on this profile: the reference's
+    # seeded H construction saturates all check-edge slots early at high
+    # rates, leaving info bits 325-485 (R3/4) / 217-539 (R5/6) with ZERO
+    # parity connections — an unprotected bit mapped onto the 512-FFT
+    # carrier plan's DC-adjacent ICI floor (~-25 dB EVM) flips with the
+    # syndrome still satisfied, which no SNR fixes (measured: QAM64 R3/4
+    # corrupts 4/20 random payloads identically at 26 and 30 dB; R5/6
+    # flips the same single bit from 28-36 dB).  R2/3 and below are fully
+    # protected (432 info x 3 edges exactly fills 216 checks x 6).
+    # 256QAM R5/6 throughput belongs to the NVIS 1024 profile, whose
+    # carriers clear the ICI floor.
+    HIGH_TABLE = [(30.0, Modulation.QAM256, CodeRate.R2_3),
+                  (24.0, Modulation.QAM64, CodeRate.R2_3)]
+    FLAT_SPREAD_DB = 2.0
+    FLAT_FRAMES = 3
+
+    # Reading-stability fallback for flat evidence: short in-session data
+    # frames (<1 s active audio) cannot measure fade spread at all, so a
+    # busy high-SNR session would never open the high-order gate on spread
+    # readings alone.  Per-frame TRUE wideband SNR readings are the
+    # complementary signal — under every Watterson preset consecutive
+    # 0.3-0.5 s frames decorrelate through the fade envelope and scatter
+    # +-3 dB, while AWGN readings sit sub-dB — so a window of readings
+    # whose span stays <= STABLE_SPAN_DB counts as flat evidence, and a
+    # span >= SCATTER_SPAN_DB destroys it.  A slow (<0.2 Hz) fade can sit
+    # still across the window; the downgrade debounce + ARQ bound that
+    # exposure like any other channel turn.
+    STABLE_WINDOW = 6
+    STABLE_SPAN_DB = 1.5
+    SCATTER_SPAN_DB = 3.0
+
     def reset(self):
         super().reset()
         self.current_mod = Modulation.DQPSK
@@ -255,6 +294,8 @@ class CalibratedAdaptiveController(AdaptiveModeController):
         self._ema_snr = None
         self._pending: tuple | None = None
         self._pending_count = 0
+        self._flat_frames = 0
+        self._recent_snr: list[float] = []
 
     @classmethod
     def recommend(cls, snr_db: float):
@@ -262,6 +303,32 @@ class CalibratedAdaptiveController(AdaptiveModeController):
             if snr_db > thresh:
                 return mod, rate
         return Modulation.DBPSK, CodeRate.R1_4
+
+    def _update_flat_evidence(self, snr_db: float, fade_spread_db: float):
+        """Spread measurements rule when available; reading stability is
+        the fallback for short frames (see STABLE_* above)."""
+        if fade_spread_db is not None and fade_spread_db >= 0.0:
+            self._flat_frames = (self._flat_frames + 1
+                                 if fade_spread_db < self.FLAT_SPREAD_DB
+                                 else 0)
+            return
+        self._recent_snr.append(float(snr_db))
+        if len(self._recent_snr) > self.STABLE_WINDOW:
+            self._recent_snr.pop(0)
+        if len(self._recent_snr) >= self.STABLE_WINDOW:
+            span = max(self._recent_snr) - min(self._recent_snr)
+            if span <= self.STABLE_SPAN_DB:
+                self._flat_frames += 1
+            elif span >= self.SCATTER_SPAN_DB:
+                self._flat_frames = 0
+
+    def _recommend_gated(self, snr_db: float):
+        """HIGH_TABLE first when flat evidence is in, main table otherwise."""
+        if self._flat_frames >= self.FLAT_FRAMES:
+            for thresh, mod, rate in self.HIGH_TABLE:
+                if snr_db > thresh:
+                    return mod, rate
+        return self.recommend(snr_db)
 
     @staticmethod
     def _throughput_rank(mod: Modulation, rate: CodeRate) -> float:
@@ -289,9 +356,10 @@ class CalibratedAdaptiveController(AdaptiveModeController):
         eff = snr_db
         if fade_spread_db is not None and fade_spread_db > 0.0:
             eff = snr_db - max(0.0, fade_spread_db - 1.0)
+        self._update_flat_evidence(snr_db, fade_spread_db)
         self._ema_snr = eff if self._ema_snr is None \
             else 0.7 * self._ema_snr + 0.3 * eff
-        rec = self.recommend(self._ema_snr)
+        rec = self._recommend_gated(self._ema_snr)
         if rec == (self.current_mod, self.current_rate):
             self._pending, self._pending_count = None, 0
             self.frames_at_current += 1

@@ -1517,15 +1517,28 @@ class ModemEngine:
             need = lts_start + 2 * plen + S * cfg.symbol_duration
             if len(buf) < need:
                 return None, None
-            # Image-free demod under CFO for coherent modes; conversion +
-            # slicing + demod run in ONE jit (demodulator.demodulate_span) —
-            # the span starts at the LTS so edge ringing lands in its CP.
-            span = jnp.asarray(buf[None, lts_start:need])
+            # Image-free demod under CFO for coherent modes.  Conversion +
+            # slicing + demod run in ONE jit (demodulator.demodulate_span),
+            # and the span carries lead/tail MARGIN around the frame where
+            # the buffer has it: the Hilbert FFT's wrap-point discontinuity
+            # otherwise rings ~-32 dB into the first LTS and the last data
+            # symbols (demodulator._edge_tapered) — the binding EVM floor
+            # for the high-order modes on short frames.  Margins are
+            # quantized to {0, plen, 2*plen} so streaming buffers produce a
+            # bounded compile-shape set.
+            lead = (2 * plen if lts_start >= 2 * plen
+                    else plen if lts_start >= plen else 0)
+            avail = len(buf) - need
+            tail = (2 * plen if avail >= 2 * plen
+                    else plen if avail >= plen else 0)
+            span = jnp.asarray(buf[None, lts_start - lead:need + tail])
             llrs, state = demod_mod.demodulate_span(
-                cfg, mod, span, cfo, 0.0, n_lts=2, S=S)
+                cfg, mod, span, cfo, 0.0, n_lts=2, S=S,
+                lead=lead, tail=tail)
             if self.collect_constellation:
                 ri = np.asarray(demod_mod.equalized_symbols_span(
-                    cfg, mod, span, cfo, 0.0, n_lts=2, S=S))
+                    cfg, mod, span, cfo, 0.0, n_lts=2, S=S,
+                    lead=lead, tail=tail))
                 self.last_constellation = \
                     (ri[..., 0] + 1j * ri[..., 1]).reshape(-1)
             out = np.asarray(llrs)[0][:F.LDPC_CODEWORD_BITS * n_cw]

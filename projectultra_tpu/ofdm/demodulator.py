@@ -48,6 +48,15 @@ LDPC_BLOCK_SIZE = 648
 QAM256_RX = "analytic"
 
 
+def _hi_order(mod: Modulation) -> bool:
+    """Modulations dense enough that the symbol-boundary Hilbert ringing
+    floor (~-25 dB EVM with a rect analysis window, see maybe_analytic)
+    binds: they get the folded-Tukey window + DD refinement ladder.
+    <=32QAM keeps the rect window for reference golden parity (its
+    decision distances never feel the floor)."""
+    return mod in (Modulation.QAM64, Modulation.QAM256)
+
+
 class DemodState(NamedTuple):
     """Scan carry == OFDMDemodulator::Impl tracked state, batched on [B]."""
     freq_offset_hz: jnp.ndarray          # [B] f32
@@ -153,6 +162,32 @@ def _used_bins_w(config: ModemConfig, L: int, window: str = "rect"):
 
 def n_data_bins(config: ModemConfig) -> int:
     return len(carriers_mod.carrier_map(config).data_idx)
+
+
+@functools.lru_cache(maxsize=None)
+def _pilot_to_data_interp(config: ModemConfig) -> np.ndarray:
+    """[Cd, Np] row-stochastic linear-interpolation weights mapping
+    per-PILOT noise measurements onto the data carriers by signed bin
+    number (nearest-pilot clamp at the band edges).  Used by the
+    high-order per-carrier noise pass in _scan_data_symbols."""
+    cm = carriers_mod.carrier_map(config)
+    dk = np.asarray(cm.data_k, np.float64)
+    pk = np.asarray(cm.pilot_k, np.float64)
+    order = np.argsort(pk)
+    pks = pk[order]
+    W = np.zeros((len(dk), len(pk)), np.float32)
+    for i, k in enumerate(dk):
+        j = np.searchsorted(pks, k)
+        if j == 0:
+            W[i, order[0]] = 1.0
+        elif j >= len(pks):
+            W[i, order[-1]] = 1.0
+        else:
+            lo, up = pks[j - 1], pks[j]
+            a = (k - lo) / (up - lo) if up > lo else 0.5
+            W[i, order[j - 1]] = 1.0 - a
+            W[i, order[j]] = a
+    return W
 
 
 @jax.jit
@@ -694,7 +729,7 @@ def demodulate_with_lts(config: ModemConfig, mod: Modulation,
     complex state construction is unimplemented on the accelerator backend
     (INV-TPU-007)."""
     B = lts.shape[0]
-    q256 = (mod == Modulation.QAM256)
+    q256 = _hi_order(mod)
     ic = q256 and QAM256_RX == "real"   # see maybe_analytic
     state = init_state(config, B, cfo_hz, initial_phase)
     state = estimate_channel_from_lts(config, state, lts, t0_base=t0_lts,
@@ -817,19 +852,49 @@ def _demod_coherent_refined(config: ModemConfig, mod: Modulation,
     return llrs.reshape(B, -1)
 
 
-@functools.partial(jax.jit, static_argnames=("config", "mod", "n_lts", "S"))
+def _edge_tapered(mod: Modulation, span: jnp.ndarray,
+                  lead: int, tail: int) -> jnp.ndarray:
+    """Raised-cosine taper over the lead/tail MARGIN samples of a real span
+    before the Hilbert FFT.  maybe_analytic's FFT treats the span as
+    circular: a mid-signal slice edge is a full-amplitude discontinuity at
+    the wrap point whose Hilbert ringing (~1/(pi*d) per sample) integrates
+    to ~-32 dB over the first LTS window at d >= cp — a deterministic,
+    payload-dependent EVM floor that binds 64/256QAM on SHORT frames (long
+    NVIS frames amortize it over 44 symbols and the DD refinement deflates
+    the damaged carriers' LLRs).  Tapering the margin to zero removes the
+    wrap discontinuity entirely; the margin keeps the taper away from the
+    used symbols.  Differential modes never convert (maybe_analytic no-op)
+    and are left untouched."""
+    if is_differential(mod) or (lead == 0 and tail == 0):
+        return span
+    T = span.shape[-1]
+    w = np.ones(T, np.float32)
+    if lead > 0:
+        w[:lead] = np.sin(np.pi * (np.arange(lead) + 0.5) / (2 * lead)) ** 2
+    if tail > 0:
+        w[T - tail:] = np.sin(
+            np.pi * (np.arange(tail)[::-1] + 0.5) / (2 * tail)) ** 2
+    return span * jnp.asarray(w)[None, :]
+
+
+@functools.partial(jax.jit, static_argnames=("config", "mod", "n_lts", "S",
+                                             "lead", "tail"))
 def demodulate_span(config: ModemConfig, mod: Modulation, span: jnp.ndarray,
-                    cfo_hz, initial_phase, n_lts: int, S: int):
-    """[B, T] real span starting at the first LTS -> (llrs, state).
+                    cfo_hz, initial_phase, n_lts: int, S: int,
+                    lead: int = 0, tail: int = 0):
+    """[B, T] real span starting ``lead`` samples BEFORE the first LTS and
+    extending ``tail`` samples past the data end -> (llrs, state).
     Conversion (maybe_analytic) and segment slicing happen INSIDE one jit:
     round-tripping the converted complex span through the host trips the
-    accelerator transport's complex-array limitations."""
-    span = maybe_analytic(mod, span)
+    accelerator transport's complex-array limitations.  The margins exist
+    to move the span's slice edges away from the used symbols (see
+    _edge_tapered); pass 0/0 for the legacy exact slice."""
+    span = maybe_analytic(mod, _edge_tapered(mod, span, lead, tail))
     plen = config.fft_size + config.cyclic_prefix
     B = span.shape[0]
-    lts = span[:, :n_lts * plen].reshape(B, n_lts, plen)
+    lts = span[:, lead:lead + n_lts * plen].reshape(B, n_lts, plen)
     d0 = n_lts * plen
-    data = span[:, d0:d0 + S * config.symbol_duration].reshape(
+    data = span[:, lead + d0:lead + d0 + S * config.symbol_duration].reshape(
         B, S, config.symbol_duration)
     # Cox preamble quirk: TX mixed ONE LTS at [plen, 2plen) and repeated it,
     # so every repeat demixes at t0 = plen (stride 0) — see
@@ -838,19 +903,20 @@ def demodulate_span(config: ModemConfig, mod: Modulation, span: jnp.ndarray,
                                t0_lts=plen, t0_data=d0, t0_lts_stride=0)
 
 
-@functools.partial(jax.jit, static_argnames=("config", "mod", "n_lts", "S"))
+@functools.partial(jax.jit, static_argnames=("config", "mod", "n_lts", "S",
+                                             "lead", "tail"))
 def equalized_symbols_span(config: ModemConfig, mod: Modulation,
                            span: jnp.ndarray, cfo_hz, initial_phase,
-                           n_lts: int, S: int):
+                           n_lts: int, S: int, lead: int = 0, tail: int = 0):
     """Constellation variant of demodulate_span -> [B, S, C, 2] f32
     (real, imag) — the accelerator transport cannot download multi-dim
     complex arrays, so the split happens inside the jit."""
-    span = maybe_analytic(mod, span)
+    span = maybe_analytic(mod, _edge_tapered(mod, span, lead, tail))
     plen = config.fft_size + config.cyclic_prefix
     B = span.shape[0]
-    lts = span[:, :n_lts * plen].reshape(B, n_lts, plen)
+    lts = span[:, lead:lead + n_lts * plen].reshape(B, n_lts, plen)
     d0 = n_lts * plen
-    data = span[:, d0:d0 + S * config.symbol_duration].reshape(
+    data = span[:, lead + d0:lead + d0 + S * config.symbol_duration].reshape(
         B, S, config.symbol_duration)
     eq = equalized_symbols(config, mod, lts, data, cfo_hz, initial_phase,
                            t0_lts=plen, t0_data=d0, t0_lts_stride=0)
@@ -869,7 +935,7 @@ def equalized_symbols(config: ModemConfig, mod: Modulation,
     instead of LLRs."""
     B = lts.shape[0]
     L = data.shape[-1]
-    q256 = (mod == Modulation.QAM256)
+    q256 = _hi_order(mod)
     ic = q256 and QAM256_RX == "real"
     state = init_state(config, B, cfo_hz, initial_phase)
     state = estimate_channel_from_lts(config, state, lts, t0_base=t0_lts,
@@ -1046,8 +1112,10 @@ def _scan_data_symbols(config: ModemConfig, mod: Modulation, state: DemodState,
 
     adaptive = config.adaptive_eq_enabled and not is_differential(mod)
     Cd = len(carriers_mod.carrier_map(config).data_idx)
-    q256 = (mod == Modulation.QAM256)
+    q256 = _hi_order(mod)
     ic = q256 and QAM256_RX == "real"
+
+    cm = carriers_mod.carrier_map(config)
 
     def step(carry, xs):
         state = carry
@@ -1060,10 +1128,57 @@ def _scan_data_symbols(config: ModemConfig, mod: Modulation, state: DemodState,
         if adaptive:
             state = dd_update(config, mod, state, fd[:, :Cd], eq)
         llrs, state = demodulate_symbol(config, mod, state, eq, cnv)
-        return state, llrs
+        if q256 and has_pilots:
+            h_ls = fd[:, Cd:] / jnp.asarray(cm.pilot_seq)[None, :]
+            hp_d = jnp.abs(state.channel_estimate[:, jnp.asarray(
+                cm.data_idx)]) ** 2
+            return state, (llrs, eq, cnv, h_ls, hp_d)
+        return state, (llrs, eq, cnv)
 
     xs = (jnp.moveaxis(data, 1, 0), jnp.arange(S))
-    state, llrs = jax.lax.scan(step, state, xs)
+    state, ys = jax.lax.scan(step, state, xs)
+
+    if q256 and has_pilots:
+        # Honest per-carrier noise for the high-order modes in PILOT
+        # configs: the engine's 512-FFT carrier plan puts its lowest
+        # carriers ~1-2 bins from DC where analytic-mask leakage leaves a
+        # deterministic, payload-dependent ~-25 dB disturbance (measured:
+        # 3 of 15 carriers 15-25 dB worse than the median at ZERO noise,
+        # flat vs CFO).  The scalar pilot noise_variance averages that
+        # away, those carriers demap at the +-10 LLR clip, and min-sum
+        # converges to a WRONG valid codeword (cw_ok=True, corrupted
+        # bytes).  Two per-carrier estimators, combined by max:
+        # * decision residual over the whole frame (the refined path's
+        #   trick) — unbiased for disturbances below half a decision
+        #   distance but SATURATES past it (the residual then measures
+        #   distance to the wrong point, measured: max-confidence wrong
+        #   bits survive at QAM256);
+        # * per-PILOT temporal diffs interpolated to data carriers —
+        #   pilots are known symbols, so this estimator never saturates
+        #   and un-clips exactly the carriers the residual lies about.
+        # The scan's per-symbol cnv (fade erasures) stays as a floor.
+        # <=32QAM never feels the floor and keeps the reference-parity
+        # single-pass LLRs.
+        llrs, eqs, cnvs, h_lss, hp_ds = ys
+        eq = jnp.moveaxis(eqs, 0, 1)                     # [B, S, Cd]
+        cnv = jnp.moveaxis(cnvs, 0, 1)
+        d = demap_ops.hard_decision(mod, eq)
+        r = (jnp.abs(eq - d) ** 2).mean(1, keepdims=True)
+
+        h_ls = jnp.moveaxis(h_lss, 0, 1)                 # [B, S, Np]
+        pd = (jnp.abs(jnp.diff(h_ls, axis=1)) ** 2).mean(1)   # [B, Np]
+        Wn = jnp.asarray(_pilot_to_data_interp(config))  # [Cd, Np]
+        pn_d = pd @ Wn.T                                 # [B, Cd] (H units)
+        hp = jnp.maximum(jnp.moveaxis(hp_ds, 0, 1).mean(1), 1e-12)
+        pcnv = (pn_d / hp)[:, None, :]                   # eq-domain
+
+        nv_eff = jnp.clip(jnp.maximum(jnp.maximum(r, pcnv), cnv),
+                          MIN_CARRIER_NOISE_VAR, MAX_CARRIER_NOISE_VAR) \
+            * demap_ops.CE_MARGIN.get(mod, 1.0)
+        llrs2 = demap_ops.demap(mod, eq.astype(jnp.complex64), nv_eff)
+        return state, llrs2.reshape(B, -1)
+
+    llrs = ys[0]
     return state, jnp.moveaxis(llrs, 0, 1).reshape(B, -1)
 
 

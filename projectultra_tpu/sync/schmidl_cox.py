@@ -380,9 +380,15 @@ def decode_ofdm_cox(config: ModemConfig, mod, samples: jnp.ndarray,
     # demodulate_span do maybe_analytic + complex slicing inside ONE jit:
     # eager complex slicing of the converted array raises UNIMPLEMENTED on
     # the axon backend (INV-TPU-007) — this is the same pattern the engine
-    # uses (modem/engine.py demod()).
-    span = samples[:, start_lts:start_lts + 2 * plen
-                   + S * config.symbol_duration]
+    # uses (modem/engine.py demod()).  Lead/tail margins (quantized to
+    # {0, plen, 2*plen}) keep the Hilbert FFT's wrap discontinuity away
+    # from the used symbols (demodulator._edge_tapered).
+    end = start_lts + 2 * plen + S * config.symbol_duration
+    avail_l, avail_t = start_lts, samples.shape[-1] - end
+    lead = 2 * plen if avail_l >= 2 * plen else plen if avail_l >= plen else 0
+    tail = 2 * plen if avail_t >= 2 * plen else plen if avail_t >= plen else 0
+    span = samples[:, start_lts - lead:end + tail]
     llrs, _ = demod_mod.demodulate_span(config, mod, span, det["cfo_hz"],
-                                        0.0, n_lts=2, S=S)
+                                        0.0, n_lts=2, S=S,
+                                        lead=lead, tail=tail)
     return llrs, det

@@ -152,3 +152,68 @@ def test_adaptive_controller_truth_table_vs_reference():
             assert int(ctl.current_mod) == int(g_mod), ln
             assert int(ctl.current_rate) == int(g_rate), ln
             assert int(switched) == int(g_sw), ln
+
+
+def test_calibrated_high_order_flat_gate():
+    """Round-3 high-order ladder: QAM64/QAM256 R2/3 rows engage ONLY after
+    sustained proven-flat fade readings; fading or unknown spread keeps the
+    reference-range table even at high SNR, and fading evidence mid-session
+    downgrades out of the high-order rows."""
+    from projectultra_tpu.modem.adaptive import CalibratedAdaptiveController
+
+    # Unknown spread (-1) with SCATTERED readings (the fading signature on
+    # the true wideband scale: +-3 dB/frame): never high-order.
+    c = CalibratedAdaptiveController()
+    for i in range(24):
+        c.update(33.0 + 4.0 * (i % 2), -1.0)
+    assert c.current_mod not in (Modulation.QAM64, Modulation.QAM256), \
+        c.current_mod
+
+    # Unknown spread with STABLE readings (short-frame AWGN session, the
+    # reading-stability fallback): climbs to QAM256 R2/3.
+    c = CalibratedAdaptiveController()
+    for _ in range(20):
+        c.update(35.0, -1.0)
+    assert (c.current_mod, c.current_rate) == \
+        (Modulation.QAM256, CodeRate.R2_3)
+
+    # Fading spread: never high-order (the measured envelopes collapse).
+    c = CalibratedAdaptiveController()
+    for _ in range(20):
+        c.update(35.0, 5.0)
+    assert c.current_mod != Modulation.QAM256
+    assert c.current_mod != Modulation.QAM64
+
+    # Proven flat at 35 dB true SNR: walks to QAM256 R2/3.
+    c = CalibratedAdaptiveController()
+    for _ in range(20):
+        c.update(35.0, 0.2)
+    assert (c.current_mod, c.current_rate) == \
+        (Modulation.QAM256, CodeRate.R2_3)
+
+    # Proven flat at 27 dB: QAM64 R2/3 (QAM256 needs > 30).
+    c = CalibratedAdaptiveController()
+    for _ in range(20):
+        c.update(27.0, 0.2)
+    assert (c.current_mod, c.current_rate) == \
+        (Modulation.QAM64, CodeRate.R2_3)
+
+    # Fading evidence arriving mid-session downgrades within the 2-frame
+    # safety debounce.
+    for _ in range(10):
+        c.update(27.0, 6.0)
+    assert c.current_mod not in (Modulation.QAM64, Modulation.QAM256)
+
+    # The high-order ladder never contains the parity-free-rate traps:
+    # R3/4 leaves info bits 325-485 and R5/6 bits 217-539 with zero parity
+    # connections in the reference H construction (build_h_rows), so an
+    # ICI-floor carrier flips them with the syndrome still satisfied.
+    from projectultra_tpu.fec.ldpc import build_h_rows, CODE_PARAMS
+    for thresh, mod, rate in CalibratedAdaptiveController.HIGH_TABLE:
+        k, m = CODE_PARAMS[rate]
+        deg = np.zeros(648, int)
+        for r in build_h_rows(rate):
+            for col in r:
+                deg[col] += 1
+        assert (deg[:k] == 0).sum() == 0, \
+            f"{rate} has unprotected info bits; must not be in HIGH_TABLE"

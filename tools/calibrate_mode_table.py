@@ -23,6 +23,8 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--trials", type=int, default=6)
+    ap.add_argument("--only", default="",
+                    help="substring filter on 'WAVEFORM MOD RATE' row names")
     args = ap.parse_args()
     import jax
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_projectultra")
@@ -80,12 +82,30 @@ def main():
          [17, 19, 21, 23, 25]),
         (WaveformMode.OFDM_COX, Modulation.QAM16, CodeRate.R3_4,
          [20, 22, 24, 26, 28]),
+        # Beyond-reference high-order modes (engine 512-FFT pilot config;
+        # the fade rows COLLAPSE at all SNRs — negotiation only routes
+        # these on a PROVEN-FLAT fade reading, see
+        # CalibratedAdaptiveController.HIGH_TABLE).  R5/6 rows are absent
+        # by design: the reference H construction leaves info bits 217-539
+        # parity-free at R5/6 (325-485 at R3/4 — which survives because
+        # QAM64 R3/4's raw BER at its 24 dB envelope is already ~0), so an
+        # unprotected bit on the 512-plan's DC-adjacent ICI-floor carriers
+        # flips with cw_ok still True at ANY SNR (measured 28-36 dB:
+        # always the same bit).
+        (WaveformMode.OFDM_COX, Modulation.QAM64, CodeRate.R2_3,
+         [22, 24, 26, 28, 30]),
+        (WaveformMode.OFDM_COX, Modulation.QAM64, CodeRate.R3_4,
+         [24, 26, 28, 30, 32]),
+        (WaveformMode.OFDM_COX, Modulation.QAM256, CodeRate.R2_3,
+         [28, 30, 32, 34, 36]),
         (WaveformMode.MC_DPSK, Modulation.DQPSK, CodeRate.R1_4,
          [-2, 0, 2, 4, 6, 8]),
         (WaveformMode.DPSK, Modulation.DQPSK, CodeRate.R1_4,
          [-6, -4, -2, 0, 2]),
     ]
     for wf, mod, rate, grid in rows:
+        if args.only and args.only not in f"{wf.name} {mod.name} {rate.name}":
+            continue
         for chan in ("awgn", "fade"):
             line = [f"{wf.name:9s} {mod.name:6s} {rate.name:5s} {chan:5s}:"]
             for s in grid:

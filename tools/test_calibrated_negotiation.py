@@ -73,7 +73,9 @@ def run_session(true_snr, chan, n_msgs, calibrated):
             break
     ok = (got_b == [f"a{i:02d}" for i in range(n_msgs)]
           and got_a == [f"b{i:02d}" for i in range(n_msgs)])
-    return mode, dmode, ok
+    final = f"{a.modem.data_modulation.name}/" \
+            f"{a.modem.data_code_rate.name}"
+    return mode, dmode, ok, final
 
 
 def main():
@@ -91,17 +93,35 @@ def main():
     print(f"=== auto-negotiation envelope sweep "
           f"({'calibrated' if calibrated else 'reference-parity'} scale) ===")
     all_ok = True
-    for chan in ("awgn", "fade"):
-        for snr in (5.0, 8.0, 12.0, 16.0, 20.0):
-            r = run_session(snr, chan, args.messages, calibrated)
-            if r is None:
-                print(f"  {chan:5s} {snr:5.1f} dB: CONNECT FAILED")
-                all_ok = False
-                continue
-            mode, dmode, ok = r
-            print(f"  {chan:5s} {snr:5.1f} dB: {mode:9s} {dmode:13s} "
-                  f"{'PASS' if ok else 'FAIL'}", flush=True)
-            all_ok = all_ok and ok
+    # (chan, snr, min final-mode throughput rank): the 26/32 dB AWGN rows
+    # additionally require mid-session adaptation to CLIMB into the
+    # flat-gated high-order ladder (HIGH_TABLE) — QAM64 R2/3 (rank 4) and
+    # QAM256 R2/3 (rank 5.33) — proving the beyond-reference flat-channel
+    # throughput path end to end.
+    grid = [("awgn", s, None) for s in (5.0, 8.0, 12.0, 16.0, 20.0)]
+    grid += [("fade", s, None) for s in (5.0, 8.0, 12.0, 16.0, 20.0)]
+    if calibrated:
+        grid += [("awgn", 26.0, 3.9), ("awgn", 32.0, 5.2)]
+    from projectultra_tpu.config import (Modulation, CodeRate,
+                                         bits_per_symbol, code_rate_value)
+
+    def rank(dmode: str) -> float:
+        m, r = dmode.split("/")
+        return bits_per_symbol(Modulation[m]) * code_rate_value(CodeRate[r])
+
+    for chan, snr, min_rank in grid:
+        n = args.messages if min_rank is None else max(args.messages, 10)
+        r = run_session(snr, chan, n, calibrated)
+        if r is None:
+            print(f"  {chan:5s} {snr:5.1f} dB: CONNECT FAILED")
+            all_ok = False
+            continue
+        mode, dmode, ok, final = r
+        climbed = min_rank is None or rank(final) >= min_rank
+        print(f"  {chan:5s} {snr:5.1f} dB: {mode:9s} init={dmode:13s} "
+              f"final={final:13s} "
+              f"{'PASS' if ok and climbed else 'FAIL'}", flush=True)
+        all_ok = all_ok and ok and climbed
     print("RESULT:", "PASS" if all_ok else "FAIL")
     return 0 if all_ok else 1
 
