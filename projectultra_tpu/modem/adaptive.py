@@ -287,6 +287,35 @@ class CalibratedAdaptiveController(AdaptiveModeController):
     STABLE_SPAN_DB = 1.5
     SCATTER_SPAN_DB = 3.0
 
+    # Flat-gated ladder for the NVIS 1024-FFT no-pilot profile
+    # (config.nvis_mode), whose DD-refinement RX (ofdm/demodulator.py
+    # "256QAM ICI ladder") reaches ~-32 dB EVM where the 512 pilot
+    # profile floors at ~-25: every row measured with random 80-byte
+    # payloads on full streaming engine loopbacks (40/40 at each listed
+    # threshold; envelopes clean from 16/18/22/28 dB).  The R3/4 and
+    # R5/6 rows are safe here ONLY because the protocol detects the
+    # reference H construction's parity-free info bits: a flipped
+    # unprotected bit passes the LDPC syndrome (cw_ok=True) but fails
+    # the frame CRC16, so the frame drops and ARQ retransmits under
+    # fresh noise.  QAM256 R5/6 keeps a measured ~5% payload-dependent
+    # residual frame loss at ANY SNR (its parity-free bits ride the
+    # ~-32 dB EVM floor: 38-39/40 from 28 to 34 dB) — included because
+    # 7.5 bit/sym/Hz x 0.95 still beats the 5.33 of R2/3 and the loss
+    # is ARQ-recovered, never silent.  Fade rows collapse at all SNRs
+    # (0/6 to +42 dB moderate), hence the same flat gate as HIGH_TABLE.
+    NVIS_HIGH_TABLE = [(30.0, Modulation.QAM256, CodeRate.R5_6),
+                       (24.0, Modulation.QAM256, CodeRate.R2_3),
+                       (20.0, Modulation.QAM64, CodeRate.R5_6),
+                       (18.0, Modulation.QAM64, CodeRate.R3_4)]
+
+    def __init__(self, high_table: list | None = None):
+        """``high_table`` selects the flat-gated ladder (profile-aware:
+        see ``high_order_table``); defaults to the engine 512-profile
+        HIGH_TABLE."""
+        self._high_table = self.HIGH_TABLE if high_table is None \
+            else high_table
+        super().__init__()
+
     def reset(self):
         super().reset()
         self.current_mod = Modulation.DQPSK
@@ -323,9 +352,10 @@ class CalibratedAdaptiveController(AdaptiveModeController):
                 self._flat_frames = 0
 
     def _recommend_gated(self, snr_db: float):
-        """HIGH_TABLE first when flat evidence is in, main table otherwise."""
+        """High-order ladder first when flat evidence is in, main table
+        otherwise."""
         if self._flat_frames >= self.FLAT_FRAMES:
-            for thresh, mod, rate in self.HIGH_TABLE:
+            for thresh, mod, rate in self._high_table:
                 if snr_db > thresh:
                     return mod, rate
         return self.recommend(snr_db)
@@ -377,3 +407,18 @@ class CalibratedAdaptiveController(AdaptiveModeController):
             self._pending, self._pending_count = None, 0
             return True
         return False
+
+
+def high_order_table(config) -> list:
+    """Profile-aware flat-gated ladder for CalibratedAdaptiveController.
+
+    The NVIS 1024-FFT no-pilot profile decodes through the DD-refinement
+    ladder (~-32 dB EVM) and its measured high-order envelopes sit
+    6-12 dB below the 512 pilot profile's, with R3/4+R5/6 usable; any
+    pilot-tracking profile keeps the conservative HIGH_TABLE (the 512
+    plan's DC-adjacent ICI floor binds there, and 1024-with-pilots —
+    config.high_throughput — is unmeasured, so it inherits the
+    conservative ladder too)."""
+    if config.fft_size >= 1024 and not config.use_pilots:
+        return CalibratedAdaptiveController.NVIS_HIGH_TABLE
+    return CalibratedAdaptiveController.HIGH_TABLE

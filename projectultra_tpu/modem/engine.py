@@ -705,8 +705,23 @@ class ModemEngine:
         C = self.NOISE_CHUNK
         if end - start < C:
             return 0.0
+        # Noise window: audio before the frame, pooled with the audio
+        # AFTER the frame end when the pre window is starved — a Cox
+        # false-positive's guarded fail-consume (see _try_cox_once) can
+        # land the buffer start just samples ahead of a chirp-led frame
+        # (observed on the NVIS profile, whose 1024 Cox search crosses
+        # threshold on the chirp itself), and the whole-snapshot fallback
+        # then measures mostly SIGNAL as the floor (34 dB frames read
+        # ~6 dB and negotiation parks on MC_DPSK).  The lower-quartile
+        # statistic keeps a following frame's head in the tail window
+        # from inflating the floor, same as for the pre window.
         pre = buf[max(0, noise_before - 24000):noise_before]
-        src = pre if len(pre) >= 4 * C else buf
+        if len(pre) < 4 * C:
+            tail = buf[end:end + 24000]
+            pooled = np.concatenate([pre, tail]) if len(tail) else pre
+            src = pooled if len(pooled) >= 4 * C else buf
+        else:
+            src = pre
         n = (len(src) // C) * C
         if n == 0:
             return 0.0

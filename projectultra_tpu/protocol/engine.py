@@ -117,9 +117,14 @@ class ProtocolEngine:
         # in-flight data frames demodulates them at the wrong mode and
         # costs a retry round per frame.
         if self.connection.config.calibrated_snr:
-            from ..modem.adaptive import CalibratedAdaptiveController
+            from ..modem.adaptive import (CalibratedAdaptiveController,
+                                          high_order_table)
             if not isinstance(self.adaptive, CalibratedAdaptiveController):
-                self.adaptive = CalibratedAdaptiveController()
+                # Profile-aware flat-gated ladder: an NVIS-profile modem
+                # may climb to QAM64/QAM256 R5/6 (measured envelopes),
+                # the 512 pilot profile stops at R2/3 (ICI floor).
+                self.adaptive = CalibratedAdaptiveController(
+                    high_table=high_order_table(self.modem.config))
             ctrl_snr = frame.wideband_snr_db
             wf_ok = True
         else:
