@@ -47,6 +47,9 @@ Options:
   -o <file>       Output to file instead of stdout
   -w <waveform>   Waveform: ofdm, dpsk (single-carrier), mcdpsk
                   (default: ofdm)
+  -p <profile>    OFDM config profile: conservative, balanced, turbo,
+                  high_throughput, nvis (1024-FFT skywave)
+                  (default: balanced)
 """
 
 INFO = """=== ProjectUltra-TPU HF Modem ===
@@ -81,6 +84,25 @@ def _waveform_mode(name: str):
             "mcdpsk": WaveformMode.MC_DPSK}.get(name, WaveformMode.OFDM_COX)
 
 
+def _profile_config(name: str):
+    """CLI config profiles — the reference exposes the same preset set
+    through its settings system (types.hpp speed profiles + the NVIS
+    preset), not CLI flags; surfacing them on ptx/prx is a documented
+    deviation so two CLI instances can run the 1024-FFT skywave profile
+    without a settings file.  Unknown names keep the default config."""
+    from . import config as C
+    fn = {"conservative": C.conservative, "balanced": C.balanced,
+          "turbo": C.turbo, "high_throughput": C.high_throughput,
+          "nvis": C.nvis_mode}.get(name)
+    return fn() if fn else None
+
+
+def _make_engine(profile: str):
+    from .modem.engine import ModemEngine
+    cfg = _profile_config(profile)
+    return ModemEngine() if cfg is None else ModemEngine(config=cfg)
+
+
 def _apply_waveform(modem, name: str):
     mode = _waveform_mode(name)
     modem.set_waveform_mode(mode)
@@ -91,12 +113,11 @@ def _apply_waveform(modem, name: str):
         modem.connect_waveform = WaveformMode.DPSK
 
 
-def run_ptx(message, output_file, src, dst, waveform):
-    from .modem.engine import ModemEngine
+def run_ptx(message, output_file, src, dst, waveform, profile="balanced"):
     from .protocol import frame_v2 as F
 
     print(f"Protocol TX: {src} -> {dst}", file=sys.stderr)
-    modem = ModemEngine()
+    modem = _make_engine(profile)
     _apply_waveform(modem, waveform)
 
     if not message or message == "ping":
@@ -128,13 +149,12 @@ def run_ptx(message, output_file, src, dst, waveform):
     return 0
 
 
-def run_prx(input_file, waveform):
-    from .modem.engine import ModemEngine
+def run_prx(input_file, waveform, profile="balanced"):
     from .protocol import frame_v2 as F
 
     print(f"Protocol RX{' from ' + input_file if input_file else ''}",
           file=sys.stderr)
-    modem = ModemEngine()
+    modem = _make_engine(profile)
     _apply_waveform(modem, waveform)
 
     def on_ping(snr):
@@ -202,6 +222,7 @@ def main(argv=None):
     positional = None
     src, dst = "N0CALL", "CQ"
     waveform = "ofdm"
+    profile = "balanced"
 
     i = 0
     while i < len(argv):
@@ -214,6 +235,8 @@ def main(argv=None):
             dst = argv[i + 1]; i += 2
         elif a == "-w" and i + 1 < len(argv):
             waveform = argv[i + 1]; i += 2
+        elif a == "-p" and i + 1 < len(argv):
+            profile = argv[i + 1]; i += 2
         elif a in ("-h", "--help"):
             print(USAGE, file=sys.stderr)
             return 0
@@ -234,9 +257,10 @@ def main(argv=None):
         print(INFO, end="")
         return 0
     if command == "ptx":
-        return run_ptx(positional, output_file, src, dst, waveform)
+        return run_ptx(positional, output_file, src, dst, waveform,
+                       profile)
     if command == "prx":
-        return run_prx(positional, waveform)
+        return run_prx(positional, waveform, profile)
     print(f"Unknown command: {command}", file=sys.stderr)
     print(USAGE, file=sys.stderr)
     return 1

@@ -242,8 +242,17 @@ class CalibratedAdaptiveController(AdaptiveModeController):
     fading, ~2 dB margin).  The parent keeps the reference's pilot-scale
     table for parity."""
 
-    TABLE = [(24.0, Modulation.QAM16, CodeRate.R3_4),
-             (20.0, Modulation.QAM16, CodeRate.R2_3),
+    # No R3/4 row: the reference H construction leaves info bits 325-485
+    # parity-free at R3/4, and on LONG frames (file chunks — hundreds of
+    # exposed bits) a single ICI-floor excursion flips one with the
+    # syndrome still satisfied: measured 6-7/10 corrupted 400-byte QAM16
+    # R3/4 frames at EVERY SNR incl. 80 dB (the 80-byte calibration
+    # frames hid it).  cw_ok=True + frame-CRC fail -> the ARQ retransmits
+    # the SAME payload into the SAME deterministic floor: a livelock, not
+    # a loss rate.  QAM16 R2/3 (fully protected, 0/40 corruption on long
+    # frames) is the non-flat ceiling; flat channels climb past it
+    # through the gated high-order ladder instead.
+    TABLE = [(20.0, Modulation.QAM16, CodeRate.R2_3),
              (17.0, Modulation.DQPSK, CodeRate.R2_3),
              (15.0, Modulation.DQPSK, CodeRate.R1_2),
              (11.0, Modulation.DQPSK, CodeRate.R1_4)]
@@ -290,23 +299,25 @@ class CalibratedAdaptiveController(AdaptiveModeController):
     # Flat-gated ladder for the NVIS 1024-FFT no-pilot profile
     # (config.nvis_mode), whose DD-refinement RX (ofdm/demodulator.py
     # "256QAM ICI ladder") reaches ~-32 dB EVM where the 512 pilot
-    # profile floors at ~-25: every row measured with random 80-byte
-    # payloads on full streaming engine loopbacks (40/40 at each listed
-    # threshold; envelopes clean from 16/18/22/28 dB).  The R3/4 and
-    # R5/6 rows are safe here ONLY because the protocol detects the
-    # reference H construction's parity-free info bits: a flipped
-    # unprotected bit passes the LDPC syndrome (cw_ok=True) but fails
-    # the frame CRC16, so the frame drops and ARQ retransmits under
-    # fresh noise.  QAM256 R5/6 keeps a measured ~5% payload-dependent
-    # residual frame loss at ANY SNR (its parity-free bits ride the
-    # ~-32 dB EVM floor: 38-39/40 from 28 to 34 dB) — included because
-    # 7.5 bit/sym/Hz x 0.95 still beats the 5.33 of R2/3 and the loss
+    # profile floors at ~-25.  Thresholds from random-payload streaming
+    # engine loopbacks at BOTH 80-byte and 400-byte (file-chunk class)
+    # frame sizes — long frames expose ~5x the parity-free info bits and
+    # move the R5/6 envelopes up several dB (10/10 at each listed
+    # threshold on 400-byte frames).  The R5/6 rows are safe here ONLY
+    # because the protocol detects the reference H construction's
+    # parity-free info bits: a flipped unprotected bit passes the LDPC
+    # syndrome (cw_ok=True) but fails the frame CRC16, so the frame
+    # drops and ARQ retransmits under fresh noise (noise-driven on this
+    # profile, unlike the 512 plan's deterministic floor — retries make
+    # progress).  QAM64 R3/4 is absent: dominated by QAM64 R5/6 (higher
+    # rank, same 20 dB long-frame envelope).  QAM256 R5/6 keeps a
+    # measured ~10% long-frame residual loss near 30 dB — included
+    # because 8 x 5/6 x 0.9 = 6.0 still beats R2/3's 5.33 and the loss
     # is ARQ-recovered, never silent.  Fade rows collapse at all SNRs
     # (0/6 to +42 dB moderate), hence the same flat gate as HIGH_TABLE.
     NVIS_HIGH_TABLE = [(30.0, Modulation.QAM256, CodeRate.R5_6),
-                       (24.0, Modulation.QAM256, CodeRate.R2_3),
-                       (20.0, Modulation.QAM64, CodeRate.R5_6),
-                       (18.0, Modulation.QAM64, CodeRate.R3_4)]
+                       (26.0, Modulation.QAM256, CodeRate.R2_3),
+                       (20.0, Modulation.QAM64, CodeRate.R5_6)]
 
     def __init__(self, high_table: list | None = None):
         """``high_table`` selects the flat-gated ladder (profile-aware:
@@ -345,7 +356,14 @@ class CalibratedAdaptiveController(AdaptiveModeController):
         if len(self._recent_snr) > self.STABLE_WINDOW:
             self._recent_snr.pop(0)
         if len(self._recent_snr) >= self.STABLE_WINDOW:
-            span = max(self._recent_snr) - min(self._recent_snr)
+            # TRIMMED span (drop the window's single high and low): one
+            # outlier reading — e.g. an ACK frame whose noise window
+            # landed in dead air reads several dB high — must not destroy
+            # flat evidence that five consistent readings support, while
+            # true fading scatters EVERY reading +-3 dB so its trimmed
+            # span still clears SCATTER_SPAN_DB.
+            s = sorted(self._recent_snr)
+            span = s[-2] - s[1]
             if span <= self.STABLE_SPAN_DB:
                 self._flat_frames += 1
             elif span >= self.SCATTER_SPAN_DB:

@@ -1172,8 +1172,25 @@ def _scan_data_symbols(config: ModemConfig, mod: Modulation, state: DemodState,
         hp = jnp.maximum(jnp.moveaxis(hp_ds, 0, 1).mean(1), 1e-12)
         pcnv = (pn_d / hp)[:, None, :]                   # eq-domain
 
-        nv_eff = jnp.clip(jnp.maximum(jnp.maximum(r, pcnv), cnv),
-                          MIN_CARRIER_NOISE_VAR, MAX_CARRIER_NOISE_VAR) \
+        # Third estimator, per (symbol, carrier): the INSTANTANEOUS
+        # residual.  The deterministic ICI occasionally produces single
+        # large excursions (>half a decision distance at ZERO noise) whose
+        # wrong hard decisions keep |llr| ~6-9; when two of them land on a
+        # 4-cycle bit pair of the reference H (the random PEG-ish
+        # construction has them), the pair's two shared checks stay
+        # satisfied and min-sum can NEVER flip either bit — measured: a
+        # payload-deterministic decode failure of 400-byte QAM256 R2/3
+        # frames at 80 dB that no LLR scaling fixes, an ARQ livelock.
+        # Deflating by the per-sample residual turns exactly the excursion
+        # samples into near-erasures the code fills from parity; correct
+        # decisions lose nothing (their residual IS the noise, already the
+        # nv floor).  Half-weight keeps the deflation from softening
+        # genuinely-decodable waterfall-edge bits (measured: thresholds in
+        # tests/test_high_order.py unchanged).
+        inst = 0.5 * jnp.abs(eq - d) ** 2
+        nv_eff = jnp.clip(
+            jnp.maximum(jnp.maximum(jnp.maximum(r, pcnv), cnv), inst),
+            MIN_CARRIER_NOISE_VAR, MAX_CARRIER_NOISE_VAR) \
             * demap_ops.CE_MARGIN.get(mod, 1.0)
         llrs2 = demap_ops.demap(mod, eq.astype(jnp.complex64), nv_eff)
         return state, llrs2.reshape(B, -1)

@@ -47,9 +47,10 @@ _DEFAULT_MSG_DTYPE = (jnp.bfloat16 if _os.environ.get("ULTRA_LDPC_BF16") == "1"
                       else jnp.float32)
 
 
-@functools.partial(jax.jit, static_argnames=("code", "max_iters", "msg_dtype"))
+@functools.partial(jax.jit, static_argnames=("code", "max_iters", "msg_dtype",
+                                             "trap_escape"))
 def decode(code: LDPCCode, llrs: jnp.ndarray, max_iters: int = DEFAULT_MAX_ITERS,
-           msg_dtype=None):
+           msg_dtype=None, trap_escape: bool = False):
     """Flooding min-sum BP decode of a batch of codewords.
 
     Args:
@@ -62,10 +63,23 @@ def decode(code: LDPCCode, llrs: jnp.ndarray, max_iters: int = DEFAULT_MAX_ITERS
         measurable waterfall shift (tools/ber_curves.py --bf16 overlay)
         while halving message traffic.  Channel LLRs, the total-LLR
         accumulation, and the parity check stay f32 in both modes.
+      trap_escape: opt-in second pass for FAILED lanes only — zero the
+        channel LLRs of every bit touching an unsatisfied check of the
+        failed attempt's hard decision and re-run the loop.  This breaks
+        the reference H construction's small trapping sets: two confident
+        wrong bits on a 4-cycle pair keep both shared checks satisfied, so
+        plain min-sum can never flip them (measured on QAM256 512-profile
+        frames: a payload-DETERMINISTIC decode failure at 80 dB that no
+        LLR scaling fixes — an ARQ livelock, since the retransmitted
+        payload fails identically).  Erasing the (few) suspects lets their
+        unsatisfied checks re-fill them from the reliable neighbors.
+        Converged lanes are untouched (lane-exact parity), and the pass is
+        skipped entirely (lax.cond) when every lane converged.
     Returns:
       info_bits [B, k] uint8, success [B] bool, iters [B] int32
       (iters semantics match lastIterations(): 0-based iteration index at
-      convergence, or max_iters when decoding failed).
+      convergence, or max_iters when decoding failed; a lane rescued by
+      trap_escape reports the RETRY's iteration count).
     """
     if msg_dtype is None:
         msg_dtype = _DEFAULT_MSG_DTYPE
@@ -75,7 +89,8 @@ def decode(code: LDPCCode, llrs: jnp.ndarray, max_iters: int = DEFAULT_MAX_ITERS
     row_mask = jnp.asarray(code.row_mask)          # [m, D]
     flat_vars = jnp.asarray(code.row_vars.reshape(-1))  # [m*D]
 
-    llr_in = llrs.astype(jnp.float32)
+    inf = jnp.float32(np.inf)
+    eidx = jnp.arange(D)
 
     def gather_vars(x):  # x: [B, n] -> [B, m, D]
         # Measured: XLA's gather/scatter beat one-hot MXU contractions for
@@ -83,67 +98,93 @@ def decode(code: LDPCCode, llrs: jnp.ndarray, max_iters: int = DEFAULT_MAX_ITERS
         # as a matmul.
         return x[:, row_vars]
 
-    v2c0 = jnp.where(row_mask, gather_vars(llr_in), 0.0).astype(msg_dtype)
+    def _run(llr_in):
+        v2c0 = jnp.where(row_mask, gather_vars(llr_in), 0.0).astype(msg_dtype)
 
-    inf = jnp.float32(np.inf)
-    eidx = jnp.arange(D)
+        def one_iter(v2c):
+            # Messages may be stored bf16; all arithmetic runs f32.
+            v2c = v2c.astype(jnp.float32)
+            # --- check-to-variable (min-sum, 0.75 scale) ---
+            neg = (v2c < 0) & row_mask
+            row_par = neg.sum(-1) & 1                              # [B, m]
+            edge_par = (row_par[..., None] ^ neg.astype(jnp.int32)) & 1
+            sign = 1.0 - 2.0 * edge_par.astype(jnp.float32)
 
-    def one_iter(v2c):
-        # Messages may be stored bf16; all arithmetic runs f32.
-        v2c = v2c.astype(jnp.float32)
-        # --- check-to-variable (min-sum, 0.75 scale) ---
-        neg = (v2c < 0) & row_mask
-        row_par = neg.sum(-1) & 1                              # [B, m]
-        edge_par = (row_par[..., None] ^ neg.astype(jnp.int32)) & 1
-        sign = 1.0 - 2.0 * edge_par.astype(jnp.float32)
+            a = jnp.where(row_mask, jnp.abs(v2c), inf)
+            min1 = a.min(-1, keepdims=True)
+            amin = a.argmin(-1)[..., None]
+            a2 = jnp.where(eidx == amin, inf, a)
+            min2 = a2.min(-1, keepdims=True)
+            min_excl = jnp.where(eidx == amin, min2, min1)
+            c2v = jnp.where(row_mask, sign * min_excl * MIN_SUM_SCALE, 0.0)
 
-        a = jnp.where(row_mask, jnp.abs(v2c), inf)
-        min1 = a.min(-1, keepdims=True)
-        amin = a.argmin(-1)[..., None]
-        a2 = jnp.where(eidx == amin, inf, a)
-        min2 = a2.min(-1, keepdims=True)
-        min_excl = jnp.where(eidx == amin, min2, min1)
-        c2v = jnp.where(row_mask, sign * min_excl * MIN_SUM_SCALE, 0.0)
+            # --- total LLR: llr_in + scatter-add of c2v over variables ---
+            llr_total = llr_in + (
+                jnp.zeros((B, n), jnp.float32)
+                .at[:, flat_vars].add(c2v.reshape(B, -1)))
 
-        # --- total LLR: llr_in + scatter-add of c2v over variables ---
-        llr_total = llr_in + (
-            jnp.zeros((B, n), jnp.float32)
-            .at[:, flat_vars].add(c2v.reshape(B, -1)))
+            # --- variable-to-check, clamped ---
+            v2c_new = jnp.clip(gather_vars(llr_total) - c2v,
+                               -V2C_CLAMP, V2C_CLAMP)
+            v2c_new = jnp.where(row_mask, v2c_new, 0.0).astype(msg_dtype)
 
-        # --- variable-to-check, clamped ---
-        v2c_new = jnp.clip(gather_vars(llr_total) - c2v, -V2C_CLAMP, V2C_CLAMP)
-        v2c_new = jnp.where(row_mask, v2c_new, 0.0).astype(msg_dtype)
+            # --- parity check on hard decisions ---
+            # Syndrome as an MXU matmul instead of a [B, m, D] gather: with
+            # H = [H_data | I], syndrome = (hard_info @ H_data^T +
+            # hard_parity) mod 2.  Integer counts in f32 are exact (degrees
+            # << 2^24), so this is bit-identical to the gather+XOR but much
+            # faster on TPU.
+            hard = (llr_total < 0).astype(jnp.float32)
+            counts = jnp.matmul(hard[:, :n - m], jnp.asarray(code.h_dense.T),
+                                precision=jax.lax.Precision.HIGHEST) \
+                + hard[:, n - m:]
+            ok = (counts.astype(jnp.int32) & 1 == 0).all(-1)        # [B]
+            return v2c_new, llr_total, ok
 
-        # --- parity check on hard decisions ---
-        # Syndrome as an MXU matmul instead of a [B, m, D] gather: with
-        # H = [H_data | I], syndrome = (hard_info @ H_data^T + hard_parity)
-        # mod 2.  Integer counts in f32 are exact (degrees << 2^24), so this
-        # is bit-identical to the gather+XOR but much faster on TPU.
-        hard = (llr_total < 0).astype(jnp.float32)
-        counts = jnp.matmul(hard[:, :n - m], jnp.asarray(code.h_dense.T),
-                            precision=jax.lax.Precision.HIGHEST) + hard[:, n - m:]
-        ok = (counts.astype(jnp.int32) & 1 == 0).all(-1)        # [B]
-        return v2c_new, llr_total, ok
+        def cond(state):
+            it, _, _, done, _ = state
+            return (it < max_iters) & ~done.all()
 
-    def cond(state):
-        it, _, _, done, _ = state
-        return (it < max_iters) & ~done.all()
+        def body(state):
+            it, v2c, llr_total, done, iters = state
+            v2c_new, llr_new, ok = one_iter(v2c)
+            # Freeze converged lanes.
+            keep = done[:, None, None]
+            v2c = jnp.where(keep, v2c, v2c_new)
+            llr_total = jnp.where(done[:, None], llr_total, llr_new)
+            newly = ~done & ok
+            iters = jnp.where(newly, it, iters)
+            done = done | ok
+            return it + 1, v2c, llr_total, done, iters
 
-    def body(state):
-        it, v2c, llr_total, done, iters = state
-        v2c_new, llr_new, ok = one_iter(v2c)
-        # Freeze converged lanes.
-        keep = done[:, None, None]
-        v2c = jnp.where(keep, v2c, v2c_new)
-        llr_total = jnp.where(done[:, None], llr_total, llr_new)
-        newly = ~done & ok
-        iters = jnp.where(newly, it, iters)
-        done = done | ok
-        return it + 1, v2c, llr_total, done, iters
+        state0 = (jnp.int32(0), v2c0, llr_in,
+                  jnp.zeros(B, bool), jnp.full(B, max_iters, jnp.int32))
+        _, _, llr_total, done, iters = jax.lax.while_loop(cond, body, state0)
+        return llr_total, done, iters
 
-    state0 = (jnp.int32(0), v2c0, llr_in,
-              jnp.zeros(B, bool), jnp.full(B, max_iters, jnp.int32))
-    _, _, llr_total, done, iters = jax.lax.while_loop(cond, body, state0)
+    llr_in = llrs.astype(jnp.float32)
+    llr_total, done, iters = _run(llr_in)
+
+    if trap_escape:
+        def retry(args):
+            llr_total, done, iters = args
+            # Unsatisfied checks of the failed hard decision.
+            hard = (llr_total < 0).astype(jnp.float32)
+            counts = jnp.matmul(hard[:, :n - m], jnp.asarray(code.h_dense.T),
+                                precision=jax.lax.Precision.HIGHEST) \
+                + hard[:, n - m:]
+            unsat = (counts.astype(jnp.int32) & 1) == 1           # [B, m]
+            sus = (unsat[:, :, None] & row_mask).reshape(B, -1)   # [B, m*D]
+            suspect = jnp.zeros((B, n), bool) \
+                .at[:, flat_vars].max(sus)                        # [B, n]
+            llr2 = jnp.where(suspect, 0.0, llr_in)
+            llr_t2, done2, iters2 = _run(llr2)
+            take = (~done & done2)[:, None]
+            return (jnp.where(take, llr_t2, llr_total),
+                    done | done2,
+                    jnp.where(take[:, 0], iters2, iters))
+        llr_total, done, iters = jax.lax.cond(
+            done.all(), lambda a: a, retry, (llr_total, done, iters))
 
     info_bits = (llr_total[:, :code.k] < 0).astype(jnp.uint8)
     return info_bits, done, iters

@@ -95,15 +95,16 @@ def recommend_data_mode_calibrated(true_snr_db: float
     engine loopback decode rates over AWGN and moderate-fading Watterson).
     Key measured facts: Schmidl-Cox ACQUISITION floors OFDM_COX at ~14 dB
     wideband AWGN regardless of data mode (faithful to the reference's
-    plateau gate), single AWGN envelopes are QAM16 R3/4 @20, QAM16 R2/3
-    @17, DQPSK R2/3 @15, DQPSK R1/2 @15; below the Cox floor the waveform
-    pick (negotiate_mode) routes to MC_DPSK where R1/4 holds to ~2 dB on
+    plateau gate), single AWGN envelopes are QAM16 R2/3 @17, DQPSK R2/3
+    @15, DQPSK R1/2 @15; below the Cox floor the waveform pick
+    (negotiate_mode) routes to MC_DPSK where R1/4 holds to ~2 dB on
     moderate fading with ARQ covering residual fade losses.  Thresholds
-    carry ~2-3 dB margin for fading.  Used when
-    ConnectionConfig.calibrated_snr is on; the default table above keeps
-    reference parity."""
-    if true_snr_db >= 24.0:
-        return Modulation.QAM16, CodeRate.R3_4
+    carry ~2-3 dB margin for fading.  No R3/4 ceiling row: its parity-free
+    info bits corrupt LONG frames at any SNR on the 512 plan's ICI floor
+    (see CalibratedAdaptiveController.TABLE) — QAM16 R2/3 is the non-flat
+    ceiling and the flat-gated ladder climbs past it mid-session.  Used
+    when ConnectionConfig.calibrated_snr is on; the default table above
+    keeps reference parity."""
     if true_snr_db >= 20.0:
         return Modulation.QAM16, CodeRate.R2_3
     if true_snr_db >= 17.0:

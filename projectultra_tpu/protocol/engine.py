@@ -101,10 +101,33 @@ class ProtocolEngine:
         # (ModemEngine::getCurrentSNR -> Connection::setMeasuredSNR).
         # calibrated_snr consumes the engine's TRUE wideband estimate;
         # the default keeps the reference's inflated estimator scale.
-        meas = frame.wideband_snr_db \
-            if self.connection.config.calibrated_snr else frame.snr_db
-        if meas:
+        #
+        # Calibrated mode skips MID-SESSION Cox CONTROL frames (ACK /
+        # KEEPALIVE / MODE_CHANGE): the reference's constellation scales
+        # put their DBPSK R1/4 modulation ~4 dB hotter than QAM data
+        # symbols, and the harness noise normalization (INV-TEST-001,
+        # active-average per transmission) then makes a power-vs-floor
+        # estimate read those frames +4-6 dB above the data-frame scale
+        # the mode tables were calibrated on — measured: a 34 dB NVIS
+        # session's ACKs read 37-40 while its data frames read ~34,
+        # scattering the flat-evidence window and blocking the high-order
+        # climb.  Data frames are plentiful in any session that has
+        # something to adapt for; pre-connect CONNECT/CONNECT_ACK (chirp-
+        # led MC-DPSK, all-DBPSK scale) still feed accept-time
+        # negotiation.
+        calibrated = self.connection.config.calibrated_snr
+        skip_reading = (calibrated and frame.header.is_control
+                        and frame.waveform == WaveformMode.OFDM_COX)
+        meas = frame.wideband_snr_db if calibrated else frame.snr_db
+        if meas and not skip_reading:
             self.connection.set_measured_snr(meas, frame.fade_spread_db)
+        if skip_reading:
+            self.modem.last_rx_waveform = frame.waveform
+            self.connection.on_frame_received(frame.frame_bytes)
+            self.modem.connected = self.connection.is_connected
+            self.modem.handshake_complete = \
+                self.connection.handshake_confirmed
+            return
         # Mid-session adaptation: the default controller's thresholds are
         # calibrated for OFDM pilot SNR (adaptive_mode.cpp:21-31) — MC-DPSK
         # training estimates live on a different scale and must not drive

@@ -626,7 +626,11 @@ def encode_frame_with_ldpc(frame_data: bytes,
 def decode_codewords_with_ldpc(soft_bits_list: list[np.ndarray],
                                rate: CodeRate = CodeRate.R1_4):
     """LLR blocks -> (decoded flags, per-CW bytes) as one device batch
-    (frame_v2.cpp:1157-1174)."""
+    (frame_v2.cpp:1157-1174).  trap_escape is on: the engine's frame path
+    must not livelock on the H construction's small trapping sets when a
+    deterministic disturbance lands two confident wrong bits on a 4-cycle
+    pair (see ops/ldpc.decode) — converged lanes keep lane-exact parity,
+    only would-be failures are retried."""
     import jax.numpy as jnp
     from ..fec import ldpc
     from ..ops import ldpc as ldpc_ops
@@ -639,7 +643,7 @@ def decode_codewords_with_ldpc(soft_bits_list: list[np.ndarray],
     for i, sb in enumerate(soft_bits_list):
         sb = np.asarray(sb, np.float32)[:n]
         blocks[i, :len(sb)] = sb
-    info, ok, _ = ldpc_ops.decode(code, jnp.asarray(blocks))
+    info, ok, _ = ldpc_ops.decode(code, jnp.asarray(blocks), trap_escape=True)
     info = np.asarray(info)
     ok = np.asarray(ok)
     decoded = [bool(ok[i]) for i in range(len(soft_bits_list))]

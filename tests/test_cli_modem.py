@@ -265,6 +265,25 @@ def test_cli_ptx_prx_pipe(tmp_path, capsys):
     assert "Frames: 1" in capsys.readouterr().err
 
 
+def test_cli_ptx_prx_nvis_profile(tmp_path, capsys):
+    """`-p nvis` runs both ends on the 1024-FFT skywave profile (documented
+    CLI deviation: the reference selects profiles via its settings system,
+    main.cpp has no profile flag)."""
+    from projectultra_tpu import cli
+    out = tmp_path / "tx.f32"
+    rc = cli.main(["ptx", "skywave profile", "-s", "W1AW", "-d", "VE3ABC",
+                   "-p", "nvis", "-o", str(out)])
+    assert rc == 0
+    audio = np.fromfile(out, dtype=np.float32)
+    padded = tmp_path / "rx.f32"
+    np.concatenate([audio, np.zeros(4000, np.float32)]).tofile(padded)
+    rc = cli.main(["prx", str(padded), "-p", "nvis"])
+    assert rc == 0
+    err = capsys.readouterr().err
+    assert "Frames: 1" in err
+    assert "skywave profile" in err
+
+
 def test_cli_info(capsys):
     from projectultra_tpu import cli
     assert cli.main(["info"]) == 0

@@ -71,14 +71,15 @@ def test_qam256_r23_zero_noise_exact():
 
 @pytest.mark.parametrize("mod,rate,snr", [
     (Modulation.QAM64, CodeRate.R5_6, 20.0),
-    (Modulation.QAM256, CodeRate.R2_3, 24.0),
+    (Modulation.QAM256, CodeRate.R2_3, 26.0),
 ])
 def test_nvis_high_order_ladder_thresholds(mod, rate, snr):
     """NVIS 1024-profile ladder rows at their NVIS_HIGH_TABLE thresholds,
-    random payloads through the full streaming engine (40/40 measured at
-    these points; R5/6's parity-free info bits are safe on this profile's
-    ~-32 dB EVM floor at QAM64 density — QAM256 R5/6 keeps a ~5%
-    ARQ-recovered residual and is asserted by the session test instead)."""
+    random payloads through the full streaming engine (10/10 measured at
+    these points on 400-byte frames; R5/6's parity-free info bits are safe
+    on this profile's ~-32 dB EVM floor at QAM64 density — QAM256 R5/6
+    keeps a ~10% ARQ-recovered long-frame residual and is asserted by the
+    session test instead)."""
     from projectultra_tpu.config import nvis_mode
     oks = [_loopback(mod, rate, snr, t, config=nvis_mode())
            for t in range(3)]
@@ -112,6 +113,129 @@ def test_nvis_profile_selects_nvis_high_table():
         c.update(22.0, 0.2)
     assert (c.current_mod, c.current_rate) == \
         (Modulation.QAM64, CodeRate.R5_6)
+
+
+def _long_loopback(mod, rate, snr_db, trial, config=None, nbytes=400):
+    """400-byte (file-chunk class) random-payload engine loopback: long
+    frames expose ~5x the parity-free info bits of the 80-byte calibration
+    frames and are the regime where both round-3 walls appeared (silent
+    R3/4 corruption, 4-cycle trapping-set livelock)."""
+    rng = np.random.default_rng(52000 + 37 * trial)
+    payload = bytes(rng.integers(0, 256, nbytes, dtype=np.uint8))
+    tx = ModemEngine() if config is None else ModemEngine(config=config)
+    rx = ModemEngine() if config is None else ModemEngine(config=config)
+    for m in (tx, rx):
+        m.set_waveform_mode(WaveformMode.OFDM_COX)
+        m.connect_waveform = WaveformMode.OFDM_COX
+        m.connected = True
+        m.handshake_complete = True
+        m.data_modulation = mod
+        m.data_code_rate = rate
+    frame = F.DataFrame.make_data("AA1AA", "BB2BB", trial, payload).serialize()
+    audio = tx.transmit(frame)
+    a = jnp.asarray(np.concatenate(
+        [np.zeros(2400, np.float32), audio,
+         np.zeros(4000, np.float32)])[None, :])
+    key = jax.random.fold_in(jax.random.PRNGKey(77),
+                             1000 * trial + int(snr_db * 7))
+    noisy = W.add_noise_active(key, a, snr_db)
+    got = []
+    rx.on_frame = got.append
+    rx.feed_audio(np.asarray(noisy)[0])
+    rx.poll()
+    return bool(got) and got[0].frame_bytes == frame
+
+
+def test_qam256_long_frame_trapping_payload():
+    """Pinned regression: this exact payload (trial 5) produced two
+    confident wrong bits on a 4-cycle pair of the R2/3 H — plain min-sum
+    oscillates for 50 iterations at ANY SNR (measured NODET at 80 dB; an
+    ARQ livelock since the retransmitted payload fails identically).  The
+    frame path's trap_escape decode (ops/ldpc.decode) must recover it."""
+    assert _long_loopback(Modulation.QAM256, CodeRate.R2_3, 34.0, 5)
+    assert _long_loopback(Modulation.QAM256, CodeRate.R2_3, 60.0, 5)
+
+
+def _trial5_cw0_llrs():
+    """Deinterleaved CW0 LLRs of the trial-5 400-byte QAM256 R2/3 frame —
+    the measured in-field trapping-set input: 2 confident wrong signs
+    whose bits share two checks of the R2/3 H, which plain min-sum
+    oscillates on for the full 50 iterations at any SNR."""
+    from projectultra_tpu.config import bits_per_symbol
+    from projectultra_tpu.ofdm import demodulator as D, pipeline as P
+    from projectultra_tpu.fec.interleave import channel_interleaver
+    from projectultra_tpu.config import ModemConfig
+
+    mod, rate = Modulation.QAM256, CodeRate.R2_3
+    rng = np.random.default_rng(52000 + 37 * 5)
+    payload = bytes(rng.integers(0, 256, 400, dtype=np.uint8))
+    tx = ModemEngine()
+    tx.set_waveform_mode(WaveformMode.OFDM_COX)
+    tx.connect_waveform = WaveformMode.OFDM_COX
+    tx.connected = True
+    tx.handshake_complete = True
+    tx.data_modulation = mod
+    tx.data_code_rate = rate
+    frame = F.DataFrame.make_data("AA1AA", "BB2BB", 5, payload).serialize()
+    audio = tx.transmit(frame)
+    a = np.concatenate([np.zeros(2400, np.float32), audio,
+                        np.zeros(4000, np.float32)])
+    cfg = ModemConfig()
+    plen = cfg.fft_size + cfg.cyclic_prefix
+    lts, S = 12400, 6
+    need = lts + 2 * plen + S * cfg.symbol_duration
+    span = jnp.asarray(a[None, lts - 2 * plen:need + 2 * plen])
+    llrs, _ = D.demodulate_span(cfg, mod, span, -0.158, 0.0,
+                                n_lts=2, S=S, lead=2 * plen, tail=2 * plen)
+    l = np.asarray(llrs)[0][:648]
+    ci = channel_interleaver(15 * bits_per_symbol(mod), 648)
+    return ci.deinterleave_soft(l)
+
+
+def test_ldpc_trap_escape_rescues_field_case():
+    """Decoder-level regression on the measured in-field trapping input:
+    plain min-sum must fail it (documenting the reference decoder's
+    limitation — lane parity) and trap_escape must rescue it, leaving a
+    converged sibling lane bit-identical."""
+    from projectultra_tpu.fec.ldpc import get_code
+    from projectultra_tpu.ops import ldpc as ldpc_ops
+
+    code = get_code(CodeRate.R2_3)
+    ld = _trial5_cw0_llrs()
+    clean = np.full(648, 10.0, np.float32)  # all-zeros codeword, trivial
+    batch = jnp.asarray(np.stack([ld, clean]))
+
+    out0, ok0, _ = ldpc_ops.decode(code, batch)
+    assert not bool(np.asarray(ok0)[0]), "expected the trapping input to fail"
+    assert bool(np.asarray(ok0)[1])
+
+    out1, ok1, _ = ldpc_ops.decode(code, batch, trap_escape=True)
+    assert bool(np.asarray(ok1)[0]), "trap_escape must rescue the field case"
+    assert bool(np.asarray(ok1)[1])
+    # Converged lanes keep lane-exact parity with the plain decode.
+    assert (np.asarray(out1)[1] == np.asarray(out0)[1]).all()
+
+
+def test_calibrated_table_excludes_parity_free_rates():
+    """The calibrated main table and the 512 flat-gated ladder must never
+    contain R3/4 or R5/6: their parity-free info bits (fec/ldpc
+    build_h_rows saturates check slots early) corrupt LONG frames on the
+    512 plan's deterministic ICI floor at any SNR — measured 6-7/10
+    corrupted 400-byte QAM16 R3/4 frames at 80 dB, an ARQ livelock the
+    frame CRC detects but cannot fix."""
+    from projectultra_tpu.modem.adaptive import CalibratedAdaptiveController
+    bad = (CodeRate.R3_4, CodeRate.R5_6)
+    for thresh, mod, rate in (CalibratedAdaptiveController.TABLE
+                              + CalibratedAdaptiveController.HIGH_TABLE):
+        assert rate not in bad, (mod, rate)
+
+
+def test_qam16_r23_long_frame_clean():
+    """The calibrated non-flat ceiling (QAM16 R2/3) must carry file-chunk
+    frames clean at its 20 dB threshold."""
+    oks = [_long_loopback(Modulation.QAM16, CodeRate.R2_3, 20.0, t)
+           for t in range(3)]
+    assert all(oks), oks
 
 
 def test_wideband_snr_survives_guarded_consume():
@@ -180,7 +304,12 @@ def test_nvis_session_negotiates_qam256_r56():
     assert a.connect("VE3ABC")
     assert b.connection.negotiated_mode == WM.OFDM_COX
 
-    n = 10
+    # >= 14 data frames each way: control-frame readings are excluded
+    # from negotiation (their DBPSK scale reads hot — see
+    # ProtocolEngine._on_modem_frame), so the flat gate (6-reading
+    # window + 3 flat frames) plus the 4-recommendation upgrade
+    # debounce needs ~13 DATA readings.
+    n = 14
     ia = ib = 0
     for _ in range(300):
         if ia < n and a.send_message(f"a{ia:02d}"):
