@@ -47,8 +47,15 @@ def main():
             m.handshake_complete = True
             m.data_modulation = mod
             m.data_code_rate = rate
+        # RANDOM payloads: a fixed payload hid a 20% QAM64 R3/4 silent-
+        # corruption rate (parity-free bits on the ICI floor) — and
+        # calibrate LONG frames too when touching high-order rows
+        # (tests/test_high_order._long_loopback): 400-byte frames expose
+        # ~5x the parity-free bits of these 80-byte points.
+        prng = np.random.default_rng(91000 + 37 * trial)
+        payload = bytes(prng.integers(0, 256, 80, dtype=np.uint8))
         frame = F.DataFrame.make_data("AA1AA", "BB2BB", trial,
-                                      "x" * 80).serialize()
+                                      payload).serialize()
         audio = tx.transmit(frame)
         a = jnp.asarray(np.concatenate(
             [np.zeros(2400, np.float32), audio,
@@ -64,10 +71,7 @@ def main():
         rx.on_frame = got.append
         rx.feed_audio(np.asarray(noisy)[0])
         rx.poll()
-        if not got:
-            return False
-        df = F.DataFrame.deserialize(got[0].frame_bytes)
-        return df is not None and df.payload_as_text() == "x" * 80
+        return bool(got) and got[0].frame_bytes == frame
 
     rows = [
         (WaveformMode.OFDM_COX, Modulation.DBPSK, CodeRate.R1_4,

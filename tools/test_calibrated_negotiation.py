@@ -110,7 +110,11 @@ def main():
         return bits_per_symbol(Modulation[m]) * code_rate_value(CodeRate[r])
 
     for chan, snr, min_rank in grid:
-        n = args.messages if min_rank is None else max(args.messages, 10)
+        # Climb rows need >= 14 data frames each way: control-frame
+        # readings are excluded from calibrated negotiation, so the flat
+        # gate (6-reading window + 3 flat frames) plus the 4-pending
+        # upgrade debounce takes ~13 DATA readings.
+        n = args.messages if min_rank is None else max(args.messages, 14)
         r = run_session(snr, chan, n, calibrated)
         if r is None:
             print(f"  {chan:5s} {snr:5.1f} dB: CONNECT FAILED")

@@ -27,15 +27,17 @@ import tempfile
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
-def run_session(profile, true_snr, n_bytes, warm_msgs=16, chunk=1000):
+def run_session(profile, true_snr, n_bytes, warm_msgs=16, chunk=2000):
     """warm_msgs >= 16: the flat-evidence gate needs STABLE_WINDOW (6)
     readings plus FLAT_FRAMES (3) before the high-order ladder opens, and
     the upgrade debounce then wants 4 consecutive recommendations.
 
-    chunk=1000 (vs the reference's 250) + the pipelined chunker: the
+    chunk=2000 (vs the reference's 250) + the pipelined chunker: the
     session bottleneck at high-order modes is per-frame overhead — every
     DATA frame pays a full Cox preamble and earns a full ACK frame of
-    return audio — so 4x chunks means ~4x fewer overhead frames."""
+    return audio — so 8x chunks means ~8x fewer overhead frames.  4000
+    collapses at QAM256 R5/6: ~61 codewords/frame expose ~20k parity-free
+    bits and per-frame loss approaches 1 (the ARQ stops converging)."""
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -129,6 +131,7 @@ def main():
     ap.add_argument("--rows", default="512_26,512_32,nvis_34",
                     help="comma list of profile_snr rows")
     ap.add_argument("--bytes", type=int, default=6000)
+    ap.add_argument("--chunk", type=int, default=2000)
     args = ap.parse_args()
     import jax
     jax.config.update("jax_compilation_cache_dir",
@@ -143,7 +146,7 @@ def main():
     all_ok = True
     for row in args.rows.split(","):
         profile, snr = row.rsplit("_", 1)
-        r = run_session(profile, float(snr), args.bytes)
+        r = run_session(profile, float(snr), args.bytes, chunk=args.chunk)
         if r is None:
             print(f"  {row:10s}: FAIL")
             all_ok = False
