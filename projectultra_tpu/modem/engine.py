@@ -626,6 +626,12 @@ class ModemEngine:
             self._rx_consumed += n
 
     ACQ_SEARCH_CADENCE = 4800  # re-search only after 100 ms of new audio
+    # Coherent Cox front-end crossover: REAL passband (exact, no Hilbert)
+    # at/below this detected |CFO|, analytic (CFO-robust, ~-25 dB mask
+    # floor) above it.  Measured: real front holds protected rates clean
+    # through 5 Hz; 2 Hz keeps wide margin while covering the detector's
+    # typical sub-Hz corrections.
+    REAL_FRONT_CFO_MAX_HZ = 2.0
     # Cap every full-buffer search VIEW: a backlogged buffer (slow consumer,
     # batch feeds) must slide through bounded-shape searches instead of
     # compiling one detector per 65536-sample bucket of an unbounded
@@ -1546,14 +1552,32 @@ class ModemEngine:
             avail = len(buf) - need
             tail = (2 * plen if avail >= 2 * plen
                     else plen if avail >= plen else 0)
+            # Front-end pick (host branch on the detected CFO): the REAL
+            # passband is EXACT for coherent modes at small CFO (the
+            # conjugate image is bin-orthogonal, like the reference's
+            # channel_equalizer.cpp:19-71 front-end — zero sign errors on
+            # long QAM frames at zero noise, where the Hilbert mask's
+            # DC-adjacent leakage corrupted them), but the image leaks
+            # ICI that grows ~2*cfo/bin under a true offset.  The
+            # analytic front is CFO-robust with a ~-25 dB mask floor —
+            # cross-over measured around a few Hz (docs/PERF.md).
+            # PILOT plans only: the no-pilot NVIS path's analytic +
+            # folded-Tukey + DD-refinement ladder is its validated
+            # operating mode (and its 1024 grid leaves just 4 bins
+            # between signal and image), measured better than the real
+            # front at the R5/6 waterfall edges.
+            front = ("real" if not demod_mod.is_differential(mod)
+                     and len(carriers_mod.carrier_map(cfg).pilot_idx) > 0
+                     and abs(float(cfo)) <= self.REAL_FRONT_CFO_MAX_HZ
+                     else "analytic")
             span = jnp.asarray(buf[None, lts_start - lead:need + tail])
             llrs, state = demod_mod.demodulate_span(
                 cfg, mod, span, cfo, 0.0, n_lts=2, S=S,
-                lead=lead, tail=tail)
+                lead=lead, tail=tail, front=front)
             if self.collect_constellation:
                 ri = np.asarray(demod_mod.equalized_symbols_span(
                     cfg, mod, span, cfo, 0.0, n_lts=2, S=S,
-                    lead=lead, tail=tail))
+                    lead=lead, tail=tail, front=front))
                 self.last_constellation = \
                     (ri[..., 0] + 1j * ri[..., 1]).reshape(-1)
             out = np.asarray(llrs)[0][:F.LDPC_CODEWORD_BITS * n_cw]

@@ -202,7 +202,8 @@ def analytic_half(samples: jnp.ndarray) -> jnp.ndarray:
     return (0.5 * analytic_signal(samples)).astype(jnp.complex64)
 
 
-def maybe_analytic(mod: Modulation, samples: jnp.ndarray) -> jnp.ndarray:
+def maybe_analytic(mod: Modulation, samples: jnp.ndarray,
+                   front: str = "analytic") -> jnp.ndarray:
     """analytic_half for COHERENT modulations.  The real passband's
     negative-frequency image is bin-aligned (harmless) at zero CFO but
     leaks ICI that grows with CFO; QAM decision boundaries cannot absorb
@@ -233,8 +234,8 @@ def maybe_analytic(mod: Modulation, samples: jnp.ndarray) -> jnp.ndarray:
     Combined with the decision-directed refinement pass
     (_demod_coherent_refined) this holds 256QAM R5/6 at 100% codewords
     across +-10 Hz CFO at 42 dB on 32-codeword NVIS frames."""
-    if is_differential(mod) or (mod == Modulation.QAM256
-                                and QAM256_RX == "real"):
+    if front == "real" or is_differential(mod) or (
+            mod == Modulation.QAM256 and QAM256_RX == "real"):
         return samples
     return analytic_half(samples)
 
@@ -717,12 +718,14 @@ def estimate_channel_from_lts(config: ModemConfig, state: DemodState,
 
 
 @functools.partial(jax.jit, static_argnames=("config", "mod", "t0_lts",
-                                             "t0_data", "t0_lts_stride"))
+                                             "t0_data", "t0_lts_stride",
+                                             "front"))
 def demodulate_with_lts(config: ModemConfig, mod: Modulation,
                         lts: jnp.ndarray, data: jnp.ndarray, cfo_hz,
                         initial_phase, t0_lts: int = 0,
                         t0_data: int = 0,
-                        t0_lts_stride: int | None = None):
+                        t0_lts_stride: int | None = None,
+                        front: str = "analytic"):
     """Jitted LTS-channel-estimate + data-scan path for pre-sliced segments
     (the Cox decoders): lts [B, n_sym, L], data [B, S, sym_len], both cut
     from the SAME maybe_analytic-converted span.  Jitted as a unit — eager
@@ -730,24 +733,33 @@ def demodulate_with_lts(config: ModemConfig, mod: Modulation,
     (INV-TPU-007)."""
     B = lts.shape[0]
     q256 = _hi_order(mod)
-    ic = q256 and QAM256_RX == "real"   # see maybe_analytic
+    # front == "real": the span is the raw real passband (no Hilbert) and
+    # the rect window keeps the conjugate image exactly bin-orthogonal
+    # (fc*N/fs is integer on every plan; image bins 465-495 vs signal
+    # +-16 on the 512 grid) — the reference demod's own front-end
+    # (channel_equalizer.cpp:19-71 mixes the real signal, no analytic
+    # mask anywhere).  Tukey/image-cancel would BREAK that orthogonality,
+    # so they stay off.
+    real = front == "real"
+    ic = (q256 and QAM256_RX == "real") and not real
+    taper = q256 and not real
     state = init_state(config, B, cfo_hz, initial_phase)
     state = estimate_channel_from_lts(config, state, lts, t0_base=t0_lts,
                                       t0_stride=t0_lts_stride,
-                                      image_cancel=ic, taper=q256)
+                                      image_cancel=ic, taper=taper)
     if (q256 and len(carriers_mod.carrier_map(config).pilot_idx) == 0
             and not config.adaptive_eq_enabled):
         llrs = _demod_coherent_refined(config, mod, state, data,
-                                       t0_base=t0_data)
+                                       t0_base=t0_data, front=front)
         return llrs, state
     state, llrs = _scan_data_symbols(config, mod, state, data,
-                                     t0_base=t0_data)
+                                     t0_base=t0_data, front=front)
     return llrs, state
 
 
 def _demod_coherent_refined(config: ModemConfig, mod: Modulation,
                             state: DemodState, data: jnp.ndarray,
-                            t0_base) -> jnp.ndarray:
+                            t0_base, front: str = "analytic") -> jnp.ndarray:
     """Two-pass no-pilot coherent demod with decision-directed channel
     refinement, used by the 256QAM path (both RX flavors).
 
@@ -770,9 +782,10 @@ def _demod_coherent_refined(config: ModemConfig, mod: Modulation,
     def step(carry, xs):
         st = carry
         sym, s_idx = xs
-        fd, st = to_baseband_fd(config, st, sym, t0_base + s_idx * L,
-                                image_cancel=(QAM256_RX == "real"),
-                                taper=True)
+        fd, st = to_baseband_fd(
+            config, st, sym, t0_base + s_idx * L,
+            image_cancel=(QAM256_RX == "real" and front != "real"),
+            taper=front != "real")
         return st, fd
 
     xs = (jnp.moveaxis(data, 1, 0), jnp.arange(S))
@@ -878,18 +891,23 @@ def _edge_tapered(mod: Modulation, span: jnp.ndarray,
 
 
 @functools.partial(jax.jit, static_argnames=("config", "mod", "n_lts", "S",
-                                             "lead", "tail"))
+                                             "lead", "tail", "front"))
 def demodulate_span(config: ModemConfig, mod: Modulation, span: jnp.ndarray,
                     cfo_hz, initial_phase, n_lts: int, S: int,
-                    lead: int = 0, tail: int = 0):
+                    lead: int = 0, tail: int = 0, front: str = "analytic"):
     """[B, T] real span starting ``lead`` samples BEFORE the first LTS and
     extending ``tail`` samples past the data end -> (llrs, state).
     Conversion (maybe_analytic) and segment slicing happen INSIDE one jit:
     round-tripping the converted complex span through the host trips the
     accelerator transport's complex-array limitations.  The margins exist
     to move the span's slice edges away from the used symbols (see
-    _edge_tapered); pass 0/0 for the legacy exact slice."""
-    span = maybe_analytic(mod, _edge_tapered(mod, span, lead, tail))
+    _edge_tapered); pass 0/0 for the legacy exact slice.  front="real"
+    skips the Hilbert entirely (and the taper, which only guards Hilbert
+    wrap ringing) — see demodulate_with_lts."""
+    if front == "real":
+        span = span.astype(jnp.complex64)
+    else:
+        span = maybe_analytic(mod, _edge_tapered(mod, span, lead, tail))
     plen = config.fft_size + config.cyclic_prefix
     B = span.shape[0]
     lts = span[:, lead:lead + n_lts * plen].reshape(B, n_lts, plen)
@@ -900,18 +918,23 @@ def demodulate_span(config: ModemConfig, mod: Modulation, span: jnp.ndarray,
     # so every repeat demixes at t0 = plen (stride 0) — see
     # estimate_channel_from_lts.
     return demodulate_with_lts(config, mod, lts, data, cfo_hz, initial_phase,
-                               t0_lts=plen, t0_data=d0, t0_lts_stride=0)
+                               t0_lts=plen, t0_data=d0, t0_lts_stride=0,
+                               front=front)
 
 
 @functools.partial(jax.jit, static_argnames=("config", "mod", "n_lts", "S",
-                                             "lead", "tail"))
+                                             "lead", "tail", "front"))
 def equalized_symbols_span(config: ModemConfig, mod: Modulation,
                            span: jnp.ndarray, cfo_hz, initial_phase,
-                           n_lts: int, S: int, lead: int = 0, tail: int = 0):
+                           n_lts: int, S: int, lead: int = 0, tail: int = 0,
+                           front: str = "analytic"):
     """Constellation variant of demodulate_span -> [B, S, C, 2] f32
     (real, imag) — the accelerator transport cannot download multi-dim
     complex arrays, so the split happens inside the jit."""
-    span = maybe_analytic(mod, _edge_tapered(mod, span, lead, tail))
+    if front == "real":
+        span = span.astype(jnp.complex64)
+    else:
+        span = maybe_analytic(mod, _edge_tapered(mod, span, lead, tail))
     plen = config.fft_size + config.cyclic_prefix
     B = span.shape[0]
     lts = span[:, lead:lead + n_lts * plen].reshape(B, n_lts, plen)
@@ -919,16 +942,19 @@ def equalized_symbols_span(config: ModemConfig, mod: Modulation,
     data = span[:, lead + d0:lead + d0 + S * config.symbol_duration].reshape(
         B, S, config.symbol_duration)
     eq = equalized_symbols(config, mod, lts, data, cfo_hz, initial_phase,
-                           t0_lts=plen, t0_data=d0, t0_lts_stride=0)
+                           t0_lts=plen, t0_data=d0, t0_lts_stride=0,
+                           front=front)
     return jnp.stack([eq.real, eq.imag], axis=-1)
 
 
 @functools.partial(jax.jit, static_argnames=("config", "mod", "t0_lts",
-                                             "t0_data", "t0_lts_stride"))
+                                             "t0_data", "t0_lts_stride",
+                                             "front"))
 def equalized_symbols(config: ModemConfig, mod: Modulation,
                       lts: jnp.ndarray, data: jnp.ndarray, cfo_hz,
                       initial_phase, t0_lts: int = 0, t0_data: int = 0,
-                      t0_lts_stride: int | None = None):
+                      t0_lts_stride: int | None = None,
+                      front: str = "analytic"):
     """Equalized constellation points [B, S, C] for observability
     (OFDMDemodulator::getConstellationSymbols; GUI constellation widget).
     Same pipeline as demodulate_with_lts but returns the equalizer output
@@ -936,11 +962,13 @@ def equalized_symbols(config: ModemConfig, mod: Modulation,
     B = lts.shape[0]
     L = data.shape[-1]
     q256 = _hi_order(mod)
-    ic = q256 and QAM256_RX == "real"
+    real = front == "real"
+    ic = (q256 and QAM256_RX == "real") and not real
+    taper = q256 and not real
     state = init_state(config, B, cfo_hz, initial_phase)
     state = estimate_channel_from_lts(config, state, lts, t0_base=t0_lts,
                                       t0_stride=t0_lts_stride,
-                                      image_cancel=ic, taper=q256)
+                                      image_cancel=ic, taper=taper)
     has_pilots = len(carriers_mod.carrier_map(config).pilot_idx) > 0
 
     adaptive = config.adaptive_eq_enabled and not is_differential(mod)
@@ -950,7 +978,7 @@ def equalized_symbols(config: ModemConfig, mod: Modulation,
         st = carry
         sym, s_idx = xs
         fd, st = to_baseband_fd(config, st, sym, t0_data + s_idx * L,
-                                image_cancel=ic, taper=q256)
+                                image_cancel=ic, taper=taper)
         if has_pilots:
             st = update_channel_estimate(config, st, fd)
         eq, cnv = equalize(config, mod, st, fd)
@@ -1105,7 +1133,7 @@ def _demod_differential_parallel(config: ModemConfig, mod: Modulation,
 
 
 def _scan_data_symbols(config: ModemConfig, mod: Modulation, state: DemodState,
-                       data: jnp.ndarray, t0_base):
+                       data: jnp.ndarray, t0_base, front: str = "analytic"):
     """lax.scan over [B, S, L] data symbols starting at mixer time t0_base."""
     B, S, L = data.shape
     has_pilots = len(carriers_mod.carrier_map(config).pilot_idx) > 0
@@ -1113,7 +1141,9 @@ def _scan_data_symbols(config: ModemConfig, mod: Modulation, state: DemodState,
     adaptive = config.adaptive_eq_enabled and not is_differential(mod)
     Cd = len(carriers_mod.carrier_map(config).data_idx)
     q256 = _hi_order(mod)
-    ic = q256 and QAM256_RX == "real"
+    real = front == "real"
+    ic = (q256 and QAM256_RX == "real") and not real
+    taper = q256 and not real
 
     cm = carriers_mod.carrier_map(config)
 
@@ -1121,7 +1151,7 @@ def _scan_data_symbols(config: ModemConfig, mod: Modulation, state: DemodState,
         state = carry
         sym, s_idx = xs
         fd, state = to_baseband_fd(config, state, sym, t0_base + s_idx * L,
-                                   image_cancel=ic, taper=q256)
+                                   image_cancel=ic, taper=taper)
         if has_pilots:
             state = update_channel_estimate(config, state, fd)
         eq, cnv = equalize(config, mod, state, fd)

@@ -344,7 +344,8 @@ def hunt_for_codeword(config: ModemConfig, mod, samples, data_start: int,
 
 
 def decode_ofdm_cox(config: ModemConfig, mod, samples: jnp.ndarray,
-                    n_codewords: int, sync_threshold: float = 0.80):
+                    n_codewords: int, sync_threshold: float = 0.80,
+                    front: str = "analytic"):
     """Full streaming OFDM_COX RX for aligned-batch frames: detect preamble,
     then demodulate from data_start with unity channel estimate and pilot
     tracking (the streaming path never uses the LTS for channel estimation —
@@ -390,5 +391,5 @@ def decode_ofdm_cox(config: ModemConfig, mod, samples: jnp.ndarray,
     span = samples[:, start_lts - lead:end + tail]
     llrs, _ = demod_mod.demodulate_span(config, mod, span, det["cfo_hz"],
                                         0.0, n_lts=2, S=S,
-                                        lead=lead, tail=tail)
+                                        lead=lead, tail=tail, front=front)
     return llrs, det

@@ -238,6 +238,22 @@ def test_qam16_r23_long_frame_clean():
     assert all(oks), oks
 
 
+def test_real_front_qam16_r34_exact_at_zero_cfo():
+    """Real-passband front-end regression (engine REAL_FRONT_CFO_MAX_HZ):
+    at ~zero CFO the engine demodulates coherent pilot-plan frames from
+    the RAW real passband (the conjugate image is bin-orthogonal — the
+    reference demod's own front-end, measured ZERO sign errors at zero
+    noise), so QAM16 R3/4 long frames decode clean where the analytic
+    Hilbert front's DC-adjacent mask leakage corrupted 60-70% of them at
+    ANY SNR.  R3/4 stays out of the negotiation tables because a true
+    CFO above the crossover falls back to the analytic front where its
+    parity-free bits corrupt again."""
+    oks = [_long_loopback(Modulation.QAM16, CodeRate.R3_4, 26.0, t)
+           for t in range(4)]
+    assert all(oks), oks
+    assert _long_loopback(Modulation.QAM16, CodeRate.R3_4, 80.0, 1)
+
+
 def test_wideband_snr_survives_guarded_consume():
     """Estimator regression: on the NVIS profile the 1024 Cox search
     false-positives on the frame's own chirp preamble, fails decode, and
