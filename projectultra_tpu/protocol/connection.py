@@ -166,6 +166,10 @@ class Connection:
         self.arq.on_transmit = self._transmit
         self.arq.on_data_received = self._on_arq_data
         self.arq.on_send_complete = self._on_arq_send_complete
+        # FIFO of in-flight ARQ payload kinds ("msg"/"file"), one per
+        # accepted send_data: completions pop in the same order.
+        from collections import deque
+        self._send_kinds: "deque[str]" = deque()
 
         self._timer_ms = 0
         self._retry_count = 0
@@ -262,7 +266,10 @@ class Connection:
         if self.state != ConnectionState.CONNECTED:
             return False
         payload = bytes([int(PayloadType.TEXT_MESSAGE)]) + text.encode()
-        return self.arq.send_data(payload)
+        if self.arq.send_data(payload):
+            self._send_kinds.append("msg")
+            return True
+        return False
 
     def is_ready_to_send(self) -> bool:
         return (self.state == ConnectionState.CONNECTED
@@ -285,7 +292,8 @@ class Connection:
             flags = int(F.Flags.VERSION_V2)
             if self.file_transfer.has_more_chunks():
                 flags |= int(F.Flags.MORE_FRAG)
-            self.arq.send_data_with_flags(chunk, flags)
+            if self.arq.send_data_with_flags(chunk, flags):
+                self._send_kinds.append("file")
 
     # --- Mode negotiation -----------------------------------------------
 
@@ -517,6 +525,7 @@ class Connection:
     def _enter_connected(self):
         self.arq.set_callsigns(self.local_call, self.remote_call)
         self.arq.reset()
+        self._send_kinds.clear()
         self._keepalive_timer = KEEPALIVE_INTERVAL_MS
         self._keepalives_missed = 0
         self._set_state(ConnectionState.CONNECTED, self.remote_call)
@@ -540,13 +549,41 @@ class Connection:
             self.on_data_received(payload, self.arq.last_rx_more_data)
 
     def _on_arq_send_complete(self, success: bool):
-        if self.file_transfer.is_in_progress():
-            self.file_transfer.on_chunk_acked(success)
-            if success:
-                self._pump_file()
+        # Route by the SEND ORDER, not by is_in_progress(): successful
+        # ARQ completions fire in sequence order, and with the PIPELINED
+        # chunker a text message interleaved with in-flight file chunks
+        # would otherwise be miscounted as a chunk ACK — the transfer
+        # could report COMPLETE while its last chunk was still
+        # unacknowledged (and a later chunk failure would then be
+        # misrouted to on_message_sent).
+        if not success:
+            # Retry-exhaustion failures can fire OUT of order (per-slot
+            # timeout).  Match the pre-pipelining semantics: any failure
+            # during an active transfer aborts the transfer; drop one
+            # matching kind entry to keep the FIFO counts aligned.
+            if self.file_transfer.is_in_progress():
+                try:
+                    self._send_kinds.remove("file")
+                except ValueError:
+                    pass
+                self.file_transfer.on_chunk_acked(False)
+                return
+            try:
+                self._send_kinds.remove("msg")
+            except ValueError:
+                if self._send_kinds:
+                    self._send_kinds.popleft()
+            if self.on_message_sent:
+                self.on_message_sent(False)
+            return
+        kind = self._send_kinds.popleft() if self._send_kinds else (
+            "file" if self.file_transfer.is_in_progress() else "msg")
+        if kind == "file":
+            self.file_transfer.on_chunk_acked(True)
+            self._pump_file()
             return
         if self.on_message_sent:
-            self.on_message_sent(success)
+            self.on_message_sent(True)
 
     # --- Timing ------------------------------------------------------------
 

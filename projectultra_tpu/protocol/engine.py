@@ -121,13 +121,6 @@ class ProtocolEngine:
         meas = frame.wideband_snr_db if calibrated else frame.snr_db
         if meas and not skip_reading:
             self.connection.set_measured_snr(meas, frame.fade_spread_db)
-        if skip_reading:
-            self.modem.last_rx_waveform = frame.waveform
-            self.connection.on_frame_received(frame.frame_bytes)
-            self.modem.connected = self.connection.is_connected
-            self.modem.handshake_complete = \
-                self.connection.handshake_confirmed
-            return
         # Mid-session adaptation: the default controller's thresholds are
         # calibrated for OFDM pilot SNR (adaptive_mode.cpp:21-31) — MC-DPSK
         # training estimates live on a different scale and must not drive
@@ -153,7 +146,7 @@ class ProtocolEngine:
         else:
             ctrl_snr = frame.snr_db
             wf_ok = frame.waveform == WaveformMode.OFDM_COX
-        if ctrl_snr:
+        if ctrl_snr and not skip_reading:
             arq_idle = getattr(self.connection.arq, "in_flight", 0) == 0
             if self.connection.config.calibrated_snr:
                 # Outage-aware update: the calibrated controller penalizes

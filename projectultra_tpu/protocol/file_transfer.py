@@ -88,12 +88,16 @@ class FileTransferController:
         self.on_sent: Optional[Callable[[bool, str], None]] = None
         self.receive_dir = "."
         self.pipelined = pipelined
-        # Wire-legal up to MAX_PAYLOAD_V2 - 5; the reference's 250 stays
-        # the default.  Larger chunks amortize the per-frame preamble +
-        # per-chunk ACK audio that dominate session file throughput at
-        # high-order modes (each DATA frame costs a full Cox preamble and
-        # earns a full ACK frame of return audio regardless of size).
-        self.chunk_size = chunk_size
+        # Wire-legal up to MAX_PAYLOAD_V2 - 5 (clamped: an oversized
+        # chunk builds frames the RX engine silently drops via its
+        # total_cw bound, and the ARQ then retries to exhaustion with no
+        # hint of the cause).  The reference's 250 stays the default.
+        # Larger chunks amortize the per-frame preamble + per-chunk ACK
+        # audio that dominate session file throughput at high-order modes
+        # (each DATA frame costs a full Cox preamble and earns a full ACK
+        # frame of return audio regardless of size).
+        from .frame_v2 import MAX_PAYLOAD_V2
+        self.chunk_size = max(1, min(chunk_size, MAX_PAYLOAD_V2 - 5))
         self._reset_tx()
         self._reset_rx()
 
@@ -186,9 +190,13 @@ class FileTransferController:
         return bytes(out)
 
     def _data_payload(self) -> bytes:
+        from .frame_v2 import MAX_PAYLOAD_V2
+        # Re-clamp at use: chunk_size is a public attribute and direct
+        # assignment bypasses the constructor clamp.
+        n = max(1, min(self.chunk_size, MAX_PAYLOAD_V2 - 5))
         out = bytearray([int(PayloadType.FILE_DATA)])
         out += self._tx_offset.to_bytes(4, "big")
-        chunk = self._tx_data[self._tx_offset:self._tx_offset + self.chunk_size]
+        chunk = self._tx_data[self._tx_offset:self._tx_offset + n]
         out += chunk
         self._tx_offset += len(chunk)
         return bytes(out)

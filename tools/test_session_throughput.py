@@ -102,7 +102,11 @@ def run_session(profile, true_snr, n_bytes, warm_msgs=16, chunk=2000):
     with open(src, "wb") as f:
         f.write(rng.integers(0, 256, n_bytes, dtype=np.uint8).tobytes())
     received = []
-    b.connection.file_transfer.receive_dir = tmpdir
+    rxdir = os.path.join(tmpdir, "rx")
+    os.makedirs(rxdir, exist_ok=True)
+    # Separate receive dir: same-basename delivery into tmpdir would
+    # overwrite src and make the byte comparison vacuous.
+    b.connection.file_transfer.receive_dir = rxdir
     b.connection.file_transfer.on_received = \
         lambda path, ok: received.append((path, ok))
     if not a.connection.send_file(src):
@@ -132,12 +136,14 @@ def main():
                     help="comma list of profile_snr rows")
     ap.add_argument("--bytes", type=int, default=6000)
     ap.add_argument("--chunk", type=int, default=2000)
+    ap.add_argument("--tpu", action="store_true",
+                    help="run on the default (TPU) backend")
     args = ap.parse_args()
     import jax
     jax.config.update("jax_compilation_cache_dir",
                       "/tmp/jax_cache_projectultra")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    if "--tpu" not in sys.argv:
+    if not args.tpu:
         jax.config.update("jax_platforms", "cpu")
 
     print("=== session throughput (ARQ-inclusive over-the-air) ===")
