@@ -147,6 +147,74 @@ def test_connection_handshake_frame_level():
     assert a.state == ConnectionState.DISCONNECTED
 
 
+def test_pipelined_transfer_message_ack_not_miscounted(tmp_path):
+    """Regression (code review): with the PIPELINED chunker, a text
+    message's ACK arriving while file chunks are still outstanding must
+    route to on_message_sent, not on_chunk_acked — the old
+    is_in_progress() routing decremented the chunk counter and could
+    report the transfer COMPLETE with its last chunk unacknowledged."""
+    a, b = Connection(), Connection()
+    a.set_local_callsign("W1AW")
+    b.set_local_callsign("VE3ABC")
+    # Manual delivery queues so frames can be held in flight.
+    a_out, b_out = [], []
+    a.on_transmit = a_out.append
+    b.on_transmit = b_out.append
+    b.file_transfer.receive_dir = str(tmp_path / "rx")
+    (tmp_path / "rx").mkdir()
+    a.connect("VE3ABC")
+    # Drain the handshake synchronously.
+    for _ in range(6):
+        while a_out:
+            b.on_frame_received(a_out.pop(0))
+        while b_out:
+            a.on_frame_received(b_out.pop(0))
+        if a.is_connected and b.is_connected:
+            break
+        a.on_pong_received()
+    assert a.is_connected and b.is_connected
+    a_out.clear(), b_out.clear()
+
+    src = tmp_path / "payload.bin"
+    content = bytes(np.random.default_rng(3).integers(
+        0, 256, 480, dtype=np.uint8))  # 2 chunks at 250 B
+    src.write_bytes(content)
+    sent_events = []
+    msg_events = []
+    a.file_transfer.on_sent = lambda ok, msg: sent_events.append(ok)
+    a.on_message_sent = msg_events.append
+    received = []
+    b.file_transfer.on_received = lambda path, ok: received.append((path, ok))
+
+    # A message queued BEFORE the file: its completion (lowest seq) fires
+    # while file chunks are still outstanding.
+    assert a.send_message("before-transfer")
+    assert a.send_file(str(src))
+    # Pipelined pump queued FILE_START + both chunks behind the message.
+    assert len(a_out) >= 4
+    held_last = a_out.pop()       # hold the LAST chunk in flight
+    while a_out:                  # deliver the rest; ACKs flow back
+        b.on_frame_received(a_out.pop(0))
+    while b_out:
+        a.on_frame_received(b_out.pop(0))
+    # The message completed; the transfer must still be waiting on the
+    # held chunk — the old is_in_progress() routing counted the message
+    # ACK as a chunk ACK and fired on_sent(True) one chunk early here.
+    assert msg_events == [True]
+    assert not sent_events, "message ACK was miscounted as a chunk ACK"
+    assert a.file_transfer.is_in_progress()
+    assert not received
+
+    # Deliver the held last chunk: NOW the transfer completes.
+    b.on_frame_received(held_last)
+    while b_out:
+        a.on_frame_received(b_out.pop(0))
+    assert sent_events == [True]
+    assert received and received[0][1]
+    with open(received[0][0], "rb") as f:
+        assert f.read() == content
+
+
 def test_file_transfer_roundtrip(tmp_path):
     a, b = Connection(), Connection()
     a.set_local_callsign("W1AW")
