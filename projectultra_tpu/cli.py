@@ -91,10 +91,19 @@ def _profile_config(name: str):
     deviation so two CLI instances can run the 1024-FFT skywave profile
     without a settings file.  Unknown names keep the default config."""
     from . import config as C
-    fn = {"conservative": C.conservative, "balanced": C.balanced,
-          "turbo": C.turbo, "high_throughput": C.high_throughput,
-          "nvis": C.nvis_mode}.get(name)
-    return fn() if fn else None
+    # "balanced" maps to the engine's default config (what the CLI has
+    # always run), NOT config.balanced(), whose initial mod/rate fields
+    # differ from ModemConfig() defaults.
+    table = {"conservative": C.conservative, "balanced": lambda: None,
+             "turbo": C.turbo, "high_throughput": C.high_throughput,
+             "nvis": C.nvis_mode}
+    if name not in table:
+        # A typo'd profile silently running the default config would
+        # decode 0 frames from perfectly good audio — fail loudly.
+        print(f"Unknown profile: {name} "
+              f"(use {', '.join(sorted(table))})", file=sys.stderr)
+        raise SystemExit(1)
+    return table[name]()
 
 
 def _make_engine(profile: str):

@@ -336,6 +336,8 @@ class CalibratedAdaptiveController(AdaptiveModeController):
         self._pending_count = 0
         self._flat_frames = 0
         self._recent_snr: list[float] = []
+        self._ctrl_pending: tuple | None = None
+        self._ctrl_pending_count = 0
 
     @classmethod
     def recommend(cls, snr_db: float):
@@ -368,6 +370,65 @@ class CalibratedAdaptiveController(AdaptiveModeController):
                 self._flat_frames += 1
             elif span >= self.SCATTER_SPAN_DB:
                 self._flat_frames = 0
+            else:
+                # Ambiguous zone (1.5-3 dB trimmed span): DECAY rather
+                # than freeze — developing mild fading can sit here for
+                # the rest of a session, and a frozen open gate would
+                # keep a collapsed high-order mode forever (failed
+                # frames produce no readings to close it).  Decay gives
+                # hysteresis: one ambiguous window dents confidence,
+                # a sustained run closes the gate.
+                self._flat_frames = max(0, self._flat_frames - 1)
+
+    # Control-frame readings read up to ~6 dB HOT on the calibrated
+    # scale (DBPSK constellation power + per-transmission PAPR
+    # normalization — payload-dependent, so not correctable by a
+    # constant); they are excluded from normal updates.  But in a
+    # ONE-WAY session (file transfer: the sender receives only ACKs)
+    # they are the only feedback, and with them fully ignored a fading
+    # channel could never close an open high-order mode.  The reading
+    # is therefore used UNCORRECTED as an UPPER bound: a biased-HIGH
+    # reading that STILL recommends below the current mode is
+    # unambiguous downgrade evidence.  (A haircut was tried and made
+    # the path trigger-happy: the ladder rungs sit 4-6 dB apart, inside
+    # the bias uncertainty, and healthy 34 dB transfers got walked down
+    # two rungs by borderline ACK readings.)
+
+    def observe_control(self, snr_db: float,
+                        fade_spread_db: float = -1.0) -> bool:
+        """Downgrade-only update from a control-frame reading.  Returns
+        True when the downgrade debounce fires (mode switched)."""
+        eff = snr_db
+        if fade_spread_db is not None and fade_spread_db > 0.0:
+            eff -= max(0.0, fade_spread_db - 1.0)
+            if fade_spread_db >= self.FLAT_SPREAD_DB:
+                self._flat_frames = 0   # hard fading evidence still counts
+        # Gated recommendation: a session legitimately sitting in the
+        # flat-gated high-order ladder must not be "downgraded" by every
+        # healthy control reading just because the MAIN table tops out
+        # at QAM16 — while flat evidence stands, judge against the same
+        # ladder update() uses.  Fading evidence above closed the gate
+        # already, so the main table takes over exactly when it should.
+        rec = self._recommend_gated(eff)
+        cur_rank = self._throughput_rank(self.current_mod, self.current_rate)
+        if self._throughput_rank(*rec) >= cur_rank:
+            self._ctrl_pending, self._ctrl_pending_count = None, 0
+            return False                # never upgrade on a hot reading
+        # OWN debounce state: sharing update()'s _pending would let a
+        # single low control reading clobber a data-reading upgrade in
+        # progress (observed: the NVIS climb stalled at QAM16 because an
+        # ACK reading reset the 4-count QAM256 pending every few frames).
+        if self._ctrl_pending == rec:
+            self._ctrl_pending_count += 1
+        else:
+            self._ctrl_pending, self._ctrl_pending_count = rec, 1
+        if self._ctrl_pending_count >= 2:   # downgrade debounce, as update()
+            self.current_mod, self.current_rate = rec
+            self.frames_at_current = 0
+            self._ctrl_pending, self._ctrl_pending_count = None, 0
+            self._pending, self._pending_count = None, 0
+            return True
+        return False
 
     def _recommend_gated(self, snr_db: float):
         """High-order ladder first when flat evidence is in, main table

@@ -146,6 +146,19 @@ class ProtocolEngine:
         else:
             ctrl_snr = frame.snr_db
             wf_ok = frame.waveform == WaveformMode.OFDM_COX
+        if skip_reading and frame.wideband_snr_db:
+            # One-way sessions (file transfer: the sender receives only
+            # ACKs) must not go feedback-blind: control-frame readings
+            # feed a DOWNGRADE-ONLY path (haircut by their hot bias —
+            # adaptive.observe_control) so a fading channel can still
+            # close an open high-order mode mid-transfer.
+            if (self.adaptive_enabled and self.connection.is_connected
+                    and self.connection.is_initiator
+                    and hasattr(self.adaptive, "observe_control")
+                    and self.adaptive.observe_control(
+                        frame.wideband_snr_db, frame.fade_spread_db)):
+                self.connection.request_mode_change(
+                    self.adaptive.current_mod, self.adaptive.current_rate)
         if ctrl_snr and not skip_reading:
             arq_idle = getattr(self.connection.arq, "in_flight", 0) == 0
             if self.connection.config.calibrated_snr:

@@ -154,6 +154,55 @@ def test_adaptive_controller_truth_table_vs_reference():
             assert int(switched) == int(g_sw), ln
 
 
+def test_control_reading_downgrade_only():
+    """Control-frame readings (hot-biased, see
+    CalibratedAdaptiveController.CONTROL_READING_BIAS_DB) must never
+    upgrade but must close a too-high mode in a one-way session where
+    they are the only feedback."""
+    from projectultra_tpu.modem.adaptive import CalibratedAdaptiveController
+
+    c = CalibratedAdaptiveController()
+    # Climb to QAM16 R2/3 on honest data readings.
+    for _ in range(10):
+        c.update(22.0, 0.2)
+    assert (c.current_mod, c.current_rate) == \
+        (Modulation.QAM16, CodeRate.R2_3)
+
+    # Hot control readings at high SNR: no upgrade, ever.
+    for _ in range(10):
+        assert not c.observe_control(40.0, 0.2)
+    assert (c.current_mod, c.current_rate) == \
+        (Modulation.QAM16, CodeRate.R2_3)
+
+    # Channel degrades mid-transfer: even the hot-biased control
+    # readings drop to 18 dB with fading spread (outage-penalized to
+    # ~14) — an upper bound below the current mode's threshold is
+    # unambiguous, and the downgrade fires within the 2-reading
+    # debounce.
+    fired = [c.observe_control(18.0, 5.0) for _ in range(3)]
+    assert any(fired)
+    from projectultra_tpu.config import bits_per_symbol, code_rate_value
+    rank = bits_per_symbol(c.current_mod) * code_rate_value(c.current_rate)
+    assert rank < bits_per_symbol(Modulation.QAM16) * code_rate_value(
+        CodeRate.R2_3)
+
+
+def test_flat_evidence_decays_in_ambiguous_zone():
+    """A trimmed span between STABLE and SCATTER must DECAY flat
+    evidence (developing mild fading), not freeze an open gate."""
+    from projectultra_tpu.modem.adaptive import CalibratedAdaptiveController
+
+    c = CalibratedAdaptiveController()
+    for _ in range(12):
+        c.update(35.0, -1.0)     # stable readings open the gate
+    assert c._flat_frames >= 3
+    # Readings now alternate over a ~2 dB span (trimmed span in the
+    # ambiguous zone): evidence decays to zero instead of freezing.
+    for i in range(16):
+        c.update(33.0 + 2.0 * (i % 2), -1.0)
+    assert c._flat_frames == 0
+
+
 def test_calibrated_high_order_flat_gate():
     """Round-3 high-order ladder: QAM64/QAM256 R2/3 rows engage ONLY after
     sustained proven-flat fade readings; fading or unknown spread keeps the
