@@ -430,6 +430,27 @@ class CalibratedAdaptiveController(AdaptiveModeController):
             return True
         return False
 
+    def step_down(self) -> bool:
+        """Drop exactly one ladder rung (ARQ-stall evidence: the sender's
+        frames are being retransmitted with no ACKs at all, so no reading
+        will ever arrive to drive update()/observe_control — the retry
+        pattern itself is the downgrade signal).  Candidates come from
+        the main table plus the active high-order ladder; returns False
+        when already at the bottom."""
+        rows = {(m, r) for _, m, r in list(self.TABLE) + list(self._high_table)}
+        rows.add((Modulation.DBPSK, CodeRate.R1_4))
+        cur = self._throughput_rank(self.current_mod, self.current_rate)
+        below = [(self._throughput_rank(m, r), m, r)
+                 for m, r in rows if self._throughput_rank(m, r) < cur]
+        if not below:
+            return False
+        _, m, r = max(below)
+        self.current_mod, self.current_rate = m, r
+        self.frames_at_current = 0
+        self._pending, self._pending_count = None, 0
+        self._ctrl_pending, self._ctrl_pending_count = None, 0
+        return True
+
     def _recommend_gated(self, snr_db: float):
         """High-order ladder first when flat evidence is in, main table
         otherwise."""

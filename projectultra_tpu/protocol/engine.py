@@ -22,6 +22,10 @@ from .frame_v2 import WaveformMode
 
 
 class ProtocolEngine:
+    # Retransmissions with zero ACK progress before the ARQ-stall
+    # fallback steps the data mode down one rung (see tick()).
+    STALL_RETRIES = 4
+
     def __init__(self, modem: ModemEngine | None = None,
                  config: ConnectionConfig | None = None):
         self.modem = modem or ModemEngine()
@@ -38,6 +42,9 @@ class ProtocolEngine:
         self.on_tx_audio: Optional[Callable[[np.ndarray], None]] = None
         self._tx_queue: list = []
         self._tx_draining = False
+        # ARQ-stall fallback state: (acks_received, retransmissions)
+        # snapshot at the last ACK progress or mode step-down (see tick).
+        self._stall_base: tuple | None = None
 
         self.connection.on_transmit = self._tx_frame
         self.connection.on_ping_tx = self._tx_ping
@@ -231,3 +238,26 @@ class ProtocolEngine:
 
     def tick(self, elapsed_ms: int):
         self.connection.tick(elapsed_ms)
+        # ARQ-stall mode fallback (calibrated sessions): when the channel
+        # degrades below the current mode's envelope mid-transfer, the
+        # peer decodes nothing, sends no ACKs, and NO reading ever
+        # arrives to drive adaptation — the session would retry at the
+        # dead mode until exhaustion.  The retry pattern itself is the
+        # evidence: STALL_RETRIES retransmissions with zero ACK progress
+        # steps the data mode down one ladder rung.  Resets on any ACK.
+        if (self.connection.config.calibrated_snr and self.adaptive_enabled
+                and self.connection.is_connected
+                and self.connection.is_initiator
+                and hasattr(self.adaptive, "step_down")):
+            st = getattr(self.connection.arq, "stats", None)
+            if st is not None:
+                acks = st.acks_received
+                retx = st.retransmissions
+                if self._stall_base is None or acks != self._stall_base[0]:
+                    self._stall_base = (acks, retx)
+                elif retx - self._stall_base[1] >= self.STALL_RETRIES:
+                    if self.adaptive.step_down():
+                        self.connection.request_mode_change(
+                            self.adaptive.current_mod,
+                            self.adaptive.current_rate)
+                    self._stall_base = (acks, retx)

@@ -254,6 +254,88 @@ def test_real_front_qam16_r34_exact_at_zero_cfo():
     assert _long_loopback(Modulation.QAM16, CodeRate.R3_4, 80.0, 1)
 
 
+def test_one_way_transfer_downgrades_when_fading_develops():
+    """A one-way file transfer (the sender hears only ACKs) must not
+    freeze at a high-order mode when fading develops mid-transfer: the
+    downgrade-only control-reading path (adaptive.observe_control) is
+    the only feedback and has to close the gate."""
+    from projectultra_tpu.config import nvis_mode
+    from projectultra_tpu.protocol.engine import ProtocolEngine
+    from projectultra_tpu.sim import watterson as W
+    from projectultra_tpu.config import bits_per_symbol, code_rate_value
+
+    key = jax.random.PRNGKey(11)
+    counter = [0]
+    state = {"snr": 34.0, "fade": False}
+
+    def channel(audio):
+        counter[0] += 1
+        a = jnp.asarray(np.concatenate(
+            [np.zeros(2000, np.float32), audio,
+             np.zeros(4000, np.float32)])[None, :])
+        k = jax.random.fold_in(key, counter[0])
+        if state["fade"]:
+            a = W.watterson(k, a, W.PRESETS["moderate"](state["snr"]))
+        else:
+            a = W.add_noise_active(k, a, state["snr"])
+        return np.asarray(a)[0]
+
+    a = ProtocolEngine(ModemEngine(config=nvis_mode()))
+    b = ProtocolEngine(ModemEngine(config=nvis_mode()))
+    for e in (a, b):
+        e.connection.config.calibrated_snr = True
+    a.connection.set_local_callsign("W1AW")
+    b.connection.set_local_callsign("VE3ABC")
+    b.connection.set_measured_snr(34.0)
+    a.on_tx_audio = lambda audio: b.feed_audio(channel(audio))
+    b.on_tx_audio = lambda audio: a.feed_audio(channel(audio))
+    got_a, got_b = [], []
+    a.connection.on_message_received = got_a.append
+    b.connection.on_message_received = got_b.append
+    assert a.connect("VE3ABC")
+
+    # Climb into the ladder on clean readings.
+    ia = ib = 0
+    for _ in range(300):
+        if ia < 14 and a.send_message(f"a{ia:02d}"):
+            ia += 1
+        if ib < 14 and b.send_message(f"b{ib:02d}"):
+            ib += 1
+        a.tick(5000)
+        b.tick(5000)
+        if ia >= 14 and ib >= 14 and len(got_a) >= 14 and len(got_b) >= 14:
+            break
+    rank0 = bits_per_symbol(a.modem.data_modulation) * code_rate_value(
+        a.modem.data_code_rate)
+    assert rank0 > 4.0, "session should be in the high-order ladder"
+
+    # Fading develops at a level where ROBUST control frames still
+    # decode (Cox under fading needs ~19+ dB true) but the high-order
+    # fade envelope has collapsed; a one-way transfer starts (only ACKs
+    # flow back).  Harsher fades kill ALL feedback and are a keepalive/
+    # disconnect scenario, not an adaptation one.
+    state["snr"], state["fade"] = 22.0, True
+    import tempfile, os
+    rng = np.random.default_rng(9)
+    tmpdir = tempfile.mkdtemp()
+    src = os.path.join(tmpdir, "oneway.bin")
+    with open(src, "wb") as f:
+        f.write(rng.integers(0, 256, 2000, dtype=np.uint8).tobytes())
+    assert a.connection.send_file(src)
+    for _ in range(60):
+        a.tick(5000)
+        b.tick(5000)
+        rank = bits_per_symbol(a.modem.data_modulation) * code_rate_value(
+            a.modem.data_code_rate)
+        if rank <= 4.0:
+            break
+    rank = bits_per_symbol(a.modem.data_modulation) * code_rate_value(
+        a.modem.data_code_rate)
+    assert rank <= 4.0, \
+        f"mode froze at {a.modem.data_modulation.name}/" \
+        f"{a.modem.data_code_rate.name} under developed fading"
+
+
 def test_wideband_snr_survives_guarded_consume():
     """Estimator regression: on the NVIS profile the 1024 Cox search
     false-positives on the frame's own chirp preamble, fails decode, and
