@@ -165,7 +165,20 @@ class SelectiveRepeatARQ(_ARQBase):
 
     SACK = ACK frame with seq = rx_base-1 (cumulative) and payload[2] = an
     8-bit bitmap of received frames at rx_base+i (sendSack, :278-295).
-    """
+
+    Beyond-reference deviation (wire-identical): ``sack_every`` > 1
+    coalesces SACKs — every SACK frame is a full preamble + codeword of
+    return audio, and with the pipelined file chunker one per data frame
+    is ~30% of channel time at high-order modes.  The cumulative base +
+    bitmap already acknowledges everything received, so the receiver may
+    send one SACK per N in-order arrivals; a GAP in the window (out-of-
+    order arrival) still SACKs immediately (that SACK is the sender's
+    fast-retransmit signal), and tick() flushes a pending SACK after
+    ``sack_holdoff_ms`` so the final frames of a burst are never
+    starved.  Default 1 = reference-exact per-frame SACKs."""
+
+    sack_every = 1
+    sack_holdoff_ms = 4000
 
     mode = ARQMode.SELECTIVE_REPEAT
     MAX_WINDOW = 8
@@ -178,6 +191,8 @@ class SelectiveRepeatARQ(_ARQBase):
         W = self.MAX_WINDOW
         self.tx_window = [dict(active=False, frame=b"", seq=0, timeout=0,
                                retries=0, acked=False) for _ in range(W)]
+        self._sack_pending = 0
+        self._sack_timer = self.sack_holdoff_ms
         self.rx_window = [dict(received=False, seq=0, payload=b"", flags=0)
                           for _ in range(W)]
         self.tx_base = 0
@@ -254,7 +269,15 @@ class SelectiveRepeatARQ(_ARQBase):
                     self._advance_rx()
                 else:
                     self.stats.out_of_order += 1
-        self._send_sack()
+        self._sack_pending += 1
+        # A non-empty bitmap = a hole in the window (the sender's fast-
+        # retransmit signal); rx_base jumping past seq+1 = a hole just
+        # healed.  Both SACK immediately regardless of coalescing.
+        gap = self._build_rx_bitmap() != 0 or self.rx_base != (
+            (frame.seq + 1) & 0xFFFF)
+        if self.sack_every <= 1 or self._sack_pending >= self.sack_every \
+                or gap:
+            self._send_sack()
 
     def _advance_rx(self):
         while True:
@@ -276,6 +299,8 @@ class SelectiveRepeatARQ(_ARQBase):
         return bitmap
 
     def _send_sack(self):
+        self._sack_pending = 0
+        self._sack_timer = self.sack_holdoff_ms
         bitmap = self._build_rx_bitmap()
         sack = F.ControlFrame.make_nack(self.local_call, self.remote_call,
                                         (self.rx_base - 1) & 0xFFFF, bitmap)
@@ -332,6 +357,13 @@ class SelectiveRepeatARQ(_ARQBase):
                     self._retransmit(slot)
                 else:
                     s["timeout"] -= elapsed_ms
+        # Coalesced-SACK holdoff flush (no-op at sack_every=1: _send_sack
+        # always zeroed the counter on the receive path).
+        if self._sack_pending > 0:
+            if elapsed_ms >= self._sack_timer:
+                self._send_sack()
+            else:
+                self._sack_timer -= elapsed_ms
 
 
 def create_arq(mode: ARQMode, config: ARQConfig | None = None) -> _ARQBase:

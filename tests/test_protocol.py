@@ -147,6 +147,62 @@ def test_connection_handshake_frame_level():
     assert a.state == ConnectionState.DISCONNECTED
 
 
+def test_sack_coalescing_counts_and_gap_flush(tmp_path):
+    """sack_every=3 must send one SACK per 3 in-order data frames, SACK
+    immediately on a window gap (the sender's fast-retransmit signal),
+    and still deliver everything; the cumulative base+bitmap wire format
+    is unchanged."""
+    cfg = ARQConfig(window_size=4)
+    tx = SelectiveRepeatARQ(cfg)
+    rx = SelectiveRepeatARQ(cfg)
+    rx.sack_every = 3
+    tx.set_callsigns("W1AW", "VE3ABC")
+    rx.set_callsigns("VE3ABC", "W1AW")
+    sent, delivered = [], []
+    tx.on_transmit = sent.append
+    rx.on_transmit = lambda f: tx.on_frame_received(f)
+    rx.on_data_received = delivered.append
+
+    # Three in-order frames -> exactly ONE SACK.
+    for i in range(3):
+        assert tx.send_data(bytes([i]))
+    assert len(sent) == 3
+    s0 = rx.stats.sacks_sent
+    for f in sent[:3]:
+        rx.on_frame_received(f)
+    assert rx.stats.sacks_sent - s0 == 1
+    assert delivered == [bytes([0]), bytes([1]), bytes([2])]
+    assert tx.in_flight == 0
+
+    # A dropped frame: the out-of-order arrival SACKs IMMEDIATELY (gap
+    # bitmap = fast-retransmit signal), and recovery completes.
+    sent.clear()
+    for i in range(3, 6):
+        assert tx.send_data(bytes([i]))
+    dropped = sent[0]
+    s1 = rx.stats.sacks_sent
+    rx.on_frame_received(sent[1])      # out of order -> immediate SACK
+    assert rx.stats.sacks_sent - s1 == 1
+    rx.on_frame_received(sent[2])      # still a hole -> immediate SACK
+    assert rx.stats.sacks_sent - s1 == 2
+    rx.on_frame_received(dropped)      # hole heals -> immediate SACK
+    assert delivered[-3:] == [bytes([3]), bytes([4]), bytes([5])]
+    assert tx.in_flight == 0
+
+    # Holdoff flush: 2 in-order frames (below sack_every) then tick past
+    # sack_holdoff_ms -> the pending SACK flushes.
+    sent.clear()
+    for i in range(6, 8):
+        assert tx.send_data(bytes([i]))
+    s2 = rx.stats.sacks_sent
+    for f in sent:
+        rx.on_frame_received(f)
+    assert rx.stats.sacks_sent - s2 == 0   # coalescing held it back
+    rx.tick(rx.sack_holdoff_ms + 1)
+    assert rx.stats.sacks_sent - s2 == 1
+    assert tx.in_flight == 0
+
+
 def test_pipelined_transfer_message_ack_not_miscounted(tmp_path):
     """Regression (code review): with the PIPELINED chunker, a text
     message's ACK arriving while file chunks are still outstanding must

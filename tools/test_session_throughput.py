@@ -96,6 +96,10 @@ def run_session(profile, true_snr, n_bytes, warm_msgs=16, chunk=2000):
 
     # Timed region: one file of incompressible bytes a -> b.
     a.connection.file_transfer.chunk_size = chunk
+    # Receiver-side SACK coalescing (wire-identical, see arq.py): one
+    # SACK per 3 in-order chunks instead of per frame — every SACK costs
+    # a full preamble + codeword of return audio.
+    b.connection.arq.sack_every = 3
     rng = np.random.default_rng(7)
     tmpdir = tempfile.mkdtemp()
     src = os.path.join(tmpdir, "payload.bin")
