@@ -142,14 +142,25 @@ def main():
         else:
             # Per-realization sync: fading shifts each lane's fine timing,
             # so decode_ofdm_cox (shared data_start) runs one lane at a time.
+            # Pilot plans decode through the REAL front at the rows' zero
+            # CFO, matching the engine's front pick (|cfo| <= 2 Hz).
+            front = "real" if len(cm.pilot_idx) else "analytic"
             llrs = jnp.concatenate(
-                [SC.decode_ofdm_cox(cfg, mod, rx[i:i + 1], ncw)[0]
+                [SC.decode_ofdm_cox(cfg, mod, rx[i:i + 1], ncw,
+                                    front=front)[0]
                  for i in range(rx.shape[0])])
         reps_n = np.asarray(llrs).shape[0]
         blocks = np.asarray(llrs)[:, :ncw * code.n].reshape(reps_n * ncw, code.n)
         deint = blocks[:, ci.perm]
-        out, ok, _ = ldpc_ops.decode(code, jnp.asarray(deint))
-        decode = float(np.asarray(ok).mean())
+        out, ok, _ = ldpc_ops.decode(code, jnp.asarray(deint),
+                                     trap_escape=True)
+        # BIT-EXACT gate, not just cw_ok: parity-free info bits (R3/4,
+        # R5/6) can corrupt with the syndrome satisfied, and a
+        # cw_ok-only metric reported such rows at 100%.
+        exp = np.broadcast_to(info.reshape(1, ncw, code.k),
+                              (reps_n, ncw, code.k)).reshape(-1, code.k)
+        bit_ok = (np.asarray(out) == exp.astype(np.uint8)).all(-1)
+        decode = float((np.asarray(ok) & bit_ok).mean())
         theory = cfg.theoretical_throughput(mod, rate)
         print(f"{label:<32} {payload_bits // 8:>7}B {audio_s:>7.2f}s "
               f"{bps:>7.0f} {theory:>7.0f} {decode:>6.0%}")
