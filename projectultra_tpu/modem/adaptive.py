@@ -319,12 +319,32 @@ class CalibratedAdaptiveController(AdaptiveModeController):
                        (26.0, Modulation.QAM256, CodeRate.R2_3),
                        (20.0, Modulation.QAM64, CodeRate.R5_6)]
 
-    def __init__(self, high_table: list | None = None):
+    # EXACT ladder for the 512 pilot profile, gated on flat evidence AND
+    # sustained low-CFO evidence: the engine's real-passband front is
+    # bit-exact at |cfo| <= 2 Hz (docs/PERF.md "Real passband
+    # front-end"), which clears the analytic ICI floor that kept R5/6
+    # off this plan — measured 400-byte random-payload envelopes through
+    # the full streaming engine: QAM64 R5/6 clean from 24 dB (20/20),
+    # QAM256 R5/6 from 28 (20/20 at 30).  Above the front crossover the
+    # analytic fallback re-exposes the parity-free bits, so these rows
+    # demand LOWCFO_FRAMES consecutive detections at |cfo| <=
+    # LOWCFO_MAX_HZ (margin under the 2 Hz crossover); drift past it
+    # tears the gate down and the flat-gated R2/3 ladder resumes.
+    EXACT_TABLE = [(30.0, Modulation.QAM256, CodeRate.R5_6),
+                   (24.0, Modulation.QAM64, CodeRate.R5_6)]
+    LOWCFO_MAX_HZ = 1.5
+    LOWCFO_FRAMES = 3
+
+    def __init__(self, high_table: list | None = None,
+                 exact_table: list | None = None):
         """``high_table`` selects the flat-gated ladder (profile-aware:
         see ``high_order_table``); defaults to the engine 512-profile
-        HIGH_TABLE."""
+        HIGH_TABLE.  ``exact_table`` adds the low-CFO exact ladder on
+        top (see EXACT_TABLE; empty by default — ProtocolEngine enables
+        it for pilot plans via ``exact_order_table``)."""
         self._high_table = self.HIGH_TABLE if high_table is None \
             else high_table
+        self._exact_table = [] if exact_table is None else exact_table
         super().__init__()
 
     def reset(self):
@@ -338,6 +358,7 @@ class CalibratedAdaptiveController(AdaptiveModeController):
         self._recent_snr: list[float] = []
         self._ctrl_pending: tuple | None = None
         self._ctrl_pending_count = 0
+        self._lowcfo_frames = 0
 
     @classmethod
     def recommend(cls, snr_db: float):
@@ -437,7 +458,8 @@ class CalibratedAdaptiveController(AdaptiveModeController):
         pattern itself is the downgrade signal).  Candidates come from
         the main table plus the active high-order ladder; returns False
         when already at the bottom."""
-        rows = {(m, r) for _, m, r in list(self.TABLE) + list(self._high_table)}
+        rows = {(m, r) for _, m, r in (list(self.TABLE) + list(self._high_table)
+                                       + list(self._exact_table))}
         rows.add((Modulation.DBPSK, CodeRate.R1_4))
         cur = self._throughput_rank(self.current_mod, self.current_rate)
         below = [(self._throughput_rank(m, r), m, r)
@@ -452,9 +474,13 @@ class CalibratedAdaptiveController(AdaptiveModeController):
         return True
 
     def _recommend_gated(self, snr_db: float):
-        """High-order ladder first when flat evidence is in, main table
-        otherwise."""
+        """Exact ladder (flat + low-CFO evidence), then high-order ladder
+        (flat evidence), then the main table."""
         if self._flat_frames >= self.FLAT_FRAMES:
+            if self._exact_table and self._lowcfo_frames >= self.LOWCFO_FRAMES:
+                for thresh, mod, rate in self._exact_table:
+                    if snr_db > thresh:
+                        return mod, rate
             for thresh, mod, rate in self._high_table:
                 if snr_db > thresh:
                     return mod, rate
@@ -465,7 +491,8 @@ class CalibratedAdaptiveController(AdaptiveModeController):
         from ..config import bits_per_symbol, code_rate_value
         return bits_per_symbol(mod) * code_rate_value(rate)
 
-    def update(self, snr_db: float, fade_spread_db: float = -1.0) -> bool:
+    def update(self, snr_db: float, fade_spread_db: float = -1.0,
+               cfo_hz: float | None = None) -> bool:
         """Outage-SNR tracking with asymmetric debounce.
 
         On the TRUE wideband scale, per-frame readings under fading
@@ -487,6 +514,10 @@ class CalibratedAdaptiveController(AdaptiveModeController):
         if fade_spread_db is not None and fade_spread_db > 0.0:
             eff = snr_db - max(0.0, fade_spread_db - 1.0)
         self._update_flat_evidence(snr_db, fade_spread_db)
+        if cfo_hz is not None:
+            self._lowcfo_frames = (self._lowcfo_frames + 1
+                                   if abs(cfo_hz) <= self.LOWCFO_MAX_HZ
+                                   else 0)
         self._ema_snr = eff if self._ema_snr is None \
             else 0.7 * self._ema_snr + 0.3 * eff
         rec = self._recommend_gated(self._ema_snr)
@@ -522,3 +553,18 @@ def high_order_table(config) -> list:
     if config.fft_size >= 1024 and not config.use_pilots:
         return CalibratedAdaptiveController.NVIS_HIGH_TABLE
     return CalibratedAdaptiveController.HIGH_TABLE
+
+
+def exact_order_table(config) -> list:
+    """Low-CFO exact ladder (CalibratedAdaptiveController.EXACT_TABLE):
+    pilot plans only — the real-passband front that makes these rows
+    bit-exact is an engine pick for pilot plans at small CFO; the NVIS
+    no-pilot profile keeps its own R5/6 rows in NVIS_HIGH_TABLE."""
+    if len(_carrier_pilots(config)) > 0:
+        return CalibratedAdaptiveController.EXACT_TABLE
+    return []
+
+
+def _carrier_pilots(config):
+    from ..ofdm import carriers as carriers_mod
+    return carriers_mod.carrier_map(config).pilot_idx

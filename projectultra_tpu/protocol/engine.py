@@ -141,13 +141,15 @@ class ProtocolEngine:
         # costs a retry round per frame.
         if self.connection.config.calibrated_snr:
             from ..modem.adaptive import (CalibratedAdaptiveController,
-                                          high_order_table)
+                                          high_order_table,
+                                          exact_order_table)
             if not isinstance(self.adaptive, CalibratedAdaptiveController):
-                # Profile-aware flat-gated ladder: an NVIS-profile modem
-                # may climb to QAM64/QAM256 R5/6 (measured envelopes),
-                # the 512 pilot profile stops at R2/3 (ICI floor).
+                # Profile-aware ladders: NVIS climbs its own R5/6 rows;
+                # pilot plans get the flat-gated R2/3 ladder plus the
+                # low-CFO EXACT ladder (real-front R5/6 rows).
                 self.adaptive = CalibratedAdaptiveController(
-                    high_table=high_order_table(self.modem.config))
+                    high_table=high_order_table(self.modem.config),
+                    exact_table=exact_order_table(self.modem.config))
             ctrl_snr = frame.wideband_snr_db
             wf_ok = True
         else:
@@ -170,10 +172,12 @@ class ProtocolEngine:
             arq_idle = getattr(self.connection.arq, "in_flight", 0) == 0
             if self.connection.config.calibrated_snr:
                 # Outage-aware update: the calibrated controller penalizes
-                # the reading by the frame's measured fade spread.
+                # the reading by the frame's measured fade spread; the
+                # detected CFO feeds the exact-ladder low-CFO gate.
                 def _upd():
                     return self.adaptive.update(ctrl_snr,
-                                                frame.fade_spread_db)
+                                                frame.fade_spread_db,
+                                                cfo_hz=frame.cfo_hz)
             else:
                 def _upd():
                     return self.adaptive.update(ctrl_snr)

@@ -254,6 +254,94 @@ def test_real_front_qam16_r34_exact_at_zero_cfo():
     assert _long_loopback(Modulation.QAM16, CodeRate.R3_4, 80.0, 1)
 
 
+def test_exact_ladder_requires_flat_and_low_cfo():
+    """The 512 exact ladder (real-front R5/6 rows) needs BOTH sustained
+    flat evidence AND sustained low-CFO evidence; losing either closes
+    it back to the R2/3 ladder."""
+    from projectultra_tpu.modem.adaptive import (
+        CalibratedAdaptiveController, exact_order_table)
+    from projectultra_tpu.config import ModemConfig, nvis_mode
+
+    assert exact_order_table(ModemConfig()) \
+        == CalibratedAdaptiveController.EXACT_TABLE
+    assert exact_order_table(nvis_mode()) == []
+
+    mk = lambda: CalibratedAdaptiveController(
+        exact_table=CalibratedAdaptiveController.EXACT_TABLE)
+    # Flat + low CFO: climbs to QAM256 R5/6 at 32 dB.
+    c = mk()
+    for _ in range(20):
+        c.update(32.0, 0.2, cfo_hz=0.3)
+    assert (c.current_mod, c.current_rate) == \
+        (Modulation.QAM256, CodeRate.R5_6)
+    # Flat but CFO beyond the gate: stops at the R2/3 ladder.
+    c = mk()
+    for _ in range(20):
+        c.update(32.0, 0.2, cfo_hz=3.0)
+    assert (c.current_mod, c.current_rate) == \
+        (Modulation.QAM256, CodeRate.R2_3)
+    # CFO drifting out mid-session closes the exact rows again.
+    c = mk()
+    for _ in range(20):
+        c.update(32.0, 0.2, cfo_hz=0.3)
+    for _ in range(10):
+        c.update(32.0, 0.2, cfo_hz=4.0)
+    assert (c.current_mod, c.current_rate) == \
+        (Modulation.QAM256, CodeRate.R2_3)
+
+
+def test_512_session_negotiates_qam256_r56_exact_ladder():
+    """Default-profile (512 pilot plan) session at 32 dB flat AWGN with
+    ~0 CFO: the exact ladder carries auto-negotiation to QAM256 R5/6 —
+    a rank the analytic ICI floor made impossible on this plan."""
+    from projectultra_tpu.protocol.engine import ProtocolEngine
+    from projectultra_tpu.protocol.frame_v2 import WaveformMode as WM
+    from projectultra_tpu.sim import watterson as W
+
+    true_snr = 32.0
+    key = jax.random.PRNGKey(21)
+    counter = [0]
+
+    def channel(audio):
+        counter[0] += 1
+        a = jnp.asarray(np.concatenate(
+            [np.zeros(2000, np.float32), audio,
+             np.zeros(4000, np.float32)])[None, :])
+        k = jax.random.fold_in(key, counter[0])
+        return np.asarray(W.add_noise_active(k, a, true_snr))[0]
+
+    a, b = ProtocolEngine(), ProtocolEngine()
+    for e in (a, b):
+        e.connection.config.calibrated_snr = True
+    a.connection.set_local_callsign("W1AW")
+    b.connection.set_local_callsign("VE3ABC")
+    b.connection.set_measured_snr(true_snr)
+    a.on_tx_audio = lambda audio: b.feed_audio(channel(audio))
+    b.on_tx_audio = lambda audio: a.feed_audio(channel(audio))
+    got_a, got_b = [], []
+    a.connection.on_message_received = got_a.append
+    b.connection.on_message_received = got_b.append
+    assert a.connect("VE3ABC")
+    assert b.connection.negotiated_mode == WM.OFDM_COX
+
+    n = 14
+    ia = ib = 0
+    for _ in range(300):
+        if ia < n and a.send_message(f"a{ia:02d}"):
+            ia += 1
+        if ib < n and b.send_message(f"b{ib:02d}"):
+            ib += 1
+        a.tick(5000)
+        b.tick(5000)
+        if (ia >= n and ib >= n
+                and len(got_a) >= n and len(got_b) >= n):
+            break
+    assert got_b == [f"a{i:02d}" for i in range(n)]
+    assert got_a == [f"b{i:02d}" for i in range(n)]
+    assert (a.modem.data_modulation, a.modem.data_code_rate) == \
+        (Modulation.QAM256, CodeRate.R5_6)
+
+
 def test_one_way_transfer_downgrades_when_fading_develops():
     """A one-way file transfer (the sender hears only ACKs) must not
     freeze at a high-order mode when fading develops mid-transfer: the
