@@ -89,7 +89,7 @@ def _profile_config(name: str):
     through its settings system (types.hpp speed profiles + the NVIS
     preset), not CLI flags; surfacing them on ptx/prx is a documented
     deviation so two CLI instances can run the 1024-FFT skywave profile
-    without a settings file.  Unknown names keep the default config."""
+    without a settings file.  Unknown names exit with an error."""
     from . import config as C
     # "balanced" maps to the engine's default config (what the CLI has
     # always run), NOT config.balanced(), whose initial mod/rate fields

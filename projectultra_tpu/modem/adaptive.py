@@ -452,14 +452,18 @@ class CalibratedAdaptiveController(AdaptiveModeController):
         return False
 
     def step_down(self) -> bool:
-        """Drop exactly one ladder rung (ARQ-stall evidence: the sender's
-        frames are being retransmitted with no ACKs at all, so no reading
-        will ever arrive to drive update()/observe_control — the retry
-        pattern itself is the downgrade signal).  Candidates come from
-        the main table plus the active high-order ladder; returns False
-        when already at the bottom."""
-        rows = {(m, r) for _, m, r in (list(self.TABLE) + list(self._high_table)
-                                       + list(self._exact_table))}
+        """Drop to the next-lower ALWAYS-SAFE row (ARQ-stall evidence:
+        the sender's frames are being retransmitted with no ACKs at all,
+        so no reading will ever arrive to drive update()/
+        observe_control — the retry pattern itself is the downgrade
+        signal).  Candidates come from the MAIN table only: the stall
+        means the channel degraded, which is exactly when the flat/
+        low-CFO gates behind the high-order and exact ladders can no
+        longer be trusted (stepping from QAM256 R2/3 into an EXACT R5/6
+        row at unknown CFO would land on parity-free bits over the
+        analytic front — worse than where we were).  Returns False when
+        already at the bottom."""
+        rows = {(m, r) for _, m, r in self.TABLE}
         rows.add((Modulation.DBPSK, CodeRate.R1_4))
         cur = self._throughput_rank(self.current_mod, self.current_rate)
         below = [(self._throughput_rank(m, r), m, r)
@@ -557,10 +561,13 @@ def high_order_table(config) -> list:
 
 def exact_order_table(config) -> list:
     """Low-CFO exact ladder (CalibratedAdaptiveController.EXACT_TABLE):
-    pilot plans only — the real-passband front that makes these rows
-    bit-exact is an engine pick for pilot plans at small CFO; the NVIS
-    no-pilot profile keeps its own R5/6 rows in NVIS_HIGH_TABLE."""
-    if len(_carrier_pilots(config)) > 0:
+    the 512 pilot plan ONLY — its thresholds were measured there, the
+    real-passband front that makes the rows bit-exact is an engine pick
+    for pilot plans at small CFO, and the 1024-with-pilots
+    high_throughput profile is unmeasured (it inherits the conservative
+    ladders, same policy as high_order_table).  The NVIS no-pilot
+    profile keeps its own R5/6 rows in NVIS_HIGH_TABLE."""
+    if config.fft_size == 512 and len(_carrier_pilots(config)) > 0:
         return CalibratedAdaptiveController.EXACT_TABLE
     return []
 

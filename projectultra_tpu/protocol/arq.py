@@ -258,10 +258,12 @@ class SelectiveRepeatARQ(_ARQBase):
     def _handle_data(self, frame: F.DataFrame):
         self.last_rx_flags = frame.flags
         seq = frame.seq
+        fresh = False
         if self._in_rx_window(seq):
             slot = self._slot(seq)
             s = self.rx_window[slot]
             if not s["received"]:
+                fresh = True
                 s.update(received=True, seq=seq, payload=frame.payload,
                          flags=frame.flags)
                 self.stats.frames_received += 1
@@ -269,6 +271,12 @@ class SelectiveRepeatARQ(_ARQBase):
                     self._advance_rx()
                 else:
                     self.stats.out_of_order += 1
+        if not fresh:
+            # A DUPLICATE (already delivered or already buffered) means
+            # the sender missed our SACK — re-SACK immediately rather
+            # than letting coalescing hold the answer for a holdoff.
+            self._send_sack()
+            return
         self._sack_pending += 1
         # A non-empty bitmap = a hole in the window (the sender's fast-
         # retransmit signal); rx_base jumping past seq+1 = a hole just
@@ -314,6 +322,14 @@ class SelectiveRepeatARQ(_ARQBase):
 
     def _handle_ack(self, ctrl: F.ControlFrame):
         seq = ctrl.seq
+        # Cumulative-window guard: only advance for seq within the TX
+        # window [tx_base, tx_base + in_flight).  An ACK with a STALE or
+        # foreign seq (e.g. the mode-change acknowledgment, which uses
+        # seq=0 on the wire) must not walk tx_base — without this guard a
+        # mid-transfer MODE_CHANGE's seq-0 ACK marked every in-flight
+        # chunk delivered and the transfer "completed" with holes.
+        if ((seq + 1 - self.tx_base) & 0xFFFF) > self.in_flight:
+            return
         while self.in_flight > 0 and self.tx_base != ((seq + 1) & 0xFFFF):
             slot = self._slot(self.tx_base)
             s = self.tx_window[slot]

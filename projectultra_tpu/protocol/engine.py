@@ -22,9 +22,13 @@ from .frame_v2 import WaveformMode
 
 
 class ProtocolEngine:
-    # Retransmissions with zero ACK progress before the ARQ-stall
-    # fallback steps the data mode down one rung (see tick()).
-    STALL_RETRIES = 4
+    # Retransmission margin (beyond one full window burst) with zero
+    # ACK progress before the ARQ-stall fallback steps the data mode
+    # down (see tick()): a single lost SACK times out every in-flight
+    # slot at once (+window_size retransmissions in one tick), which is
+    # routine and must not downgrade a healthy session — the threshold
+    # is window_size + STALL_MARGIN so it takes a SECOND timeout round.
+    STALL_MARGIN = 2
 
     def __init__(self, modem: ModemEngine | None = None,
                  config: ConnectionConfig | None = None):
@@ -158,9 +162,9 @@ class ProtocolEngine:
         if skip_reading and frame.wideband_snr_db:
             # One-way sessions (file transfer: the sender receives only
             # ACKs) must not go feedback-blind: control-frame readings
-            # feed a DOWNGRADE-ONLY path (haircut by their hot bias —
-            # adaptive.observe_control) so a fading channel can still
-            # close an open high-order mode mid-transfer.
+            # feed a DOWNGRADE-ONLY path (used uncorrected as an UPPER
+            # bound — adaptive.observe_control) so a fading channel can
+            # still close an open high-order mode mid-transfer.
             if (self.adaptive_enabled and self.connection.is_connected
                     and self.connection.is_initiator
                     and hasattr(self.adaptive, "observe_control")
@@ -247,8 +251,9 @@ class ProtocolEngine:
         # peer decodes nothing, sends no ACKs, and NO reading ever
         # arrives to drive adaptation — the session would retry at the
         # dead mode until exhaustion.  The retry pattern itself is the
-        # evidence: STALL_RETRIES retransmissions with zero ACK progress
-        # steps the data mode down one ladder rung.  Resets on any ACK.
+        # evidence: window_size + STALL_MARGIN retransmissions with zero
+        # ACK progress step the data mode down to the next always-safe
+        # main-table row.  Resets on any ACK.
         if (self.connection.config.calibrated_snr and self.adaptive_enabled
                 and self.connection.is_connected
                 and self.connection.is_initiator
@@ -257,9 +262,11 @@ class ProtocolEngine:
             if st is not None:
                 acks = st.acks_received
                 retx = st.retransmissions
+                thresh = getattr(self.connection.arq.config,
+                                 "window_size", 4) + self.STALL_MARGIN
                 if self._stall_base is None or acks != self._stall_base[0]:
                     self._stall_base = (acks, retx)
-                elif retx - self._stall_base[1] >= self.STALL_RETRIES:
+                elif retx - self._stall_base[1] >= thresh:
                     if self.adaptive.step_down():
                         self.connection.request_mode_change(
                             self.adaptive.current_mod,

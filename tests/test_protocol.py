@@ -147,6 +147,40 @@ def test_connection_handshake_frame_level():
     assert a.state == ConnectionState.DISCONNECTED
 
 
+def test_stale_ack_does_not_ack_window():
+    """Regression (code review): an ACK whose seq lies outside the TX
+    window — e.g. the MODE_CHANGE acknowledgment, which uses seq=0 on
+    the wire — must not walk tx_base and falsely complete in-flight
+    frames (a mid-transfer mode change was 'delivering' every
+    outstanding chunk the peer never received)."""
+    cfg = ARQConfig(window_size=4)
+    tx = SelectiveRepeatARQ(cfg)
+    rx = SelectiveRepeatARQ(cfg)
+    tx.set_callsigns("W1AW", "VE3ABC")
+    rx.set_callsigns("VE3ABC", "W1AW")
+    sent = []
+    tx.on_transmit = sent.append
+    rx.on_transmit = lambda f: tx.on_frame_received(f)
+    rx.on_data_received = lambda p: None
+
+    # Advance tx_base past 0 with real traffic.
+    for i in range(3):
+        assert tx.send_data(bytes([i]))
+    for f in list(sent):
+        rx.on_frame_received(f)
+    assert tx.in_flight == 0 and tx.tx_base == 3
+    sent.clear()
+
+    # Two frames in flight; a stale seq-0 ACK (mode-change style) arrives.
+    assert tx.send_data(b"x")
+    assert tx.send_data(b"y")
+    assert tx.in_flight == 2
+    stale = F.ControlFrame.make_ack("VE3ABC", "W1AW", 0)
+    tx.on_frame_received(stale.serialize())
+    assert tx.in_flight == 2, "stale ACK must not complete in-flight frames"
+    assert tx.tx_base == 3
+
+
 def test_sack_coalescing_counts_and_gap_flush(tmp_path):
     """sack_every=3 must send one SACK per 3 in-order data frames, SACK
     immediately on a window gap (the sender's fast-retransmit signal),

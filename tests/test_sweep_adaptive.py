@@ -155,8 +155,8 @@ def test_adaptive_controller_truth_table_vs_reference():
 
 
 def test_control_reading_downgrade_only():
-    """Control-frame readings (hot-biased, see
-    CalibratedAdaptiveController.CONTROL_READING_BIAS_DB) must never
+    """Control-frame readings (hot-biased, used uncorrected as an UPPER
+    bound — see CalibratedAdaptiveController.observe_control) must never
     upgrade but must close a too-high mode in a one-way session where
     they are the only feedback."""
     from projectultra_tpu.modem.adaptive import CalibratedAdaptiveController
