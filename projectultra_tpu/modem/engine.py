@@ -639,7 +639,7 @@ class ModemEngine:
     # frame beyond the view is never trimmed unsearched.
     ACQ_VIEW_CAP = 4 * (1 << 16)  # 262144
 
-    def _chirp_strong_pos(self) -> int:
+    def _chirp_strong_pos(self, limit: int | None = None) -> int:
         """Earliest strong up-chirp-template crossing in the current
         buffer (relative), or -1.  The guard that keeps failure-path
         consumes from eating into an ARRIVING chirp: a chirp lights up the
@@ -647,10 +647,23 @@ class ModemEngine:
         confirm a false Cox preamble while the chirp's down half is still
         streaming in — the blind fail-consume then truncates the chirp
         head and the mutilated chirp fails the CFO gate forever (caught by
-        tools/test_hf_reality.py)."""
+        tools/test_hf_reality.py).
+
+        ``limit``: only crossings BELOW this position matter to the
+        caller (the planned consume span), so the searched view is capped
+        at limit + one chirp preamble — an unbounded view would both
+        compile one detector per 65536-sample bucket of a backlogged
+        buffer (the ACQ_VIEW_CAP trap) and pay a full-buffer matched
+        filter per Cox failure."""
         buf = self._rx_buffer
         if len(buf) < 4800:
             return -1
+        if limit is not None:
+            cap = min(len(buf), limit + self.chirp_config.total_samples
+                      + 4800)
+            buf = buf[:cap]
+        else:
+            buf = buf[:min(len(buf), self.ACQ_VIEW_CAP)]
         det = chirp_mod.detect_dual_chirp(
             self.chirp_config, jnp.asarray(self._bucketed(buf)[None, :]))
         return int(np.asarray(det["first_strong_up"])[0])
@@ -951,7 +964,7 @@ class ModemEngine:
         self._cox_wait = None
         if status == "fail":
             planned = lts_start + 2 * plen
-            guard = self._chirp_strong_pos()
+            guard = self._chirp_strong_pos(limit=planned)
             if 0 <= guard < planned:
                 # A chirp is arriving inside the claimed span: consume only
                 # up to it and fall through to the chirp path this pass.
@@ -1018,8 +1031,18 @@ class ModemEngine:
         if give_up:
             self._cox_wait = None
             planned = lts_start + 2 * plen
-            guard = self._chirp_strong_pos()
-            self._consume(guard if 0 <= guard < planned else planned)
+            guard = self._chirp_strong_pos(limit=planned)
+            if 0 <= guard < planned:
+                # Mirror the fail path: consume up to the arriving chirp
+                # and FALL THROUGH to the chirp path this pass.  Ending
+                # the pass here (the old `return 0`) was a liveness bug:
+                # once a previous give-up had consumed up to the chirp
+                # head, guard == 0 made the consume a no-op, the chirp
+                # was never attempted, and the give-up re-fired every
+                # poll while the buffer grew without bound.
+                self._consume(guard)
+                return None
+            self._consume(planned)
             return 0
 
         if st["polls"] >= 2:
@@ -1491,8 +1514,16 @@ class ModemEngine:
         self.stats.bytes_received += len(frame_bytes)
         if not all(oks):
             self.stats.frames_failed += 1
+        # GAP-FREE spans only (_wideband_snr_db contract): OTFS inserts
+        # 480 silent samples between codewords, so the first codeword is
+        # the main span and the rest join as extra active segments — the
+        # gaps would otherwise deflate the mean and push the smoothed
+        # envelope spread toward the fading branch.
         wb = self._wideband_snr_db(
-            buf, start, start + total_cw * flen + (total_cw - 1) * gap)
+            buf, start, start + flen,
+            segments=[(start + i * (flen + gap),
+                       start + i * (flen + gap) + flen)
+                      for i in range(1, total_cw)])
         self.stats.wideband_snr_db = wb
         return "ok", DecodedFrame(frame_bytes=frame_bytes, header=info,
                                   cw_ok=oks, wideband_snr_db=wb,

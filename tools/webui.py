@@ -90,34 +90,10 @@ tick();
 </script></body></html>"""
 
 
-class MainThreadExecutor:
-    """Run closures submitted by HTTP handler threads on the main thread:
-    the axon transport only services device->host readbacks on main (a
-    worker-thread readback hangs — see tools/threaded_simulator.py)."""
-
-    def __init__(self):
-        self._q = queue.Queue()
-
-    def run(self, fn):
-        ev = threading.Event()
-        box = {}
-        self._q.put((fn, ev, box))
-        ev.wait()
-        if "err" in box:
-            raise box["err"]
-        return box.get("val")
-
-    def pump_once(self, timeout=0.2) -> bool:
-        try:
-            fn, ev, box = self._q.get(timeout=timeout)
-        except queue.Empty:
-            return False
-        try:
-            box["val"] = fn()
-        except Exception as e:
-            box["err"] = e
-        ev.set()
-        return True
+# The axon transport only services device->host readbacks on the MAIN
+# thread (a worker-thread readback hangs); the marshalling pattern is
+# load-bearing and lives in ONE place — threaded_simulator.py.
+from threaded_simulator import MainThreadExecutor  # noqa: E402
 
 
 class Station:
