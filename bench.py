@@ -12,8 +12,54 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 
 import json
+import os
+import subprocess
 import sys
 import time
+
+_PROBE_SRC = (
+    "import jax, jax.numpy as jnp;"
+    "x = jax.jit(lambda a: (a*a).sum())(jnp.arange(64.0));"
+    "jax.block_until_ready(x)"
+)
+
+
+def _probe_backend(attempts=3, timeout_s=75, backoffs=(15, 45)):
+    """Bounded backend-availability probe (VERDICT r3 weak #1).
+
+    Backend init on the axon tunnel can HANG indefinitely when the TPU is
+    unreachable, so the probe runs in a subprocess with a hard timeout.
+    Returns (ok, detail).  On persistent failure main() emits a one-line
+    machine-readable outage record instead of a 30-line traceback, so the
+    driver's BENCH_r*.json distinguishes outage from regression.
+    """
+    last = ""
+    for i in range(attempts):
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c", _PROBE_SRC],
+                capture_output=True, text=True, timeout=timeout_s,
+            )
+            if r.returncode == 0:
+                return True, ""
+            last = (r.stderr or r.stdout).strip().splitlines()[-1:]
+            last = last[0] if last else f"rc={r.returncode}"
+        except subprocess.TimeoutExpired:
+            last = f"backend init exceeded {timeout_s}s (hang)"
+        if i + 1 < attempts:
+            time.sleep(backoffs[min(i, len(backoffs) - 1)])
+    return False, last
+
+
+if __name__ == "__main__" and not os.environ.get("ULTRA_BENCH_NO_PROBE"):
+    _ok, _detail = _probe_backend()
+    if not _ok:
+        print(json.dumps({
+            "metric": "ofdm_dqpsk_r12_frame_pipelines_per_sec",
+            "value": 0.0, "unit": "pipelines/s/chip", "vs_baseline": 0.0,
+            "error": "backend-unavailable", "error_detail": _detail,
+        }))
+        sys.exit(0)
 
 import jax
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_projectultra")

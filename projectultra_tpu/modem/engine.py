@@ -1656,6 +1656,24 @@ class ModemEngine:
         frame_bytes = F.reassemble_codewords(
             [d if o else b"\0" * bpc for o, d in zip(oks, datas)], expected)
 
+        # CRC-aided parity-free bit recovery (fec/crc_recover.py): at R3/4 and
+        # R5/6 the H construction leaves info bits with zero checks, so every
+        # codeword can converge (cw_ok) while the frame CRC fails on a few
+        # low-|LLR| raw demapper decisions.  Syndrome-search those positions
+        # before giving the frame up to ARQ.
+        if (all(oks) and not info.is_control
+                and rate0 in (CodeRate.R3_4, CodeRate.R5_6)
+                and len(frame_bytes) == expected):
+            from ..fec import crc_recover
+            llr_blocks = ([llrs0[:648]] if total_cw == 1 else
+                          [llrs[i * 648:(i + 1) * 648]
+                           for i in range(total_cw)])
+            fixed = crc_recover.recover_frame(
+                frame_bytes, llr_blocks, rate0, expected)
+            if fixed is not None:
+                frame_bytes = fixed
+                self.stats.frames_crc_recovered += 1
+
         S = ofdm_pipeline.num_data_symbols(cfg, mod, total_cw)
         self._consume(lts_start + 2 * plen + S * cfg.symbol_duration)
 
@@ -1769,6 +1787,20 @@ class ModemEngine:
         bpc = F.bytes_per_codeword(rate0)
         frame_bytes = F.reassemble_codewords(
             [d if o else b"\0" * bpc for o, d in zip(oks, datas)], expected)
+
+        # CRC-aided parity-free bit recovery, same contract as the Cox path.
+        if (all(oks) and not info.is_control
+                and rate0 in (CodeRate.R3_4, CodeRate.R5_6)
+                and len(frame_bytes) == expected):
+            from ..fec import crc_recover
+            llr_blocks = ([llrs0[:648]] if total_cw == 1 else
+                          [llrs[i * 648:(i + 1) * 648]
+                           for i in range(total_cw)])
+            fixed = crc_recover.recover_frame(
+                frame_bytes, llr_blocks, rate0, expected)
+            if fixed is not None:
+                frame_bytes = fixed
+                self.stats.frames_crc_recovered += 1
 
         # Consume through the end of the decoded frame.
         if wf == WaveformMode.MC_DPSK:

@@ -240,9 +240,17 @@ REGRESSION_MATRIX = [
 ]
 
 FULL_EXTRA = [
+    # Reference --full tier, row-for-row (regression_matrix.sh:193-238).
     (SweepPoint("MC_DPSK", -3.0, 0.0, "awgn", frames=10), 0.80),
+    (SweepPoint("MC_DPSK", 10.0, 50.0, "awgn", frames=10), 1.00),
     (SweepPoint("MC_DPSK", 10.0, 0.0, "poor", frames=10), 0.80),
     (SweepPoint("MC_DPSK", 10.0, 30.0, "poor", frames=10), 0.60),
+    (SweepPoint("OFDM_CHIRP", 10.0, 30.0, "awgn", frames=10), 1.00),
+    (SweepPoint("OFDM_CHIRP", 15.0, 30.0, "good", frames=10), 0.80),
+    # Negative-CFO rows: the derotation SIGN paths (regression_matrix.sh:225-233;
+    # the r3 MFSK sign bug is exactly the class these catch).
+    (SweepPoint("MC_DPSK", 5.0, -30.0, "awgn"), 1.00),
+    (SweepPoint("OFDM_CHIRP", 17.0, -50.0, "awgn"), 1.00),
     (SweepPoint("OFDM_CHIRP", 15.0, 0.0, "poor", frames=10), 0.40),
     (SweepPoint("DPSK", -12.0, 0.0, "awgn", preset="robust", frames=10), 0.80),
     (SweepPoint("DPSK", -3.0, 0.0, "awgn", preset="medium", frames=10), 0.60),

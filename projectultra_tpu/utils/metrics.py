@@ -34,6 +34,9 @@ class ModemStats:
     # smoothed in-frame envelope; -1.0 = unmeasured).  Lets negotiation
     # distinguish flat/AWGN channels from fading ones.
     fade_spread_db: float = -1.0
+    # Round-4: frames whose parity-free info bits were repaired by CRC
+    # syndrome search (fec/crc_recover.py) — beyond-reference capability.
+    frames_crc_recovered: int = 0
     current_modulation: Modulation = Modulation.QPSK
     current_code_rate: CodeRate = CodeRate.R1_2
 
