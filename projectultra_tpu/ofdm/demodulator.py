@@ -719,13 +719,14 @@ def estimate_channel_from_lts(config: ModemConfig, state: DemodState,
 
 @functools.partial(jax.jit, static_argnames=("config", "mod", "t0_lts",
                                              "t0_data", "t0_lts_stride",
-                                             "front"))
+                                             "front", "n_bits"))
 def demodulate_with_lts(config: ModemConfig, mod: Modulation,
                         lts: jnp.ndarray, data: jnp.ndarray, cfo_hz,
                         initial_phase, t0_lts: int = 0,
                         t0_data: int = 0,
                         t0_lts_stride: int | None = None,
-                        front: str = "analytic"):
+                        front: str = "analytic",
+                        n_bits: int | None = None):
     """Jitted LTS-channel-estimate + data-scan path for pre-sliced segments
     (the Cox decoders): lts [B, n_sym, L], data [B, S, sym_len], both cut
     from the SAME maybe_analytic-converted span.  Jitted as a unit — eager
@@ -750,16 +751,37 @@ def demodulate_with_lts(config: ModemConfig, mod: Modulation,
     if (q256 and len(carriers_mod.carrier_map(config).pilot_idx) == 0
             and not config.adaptive_eq_enabled):
         llrs = _demod_coherent_refined(config, mod, state, data,
-                                       t0_base=t0_data, front=front)
+                                       t0_base=t0_data, front=front,
+                                       n_bits=n_bits)
         return llrs, state
     state, llrs = _scan_data_symbols(config, mod, state, data,
-                                     t0_base=t0_data, front=front)
+                                     t0_base=t0_data, front=front,
+                                     n_bits=n_bits)
     return llrs, state
+
+
+def _live_carrier_mask(mod: Modulation, S: int, Cd: int,
+                       n_bits: int | None) -> np.ndarray:
+    """[S, Cd] f32 host constant: 1 where the TX filled the carrier.
+    map_bits_to_symbols (modulator.py) leaves carriers whose bits lie
+    entirely past the input EMPTY (complex zero) — on a 4000-byte QAM256
+    R5/6 NVIS frame the final symbol is 52/59 dead carriers, and feeding
+    their hard 'decisions' (noise snapped to inner-ring points) into the
+    rank-1 LS collapsed |g[last]| to ~0.79, deterministically corrupting
+    the last codeword at ANY SNR (measured at 80 dB; bits 3,7 of each
+    byte).  n_bits is static per (S,) compile key: both derive from the
+    codeword count, so masking adds no new jit cache entries."""
+    if n_bits is None:
+        return np.ones((S, Cd), np.float32)
+    bc = bits_per_symbol(mod)
+    first_bit = np.arange(S * Cd).reshape(S, Cd) * bc
+    return (first_bit < n_bits).astype(np.float32)
 
 
 def _demod_coherent_refined(config: ModemConfig, mod: Modulation,
                             state: DemodState, data: jnp.ndarray,
-                            t0_base, front: str = "analytic") -> jnp.ndarray:
+                            t0_base, front: str = "analytic",
+                            n_bits: int | None = None) -> jnp.ndarray:
     """Two-pass no-pilot coherent demod with decision-directed channel
     refinement, used by the 256QAM path (both RX flavors).
 
@@ -792,6 +814,10 @@ def _demod_coherent_refined(config: ModemConfig, mod: Modulation,
     _, fds = jax.lax.scan(step, state, xs)               # [S, B, Cu]
     fd = jnp.moveaxis(fds, 0, 1)[:, :, :Cd]              # [B, S, Cd]
 
+    # TX-dead carriers (partial last symbol) must not feed the fits: their
+    # hard decisions are noise snapped to constellation points.
+    live = jnp.asarray(_live_carrier_mask(mod, S, Cd, n_bits))[None]  # [1,S,Cd]
+
     # Alternating rank-1 LS fit fd ~= g[s] * h[c] * d[s,c]: per-carrier
     # complex gain h refit from ALL S symbols PLUS a per-symbol common
     # factor g — the ~1 s 32-codeword frame accrues residual-CFO phase
@@ -813,12 +839,13 @@ def _demod_coherent_refined(config: ModemConfig, mod: Modulation,
     h2 = h[:, 0, :]                                      # [B, Cd]
     hp2 = jnp.maximum(jnp.abs(h2) ** 2, 1e-12)
 
-    def pll_step(carry, fd_s):
+    def pll_step(carry, xs_s):
+        fd_s, m_s = xs_s                                 # [B, Cd], [1, Cd]
         phi, om = carry                                  # [B], [B]
         rot = jnp.exp(-1j * phi.astype(jnp.complex64))[:, None]
         z = fd_s * rot
         d_s = demap_ops.hard_decision(mod, z * jnp.conj(h2) / hp2)
-        e = (z * jnp.conj(h2 * d_s)).sum(-1)
+        e = (z * jnp.conj(h2 * d_s) * m_s).sum(-1)
         err = jnp.arctan2(e.imag, e.real)
         om = om + 0.05 * err
         phi_s = phi + err                                # best phase for s
@@ -827,14 +854,15 @@ def _demod_coherent_refined(config: ModemConfig, mod: Modulation,
 
     zero = jnp.zeros((B,), jnp.float32)
     _, phis = jax.lax.scan(pll_step, (zero, zero),
-                           jnp.moveaxis(fd, 0, 1))       # [S, B]
+                           (jnp.moveaxis(fd, 0, 1),
+                            jnp.moveaxis(live, 0, 1)))   # [S, B]
     g = jnp.exp(1j * jnp.moveaxis(phis, 0, 1))[:, :, None].astype(
         jnp.complex64)                                   # [B, S, 1]
     d = None
     for _ in range(3):
         G = g * h
         Gp = jnp.maximum(jnp.abs(G) ** 2, 1e-12)
-        d = demap_ops.hard_decision(mod, fd * jnp.conj(G) / Gp)
+        d = demap_ops.hard_decision(mod, fd * jnp.conj(G) / Gp) * live
         hd = h * d
         g = ((fd * jnp.conj(hd)).sum(-1, keepdims=True)
              / jnp.maximum((jnp.abs(hd) ** 2).sum(-1, keepdims=True), 1e-30))
@@ -852,8 +880,9 @@ def _demod_coherent_refined(config: ModemConfig, mod: Modulation,
     # LLRs deflate to their true reliability and the decoder walks
     # through.  Pilot configs get the same effect from pilot tracking.
     G = g * h
-    resid = fd - G * d
-    r = (jnp.abs(resid) ** 2).mean(1, keepdims=True)     # [B, 1, Cd]
+    resid = (fd - G * d) * live
+    cnt = jnp.maximum(live.sum(1, keepdims=True), 1.0)
+    r = (jnp.abs(resid) ** 2).sum(1, keepdims=True) / cnt  # [B, 1, Cd]
     r = jnp.maximum(r, 0.25 * nv)
 
     hp = jnp.abs(G) ** 2
@@ -891,10 +920,12 @@ def _edge_tapered(mod: Modulation, span: jnp.ndarray,
 
 
 @functools.partial(jax.jit, static_argnames=("config", "mod", "n_lts", "S",
-                                             "lead", "tail", "front"))
+                                             "lead", "tail", "front",
+                                             "n_bits"))
 def demodulate_span(config: ModemConfig, mod: Modulation, span: jnp.ndarray,
                     cfo_hz, initial_phase, n_lts: int, S: int,
-                    lead: int = 0, tail: int = 0, front: str = "analytic"):
+                    lead: int = 0, tail: int = 0, front: str = "analytic",
+                    n_bits: int | None = None):
     """[B, T] real span starting ``lead`` samples BEFORE the first LTS and
     extending ``tail`` samples past the data end -> (llrs, state).
     Conversion (maybe_analytic) and segment slicing happen INSIDE one jit:
@@ -919,7 +950,7 @@ def demodulate_span(config: ModemConfig, mod: Modulation, span: jnp.ndarray,
     # estimate_channel_from_lts.
     return demodulate_with_lts(config, mod, lts, data, cfo_hz, initial_phase,
                                t0_lts=plen, t0_data=d0, t0_lts_stride=0,
-                               front=front)
+                               front=front, n_bits=n_bits)
 
 
 @functools.partial(jax.jit, static_argnames=("config", "mod", "n_lts", "S",
@@ -1133,7 +1164,8 @@ def _demod_differential_parallel(config: ModemConfig, mod: Modulation,
 
 
 def _scan_data_symbols(config: ModemConfig, mod: Modulation, state: DemodState,
-                       data: jnp.ndarray, t0_base, front: str = "analytic"):
+                       data: jnp.ndarray, t0_base, front: str = "analytic",
+                       n_bits: int | None = None):
     """lax.scan over [B, S, L] data symbols starting at mixer time t0_base."""
     B, S, L = data.shape
     has_pilots = len(carriers_mod.carrier_map(config).pilot_idx) > 0
@@ -1193,7 +1225,12 @@ def _scan_data_symbols(config: ModemConfig, mod: Modulation, state: DemodState,
         eq = jnp.moveaxis(eqs, 0, 1)                     # [B, S, Cd]
         cnv = jnp.moveaxis(cnvs, 0, 1)
         d = demap_ops.hard_decision(mod, eq)
-        r = (jnp.abs(eq - d) ** 2).mean(1, keepdims=True)
+        # TX-dead carriers of a partial last symbol carry no signal; their
+        # 'residual' is the full inner-ring distance and would inflate the
+        # whole-frame per-carrier noise for REAL bits on the same carrier.
+        live = jnp.asarray(_live_carrier_mask(mod, S, Cd, n_bits))[None]
+        cnt = jnp.maximum(live.sum(1, keepdims=True), 1.0)
+        r = (jnp.abs(eq - d) ** 2 * live).sum(1, keepdims=True) / cnt
 
         h_ls = jnp.moveaxis(h_lss, 0, 1)                 # [B, S, Np]
         pd = (jnp.abs(jnp.diff(h_ls, axis=1)) ** 2).mean(1)   # [B, Np]

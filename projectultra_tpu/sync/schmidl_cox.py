@@ -391,5 +391,6 @@ def decode_ofdm_cox(config: ModemConfig, mod, samples: jnp.ndarray,
     span = samples[:, start_lts - lead:end + tail]
     llrs, _ = demod_mod.demodulate_span(config, mod, span, det["cfo_hz"],
                                         0.0, n_lts=2, S=S,
-                                        lead=lead, tail=tail, front=front)
+                                        lead=lead, tail=tail, front=front,
+                                        n_bits=648 * n_codewords)
     return llrs, det

@@ -24,7 +24,13 @@ def _load_tool():
 
 def test_hf_reality_quick():
     run = _load_tool().run
-    frames_ok, soak_ok = run(snr_db=25.0, num_frames=6, duration_sec=30.0,
-                             soak_minutes=0.5, verbose=True)
+    frames_ok, soak_ok, torture_ok = run(
+        snr_db=25.0, num_frames=6, duration_sec=30.0,
+        soak_minutes=0.5, verbose=True)
     assert frames_ok, "mixed-waveform stream: frames/ping missing or extra"
     assert soak_ok, "false decodes on pure noise"
+    # Round-4: static crashes in every inter-frame gap + one mid-frame +
+    # 85%-of-peak clipping — non-sacrificial frames must all decode, zero
+    # false decodes (VERDICT r3 next #8).
+    assert torture_ok, "impulse/clipping torture: lost adjacent frames " \
+                       "or produced false decodes"

@@ -142,7 +142,73 @@ def run(snr_db=25.0, num_frames=12, duration_sec=60.0, soak_minutes=10.0,
         print(f"noise soak: {soak_minutes:.1f} min, "
               f"false events: {len(events)}")
     phase2 = len(events) == 0
-    return phase1, phase2
+
+    # --- phase 3: impulse-noise + clipping torture (round-4, VERDICT r3
+    # next #8).  Real HF has static crashes and ADC saturation the
+    # Watterson sim never produces; the stale reference recordings leave
+    # synthetic torture as the only real-world proxy
+    # (TESTING_METHODOLOGY anti-cheat rules — one engine, no oracle).
+    #
+    # Injections into the SAME composite stream construction:
+    #   * inter-frame static crashes: 10-40 ms bursts at 15x the noise std
+    #     in every gap between frames — all frames must still decode
+    #     (adjacent-frame recovery), zero false decodes;
+    #   * one mid-frame crash on a sacrificial frame — that frame may die,
+    #     its neighbors must not;
+    #   * hard clipping of the whole stream at 85% of peak (transmit/ADC
+    #     saturation) on top.
+    rng3 = np.random.default_rng(1234)
+    tortured = stream.copy()
+    crash_events = 0
+    for k in range(len(positions) - 1):
+        end_k = positions[k] + len(placed[k])
+        start_next = positions[k + 1]
+        gap = start_next - end_k
+        if gap < 24000:
+            continue
+        n = int(rng3.uniform(0.010, 0.040) * 48000)
+        at = end_k + int(rng3.uniform(0.2, 0.7) * (gap - n))
+        tortured[at:at + n] += rng3.normal(
+            0, 15 * noise_std, n).astype(np.float32)
+        crash_events += 1
+    sacrifice = num_frames // 2
+    mid = positions[sacrifice] + len(placed[sacrifice]) // 2
+    n = int(0.030 * 48000)
+    tortured[mid:mid + n] += rng3.normal(
+        0, 15 * noise_std, n).astype(np.float32)
+    clip = 0.85 * float(np.abs(tortured).max())
+    tortured = np.clip(tortured, -clip, clip)
+
+    rx3 = make_tx(WaveformMode.OFDM_COX)
+    got3, pings3 = [], []
+    rx3.on_frame = got3.append
+    rx3.on_ping = pings3.append
+    fed = 0
+    for i in range(0, len(tortured), chunk):
+        rx3.feed_audio(tortured[i:i + chunk])
+        fed += chunk
+        if fed % 4800 < chunk:
+            rx3.poll()
+    rx3.feed_audio(np.zeros(8000, np.float32))
+    rx3.poll()
+    texts3 = []
+    for fr in got3:
+        df = F.DataFrame.deserialize(fr.frame_bytes)
+        if df:
+            texts3.append(df.payload_as_text())
+    extra3 = [x for x in texts3 if x not in msgs]
+    required = [m for i, m in enumerate(msgs) if i != sacrifice]
+    missing3 = [m for m in required if m not in texts3]
+    if verbose:
+        print(f"impulse torture: {crash_events} gap crashes + 1 mid-frame "
+              f"+ clip@85%: decoded {len(texts3)}/{num_frames} "
+              f"(sacrificial #{sacrifice} "
+              f"{'survived' if msgs[sacrifice] in texts3 else 'lost, ok'}), "
+              f"false={len(extra3)}")
+        for m in missing3:
+            print(f"  MISSING (non-sacrificial): {m}")
+    phase3 = not missing3 and not extra3
+    return phase1, phase2, phase3
 
 
 def main():
@@ -162,10 +228,11 @@ def main():
         jax.config.update("jax_platforms", "cpu")
     if args.quick:
         args.frames, args.duration, args.soak_minutes = 6, 30.0, 1.0
-    p1, p2 = run(args.snr, args.frames, args.duration, args.soak_minutes)
+    p1, p2, p3 = run(args.snr, args.frames, args.duration, args.soak_minutes)
     print(f"frames+ping: {'PASS' if p1 else 'FAIL'}   "
-          f"false-decode soak: {'PASS' if p2 else 'FAIL'}")
-    return 0 if (p1 and p2) else 1
+          f"false-decode soak: {'PASS' if p2 else 'FAIL'}   "
+          f"impulse torture: {'PASS' if p3 else 'FAIL'}")
+    return 0 if (p1 and p2 and p3) else 1
 
 
 if __name__ == "__main__":

@@ -27,17 +27,21 @@ import tempfile
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
-def run_session(profile, true_snr, n_bytes, warm_msgs=16, chunk=2000):
+def run_session(profile, true_snr, n_bytes, warm_msgs=16, chunk=4000):
     """warm_msgs >= 16: the flat-evidence gate needs STABLE_WINDOW (6)
     readings plus FLAT_FRAMES (3) before the high-order ladder opens, and
     the upgrade debounce then wants 4 consecutive recommendations.
 
-    chunk=2000 (vs the reference's 250) + the pipelined chunker: the
+    chunk=4000 (vs the reference's 250) + the pipelined chunker: the
     session bottleneck at high-order modes is per-frame overhead — every
     DATA frame pays a full Cox preamble and earns a full ACK frame of
-    return audio — so 8x chunks means ~8x fewer overhead frames.  4000
-    collapses at QAM256 R5/6: ~61 codewords/frame expose ~20k parity-free
-    bits and per-frame loss approaches 1 (the ARQ stops converging)."""
+    return audio — so 16x chunks means ~16x fewer overhead frames.
+    Round-4 history: 4000 used to COLLAPSE at QAM256 R5/6 — the partial
+    final OFDM symbol's 52/59 TX-dead carriers poisoned the rank-1 DD fit
+    and deterministically corrupted the last codeword at ANY SNR
+    (demodulator._live_carrier_mask); with the mask + CRC-aided recovery
+    (fec/crc_recover.py) 4000-byte chunks hold 20/20 at 34 dB and the
+    NVIS row reads 12.3 kbps steady (was 10.28 at 2000)."""
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -139,7 +143,7 @@ def main():
     ap.add_argument("--rows", default="512_26,512_32,nvis_34",
                     help="comma list of profile_snr rows")
     ap.add_argument("--bytes", type=int, default=6000)
-    ap.add_argument("--chunk", type=int, default=2000)
+    ap.add_argument("--chunk", type=int, default=4000)
     ap.add_argument("--tpu", action="store_true",
                     help="run on the default (TPU) backend")
     args = ap.parse_args()

@@ -58,11 +58,49 @@ button{background:#22303a;color:#cdd6dd;border:1px solid #3a4a56;padding:4px 10p
  <button onclick="send()">Send</button>
 </p>
 <div id=console></div>
+<fieldset style="border:1px solid #2a3740;margin-top:12px;width:640px">
+ <legend>file transfer</legend>
+ <input id=fpath placeholder="local file path to send" style="width:420px">
+ <button onclick="sendfile()">Send file</button>
+ <div id=fprog style="white-space:pre;padding:4px"></div>
+</fieldset>
+<fieldset style="border:1px solid #2a3740;margin-top:12px;width:640px">
+ <legend>settings / expert mode (0xFF = AUTO; persisted to INI)</legend>
+ callsign <input id=s_call style="width:90px">
+ forced modulation <select id=s_mod></select>
+ forced rate <select id=s_rate></select>
+ <button onclick="saveSettings()">Save</button>
+ <span id=s_msg></span>
+</fieldset>
 <script>
+const MODS=['AUTO','BPSK','QPSK','QAM16','QAM64','DBPSK','DQPSK','D8PSK',
+            'QAM32','QAM256'];
+const RATES=['AUTO','R1_4','R1_2','R2_3','R3_4','R5_6'];
+for(const [id,vals] of [['s_mod',MODS],['s_rate',RATES]]){
+ const el=document.getElementById(id);
+ for(const v of vals){const o=document.createElement('option');
+  o.textContent=v;el.appendChild(o);}}
 async function act(a){await fetch('/api/'+a,{method:'POST'});}
 async function send(){const m=document.getElementById('msg');
  if(!m.value)return; await fetch('/api/send',{method:'POST',body:m.value});
  m.value='';}
+async function sendfile(){const p=document.getElementById('fpath');
+ if(!p.value)return;
+ await fetch('/api/sendfile',{method:'POST',body:p.value});}
+async function loadSettings(){
+ const s=await (await fetch('/api/settings')).json();
+ document.getElementById('s_call').value=s.callsign;
+ document.getElementById('s_mod').value=s.forced_modulation;
+ document.getElementById('s_rate').value=s.forced_code_rate;}
+async function saveSettings(){
+ const body=JSON.stringify({
+  callsign:document.getElementById('s_call').value,
+  forced_modulation:document.getElementById('s_mod').value,
+  forced_code_rate:document.getElementById('s_rate').value});
+ await fetch('/api/settings',{method:'POST',body});
+ document.getElementById('s_msg').textContent='saved';
+ setTimeout(()=>document.getElementById('s_msg').textContent='',1500);}
+loadSettings();
 async function tick(){
  try{
   const s=await (await fetch('/api/state')).json();
@@ -84,6 +122,10 @@ async function tick(){
   const con=document.getElementById('console');
   con.textContent=s.console.join('\\n');
   con.scrollTop=con.scrollHeight;
+  const t=s.transfer;
+  document.getElementById('fprog').textContent = t.filename ?
+   `${t.direction} ${t.filename}: ${t.done}/${t.total} bytes `+
+   `(${t.pct.toFixed(0)}%) ${t.complete?'COMPLETE':''}` : '';
  }catch(e){}
  setTimeout(tick,500);}
 tick();
@@ -99,24 +141,56 @@ from threaded_simulator import MainThreadExecutor  # noqa: E402
 class Station:
     """tui.py --sim backend: local + virtual remote over a noisy channel."""
 
-    def __init__(self, snr_db: float, executor=None):
+    def __init__(self, snr_db: float, executor=None, settings_path=None):
         self._ex = executor
+        import tempfile
         import numpy as np
         import jax
         import jax.numpy as jnp
         from projectultra_tpu.protocol.engine import ProtocolEngine
         from projectultra_tpu.sim import watterson as W
+        from projectultra_tpu.utils.settings import AppSettings
 
         self.lock = threading.Lock()
         self.console = []
         self.last_rx = None
         self.snr_db = snr_db
+        # Settings layer (settings.cpp / CONFIGURATION_SYSTEM.md): INI
+        # persistence + expert forced mod/rate applied to the connection.
+        self.settings_path = settings_path or os.path.join(
+            tempfile.mkdtemp(prefix="ultra_webui_"), "settings.ini")
+        self.settings = AppSettings.load(self.settings_path)
+        self.transfer = {"filename": "", "direction": "", "done": 0,
+                         "total": 0, "pct": 0.0, "complete": False}
         a, b = ProtocolEngine(), ProtocolEngine()
-        a.connection.set_local_callsign("W1AW")
+        a.connection.set_local_callsign(self.settings.callsign
+                                        if self.settings.callsign != "N0CALL"
+                                        else "W1AW")
         b.connection.set_local_callsign("VE3ABC")
         b.connection.set_measured_snr(snr_db)
         a.modem.collect_constellation = True
         b.modem.collect_constellation = True
+        self._apply_expert(a)
+
+        # File-transfer wiring: live progress (file_transfer.hpp:47
+        # callbacks) on the sender, delivery at the virtual remote.
+        self.rx_dir = tempfile.mkdtemp(prefix="ultra_webui_rx_")
+        b.connection.file_transfer.receive_dir = self.rx_dir
+
+        def _prog(p, direction="tx"):
+            self.transfer = {"filename": p.filename, "direction": direction,
+                             "done": p.transferred_bytes,
+                             "total": p.total_bytes,
+                             "pct": p.percentage,
+                             "complete": p.transferred_bytes >= p.total_bytes
+                             and p.total_bytes > 0}
+        a.connection.file_transfer.on_progress = _prog
+        b.connection.file_transfer.on_progress = \
+            lambda p: _prog(p, direction="rx")
+        b.connection.file_transfer.on_received = \
+            lambda path, ok: self.console.append(
+                f"* file received at VE3ABC: {os.path.basename(path)} "
+                f"({'ok' if ok else 'CORRUPT'})")
 
         def channel(audio):
             x = jnp.asarray(np.concatenate(
@@ -177,6 +251,85 @@ class Station:
             self._run(self.a.disconnect)
             self.console.append("* disconnected")
 
+    def _apply_expert(self, engine):
+        """Expert forced mod/rate (AUTO=0xFF) -> connection config, the
+        same layer the reference's settings widget drives
+        (settings.cpp + CONFIGURATION_SYSTEM.md)."""
+        from projectultra_tpu.config import Modulation, CodeRate
+        from projectultra_tpu.utils.settings import AUTO
+        s = self.settings
+        engine.connection.config.forced_modulation = \
+            Modulation.AUTO if s.forced_modulation == AUTO \
+            else Modulation(s.forced_modulation)
+        engine.connection.config.forced_code_rate = \
+            CodeRate.AUTO if s.forced_code_rate == AUTO \
+            else CodeRate(s.forced_code_rate)
+
+    def get_settings(self) -> dict:
+        from projectultra_tpu.config import Modulation, CodeRate
+        from projectultra_tpu.utils.settings import AUTO
+        s = self.settings
+        return {
+            "callsign": s.callsign,
+            "auto_accept": s.auto_accept,
+            "receive_dir": s.receive_dir,
+            "forced_modulation": ("AUTO" if s.forced_modulation == AUTO
+                                  else Modulation(s.forced_modulation).name),
+            "forced_code_rate": ("AUTO" if s.forced_code_rate == AUTO
+                                 else CodeRate(s.forced_code_rate).name),
+            "path": self.settings_path,
+        }
+
+    def set_settings(self, body: str):
+        """POST /api/settings: update + persist to INI + apply live."""
+        from projectultra_tpu.config import Modulation, CodeRate
+        from projectultra_tpu.utils.settings import AUTO
+        d = json.loads(body)
+        with self.lock:
+            s = self.settings
+            if "callsign" in d and d["callsign"]:
+                s.callsign = d["callsign"]
+                self.a.connection.set_local_callsign(s.callsign)
+            if "auto_accept" in d:
+                s.auto_accept = bool(d["auto_accept"])
+            if "receive_dir" in d and d["receive_dir"]:
+                s.receive_dir = d["receive_dir"]
+            if "forced_modulation" in d:
+                v = d["forced_modulation"]
+                s.forced_modulation = AUTO if v == "AUTO" \
+                    else int(Modulation[v])
+            if "forced_code_rate" in d:
+                v = d["forced_code_rate"]
+                s.forced_code_rate = AUTO if v == "AUTO" else int(CodeRate[v])
+            s.save(self.settings_path)
+            self._apply_expert(self.a)
+            self.console.append("* settings saved "
+                                f"(mod={d.get('forced_modulation', '-')} "
+                                f"rate={d.get('forced_code_rate', '-')})")
+
+    def send_file(self, path: str):
+        """Start a file transfer + pump the exchange to completion; live
+        progress flows through the on_progress callback into state()."""
+        with self.lock:
+            if not os.path.exists(path):
+                self.console.append(f"* no such file: {path}")
+                return
+            ok = self._run(lambda: self.a.connection.send_file(path))
+            if not ok:
+                self.console.append("* file send refused (not connected?)")
+                return
+            self.console.append(f"me> [file] {os.path.basename(path)}")
+
+            def _pump():
+                for _ in range(400):
+                    self.a.tick(5000)
+                    self.b.tick(5000)
+                    if self.transfer.get("complete") and \
+                            self.a.connection.file_transfer.state.name \
+                            != "SENDING":
+                        break
+            self._run(_pump)
+
     def state(self) -> dict:
         import numpy as np
         from projectultra_tpu.utils.observability import (constellation,
@@ -214,7 +367,8 @@ class Station:
                 pts = [[float(p[0]) / lim, float(p[1]) / lim]
                        for p in iq[:400]]
             return {"status": status, "waterfall": wf_rows,
-                    "constellation": pts, "console": self.console[-50:]}
+                    "constellation": pts, "console": self.console[-50:],
+                    "transfer": dict(self.transfer)}
 
 
 def make_server(station: Station, port: int):
@@ -237,6 +391,8 @@ def make_server(station: Station, port: int):
                 self._reply(200, PAGE, "text/html")
             elif self.path == "/api/state":
                 self._reply(200, json.dumps(station.state()))
+            elif self.path == "/api/settings":
+                self._reply(200, json.dumps(station.get_settings()))
             else:
                 self._reply(404, "{}")
 
@@ -249,6 +405,10 @@ def make_server(station: Station, port: int):
                 station.ping()
             elif self.path == "/api/send":
                 station.send(body)
+            elif self.path == "/api/sendfile":
+                station.send_file(body)
+            elif self.path == "/api/settings":
+                station.set_settings(body)
             elif self.path == "/api/disconnect":
                 station.disconnect()
             else:
@@ -282,10 +442,41 @@ def run_script(port: int) -> int:
     assert any("rx ok: hello from browser" in ln for ln in s2["console"]), \
         s2["console"]
     assert len(s2["constellation"]) > 0, "no constellation points"
+
+    # File transfer end-to-end through the HTTP API with progress events.
+    import tempfile
+    import numpy as _np
+    src = os.path.join(tempfile.mkdtemp(prefix="ultra_webui_tx_"),
+                       "brochure.bin")
+    with open(src, "wb") as f:
+        f.write(_np.random.default_rng(11).integers(
+            0, 256, 3000, dtype=_np.uint8).tobytes())
+    post("/api/sendfile", src.encode())
+    s2f = state()
+    t = s2f["transfer"]
+    assert t["filename"] == "brochure.bin", t
+    assert t["complete"] and t["done"] >= t["total"] > 0, t
+    assert any("file received at VE3ABC: brochure.bin (ok)" in ln
+               for ln in s2f["console"]), s2f["console"]
     post("/api/disconnect")
     s3 = state()
     assert "DISCONNECTED" in s3["status"], s3["status"]
-    print("webui scripted session: PASS")
+
+    # Expert forced mode: QPSK + R1/4 must observably change the
+    # negotiated data mode on the next connect (settings.cpp semantics).
+    post("/api/settings", json.dumps(
+        {"forced_modulation": "QPSK", "forced_code_rate": "R1_4"}).encode())
+    st = json.loads(urllib.request.urlopen(
+        f"http://127.0.0.1:{port}/api/settings", timeout=600).read())
+    assert st["forced_modulation"] == "QPSK", st
+    post("/api/connect")
+    s4 = state()
+    assert "CONNECTED" in s4["status"], s4["status"]
+    assert "mode:     QPSK 1/4" in s4["status"], s4["status"]
+    post("/api/disconnect")
+    post("/api/settings", json.dumps(
+        {"forced_modulation": "AUTO", "forced_code_rate": "AUTO"}).encode())
+    print("webui scripted session: PASS (chat + file + expert mode)")
     return 0
 
 
