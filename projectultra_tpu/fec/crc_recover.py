@@ -35,24 +35,30 @@ from ..config import CodeRate
 from . import ldpc
 
 #: Candidate gating: only parity-free positions with |LLR| <= GATE_FRAC *
-#: median(pool |LLR|) enter the search, capped at POOL_CAP lowest.  Measured
-#: (NVIS QAM256 R5/6, 2000-byte frames at 28-30 dB): genuinely wrong bits
-#: sit at |LLR| ranks 1-2 of ~10k with a wide margin to the correct-bit
-#: distribution, so a tight gate keeps recovery coverage while holding the
-#: chance-match rate of the 16-bit syndrome space down (a false match would
-#: deliver a CRC-valid wrong frame; with <=64 gated candidates the expected
-#: false singles+pairs+triples are (64 + 2016 + 41664)/65536 ~ 0.67 per
-#: *unrecoverable* frame only — true errors are found at lower cardinality
-#: first and by min-sum-|LLR| tie-breaking).  Quads are deliberately NOT
-#: searched: C(64,4)/2^16 ~ 10 expected chance matches is corruption, not
-#: recovery.
+#: median(pool |LLR|) enter the search.  Measured (NVIS QAM256 R5/6,
+#: 2000-byte frames at 28-30 dB): genuinely wrong bits sit at |LLR| ranks
+#: 1-2 of ~10k with a wide margin to the correct-bit distribution (>99% of
+#: parity-free bits read AT the +-10 demapper clip; wrong ones at 0.5-3),
+#: so a tight gate keeps recovery coverage while holding the chance-match
+#: rate of the 16-bit syndrome space down (a false match would deliver a
+#: CRC-valid wrong frame; with <=12 gated candidates the expected false
+#: singles+pairs+triples are (12 + 66 + 220)/65536 ~ 0.005 per
+#: *unrecoverable* frame).  Quads and beyond are deliberately NOT searched:
+#: deeper subsets are chance-match territory at 16 CRC bits.
 #: Measured landscape (tools/ + /tmp harness, 2026-08-18): the demapper's
 #: LLR clip is +-10 with min 0.5 (docs/INVARIANTS mirror), and >99% of
 #: parity-free bits sit AT the clip — wrong bits were at 0.5-3.0.  Gate at
 #: 0.6 * median (= 6.0 at the clip) keeps 2x margin over the worst observed
 #: wrong bit while excluding essentially every correct one.
 GATE_FRAC = 0.6
-POOL_CAP = 64
+#: Sparse-regime guard: recovery exists for the EVM-floor failure mode
+#: (1-3 wrong bits, measured pools of 1-5 sub-gate candidates).  When MANY
+#: parity-free bits read low-confidence the frame is in a dense-corruption
+#: regime (e.g. R3/4 image-leakage at CFO >= 0.5 Hz on the real front:
+#: dozens of wrong bits) where a 16-bit syndrome match is overwhelmingly a
+#: CHANCE match — measured: 5/8 such "recoveries" delivered CRC-valid
+#: WRONG frames before this guard.  Decline and let ARQ retransmit.
+SPARSE_POOL_MAX = 12
 
 
 @functools.lru_cache(maxsize=None)
@@ -186,9 +192,9 @@ def recover_frame(frame_bytes: bytes, llr_blocks, rate: CodeRate,
         return None
     cands.sort(key=lambda t: t[2])
     gate = GATE_FRAC * float(np.median([c[2] for c in cands]))
-    pool = [c for c in cands if c[2] <= gate][:POOL_CAP]
-    if not pool:
-        return None
+    pool = [c for c in cands if c[2] <= gate]
+    if not pool or len(pool) > SPARSE_POOL_MAX:
+        return None  # empty, or dense corruption — not recovery's regime
 
     flips = _search(pool, target)
     if flips is None:

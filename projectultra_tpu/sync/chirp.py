@@ -43,6 +43,23 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+# Opt-in bf16 inputs for the acquisition hot path (ULTRA_CHIRP_BF16=1):
+# the full-rate refine matmuls and the polyphase decimation conv run with
+# bf16 operands + f32 MXU accumulation.  Default OFF — tests pin the f32
+# path's round-2 exactness contract (test_chirp_fast_parity.py); the bench
+# may enable it, and its decode-correctness gate scores a wrong fast path
+# as 0.  The coarse FFT matched filter stays f32 (bf16 FFTs are neither
+# supported nor wanted), so only threshold-margin quantities are affected.
+import os as _os
+_BF16 = _os.environ.get("ULTRA_CHIRP_BF16") == "1"
+
+
+def _mxu_dot(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    if _BF16:
+        return jnp.dot(a.astype(jnp.bfloat16), b.astype(jnp.bfloat16),
+                       preferred_element_type=jnp.float32)
+    return jnp.dot(a, b, precision=jax.lax.Precision.HIGHEST)
+
 
 @dataclasses.dataclass(frozen=True)
 class ChirpConfig:
@@ -171,11 +188,19 @@ def _decimate(cfg: ChirpConfig, samples: jnp.ndarray) -> jnp.ndarray:
     xb = xp.reshape(B, Tb, D).transpose(0, 2, 1)        # [B, D(phase), Tb]
     kw = K // D
     kern = jnp.asarray(w.reshape(2, kw, D).transpose(0, 2, 1))  # [2, D, kw]
-    out = jax.lax.conv_general_dilated(
-        xb, kern, window_strides=(1,),
-        padding=((kw // 2, kw - 1 - kw // 2),),
-        dimension_numbers=("NCH", "OIH", "NCH"),
-        precision=jax.lax.Precision.HIGHEST)            # [B, 2, Tb]
+    if _BF16:
+        out = jax.lax.conv_general_dilated(
+            xb.astype(jnp.bfloat16), kern.astype(jnp.bfloat16),
+            window_strides=(1,),
+            padding=((kw // 2, kw - 1 - kw // 2),),
+            dimension_numbers=("NCH", "OIH", "NCH"),
+            preferred_element_type=jnp.float32)         # [B, 2, Tb]
+    else:
+        out = jax.lax.conv_general_dilated(
+            xb, kern, window_strides=(1,),
+            padding=((kw // 2, kw - 1 - kw // 2),),
+            dimension_numbers=("NCH", "OIH", "NCH"),
+            precision=jax.lax.Precision.HIGHEST)        # [B, 2, Tb]
     return out[:, 0, :] + 1j * out[:, 1, :]
 
 
@@ -262,11 +287,9 @@ def _refine_full(cfg: ChirpConfig, samples: jnp.ndarray, pos: jnp.ndarray,
     seg2 = seg.reshape(B * K, W)
     kc, ke = mats
     n_off = 2 * R + 1
-    num = jnp.dot(seg2, jnp.asarray(kc),
-                  precision=jax.lax.Precision.HIGHEST)   # [B*K, 2*(2R+1)]
+    num = _mxu_dot(seg2, jnp.asarray(kc))                # [B*K, 2*(2R+1)]
     mag = jnp.sqrt(num[:, :n_off] ** 2 + num[:, n_off:] ** 2)
-    en = jnp.dot(seg2 * seg2, jnp.asarray(ke),
-                 precision=jax.lax.Precision.HIGHEST)    # [B*K, 2R+1]
+    en = _mxu_dot(seg2 * seg2, jnp.asarray(ke))          # [B*K, 2R+1]
     denom = jnp.sqrt(jnp.maximum(en * e_t, 0.0))
     corr = jnp.where(denom > 1e-10, mag / denom, 0.0)
 
