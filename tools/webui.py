@@ -45,9 +45,12 @@ button{background:#22303a;color:#cdd6dd;border:1px solid #3a4a56;padding:4px 10p
 <h1>ultra-tpu &mdash; HF modem console (virtual remote: VE3ABC)</h1>
 <div class=row>
  <div><div>waterfall 0-3 kHz</div>
-  <canvas id=wf width=256 height=120></canvas></div>
+  <canvas id=wf width=256 height=200></canvas></div>
  <div><div>constellation</div>
   <canvas id=ct width=120 height=120></canvas></div>
+ <div><div>mode / adaptive (last frames)</div>
+  <div id=modes style="white-space:pre;background:#161d23;padding:8px;
+   border:1px solid #2a3740;height:184px;overflow-y:auto;width:240px"></div></div>
  <div id=status>connecting to backend...</div>
 </div>
 <p>
@@ -119,6 +122,9 @@ async function tick(){
   c.moveTo(0,60); c.lineTo(120,60); c.stroke(); c.fillStyle='#7fd4a0';
   for(const p of s.constellation)
    c.fillRect(60+p[0]*54-1,60-p[1]*54-1,2,2);
+  document.getElementById('modes').textContent=
+   s.modes.map(m=>`${m[0].padEnd(12)} ${m[1].toFixed(1)} dB  fade ${m[2]}`)
+          .reverse().join('\n');
   const con=document.getElementById('console');
   con.textContent=s.console.join('\\n');
   con.scrollTop=con.scrollHeight;
@@ -155,6 +161,12 @@ class Station:
         self.console = []
         self.last_rx = None
         self.snr_db = snr_db
+        # Rolling waterfall history (reference waterfall widget keeps a
+        # ~200-line scrollback, src/gui/widgets/waterfall*): rows from
+        # EVERY rx audio block accumulate here, newest last.
+        self.wf_hist = []
+        # Mode/adaptive history for the panel: (mode, snr, fade) per frame.
+        self.mode_hist = []
         # Settings layer (settings.cpp / CONFIGURATION_SYSTEM.md): INI
         # persistence + expert forced mod/rate applied to the connection.
         self.settings_path = settings_path or os.path.join(
@@ -206,10 +218,26 @@ class Station:
         def b_to_a(audio):
             rx = channel(audio)
             self.last_rx = rx
+            self._wf_accumulate(rx)
             a.feed_audio(rx)
 
         a.on_tx_audio = a_to_b
         b.on_tx_audio = b_to_a
+
+        _user_on_frame = a.modem.on_frame
+
+        def _frame_hook(fr):
+            m = a.modem
+            self.mode_hist.append(
+                (f"{m.data_modulation.name}/"
+                 f"{m.data_code_rate.name[1:].replace('_', '/')}",
+                 round(fr.wideband_snr_db, 1), round(fr.fade_spread_db, 1)))
+            del self.mode_hist[:-40]
+            if _user_on_frame:
+                _user_on_frame(fr)
+        # ProtocolEngine wired on_frame in its ctor — WRAP, don't replace
+        # (CLAUDE.md round-3 rule).
+        a.modem.on_frame = _frame_hook
         a.connection.on_message_received = \
             lambda t: self.console.append(f"VE3ABC> {t}")
         # Virtual remote auto-reply (GUI -sim behavior).
@@ -221,6 +249,23 @@ class Station:
         if self._ex is not None:
             return self._ex.run(fn)
         return fn()
+
+    WF_HISTORY = 200  # scrollback depth (reference waterfall widget scale)
+
+    def _wf_accumulate(self, rx):
+        """Append this rx block's STFT rows to the rolling history (dB,
+        un-normalized — normalization happens over the WINDOW at render
+        time so old rows don't pump as new audio arrives)."""
+        import numpy as np
+        from projectultra_tpu.utils.observability import waterfall
+        if len(rx) < 4096:
+            return
+        db, freqs = waterfall(rx)
+        keep = freqs <= 3000.0
+        rows = db[:, keep]
+        cols = np.linspace(0, rows.shape[1] - 1, 256).astype(int)
+        self.wf_hist.extend(rows[:, cols])
+        del self.wf_hist[:-self.WF_HISTORY]
 
     # --- actions (serialized by the lock; each pumps the full exchange)
     def connect(self):
@@ -332,8 +377,7 @@ class Station:
 
     def state(self) -> dict:
         import numpy as np
-        from projectultra_tpu.utils.observability import (constellation,
-                                                          waterfall)
+        from projectultra_tpu.utils.observability import constellation
         with self.lock:
             c = self.a.connection
             m = self.a.modem
@@ -350,15 +394,12 @@ class Station:
                 f"rx {m.stats.frames_received}\n"
                 f"pings rx: {m.pings_received}")
             wf_rows = []
-            if self.last_rx is not None and len(self.last_rx) >= 4096:
-                db, freqs = waterfall(self.last_rx)
-                keep = freqs <= 3000.0
-                db = db[-40:, keep]
+            if self.wf_hist:
+                db = np.stack(self.wf_hist)          # [<=200, 256] dB
                 lo, hi = float(db.min()), float(max(db.max(),
                                                     db.min() + 1e-6))
                 norm = ((db - lo) / (hi - lo) * 255).astype(np.uint8)
-                cols = np.linspace(0, norm.shape[1] - 1, 256).astype(int)
-                wf_rows = norm[:, cols].tolist()
+                wf_rows = norm.tolist()
             pts = []
             if m.last_constellation is not None and \
                     len(m.last_constellation):
@@ -368,7 +409,8 @@ class Station:
                        for p in iq[:400]]
             return {"status": status, "waterfall": wf_rows,
                     "constellation": pts, "console": self.console[-50:],
-                    "transfer": dict(self.transfer)}
+                    "transfer": dict(self.transfer),
+                    "modes": [list(m) for m in self.mode_hist]}
 
 
 def make_server(station: Station, port: int):
@@ -442,6 +484,7 @@ def run_script(port: int) -> int:
     assert any("rx ok: hello from browser" in ln for ln in s2["console"]), \
         s2["console"]
     assert len(s2["constellation"]) > 0, "no constellation points"
+    assert len(s2["modes"]) > 0, "no mode/adaptive history rows"
 
     # File transfer end-to-end through the HTTP API with progress events.
     import tempfile
