@@ -51,17 +51,45 @@ def _probe_backend(attempts=3, timeout_s=75, backoffs=(15, 45)):
     return False, last
 
 
-if __name__ == "__main__" and not os.environ.get("ULTRA_BENCH_NO_PROBE"):
+_CPU_FALLBACK = bool(os.environ.get("ULTRA_BENCH_CPU"))
+
+
+def _cpu_fallback_record(timeout_s=900):
+    """Re-run this script on the CPU backend (bounded subprocess) so an
+    outage record still carries a MEASURED sanity number: a zeroed chip
+    metric alone cannot distinguish 'tunnel down' from 'pipeline broken'.
+    The CPU run keeps the same correctness gates (a wrong pipeline still
+    scores 0), just with small batches."""
+    env = dict(os.environ, ULTRA_BENCH_CPU="1")
+    try:
+        r = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                           capture_output=True, text=True, timeout=timeout_s,
+                           env=env)
+        line = (r.stdout or "").strip().splitlines()[-1:]
+        return json.loads(line[0]) if line else {"error": f"rc={r.returncode}"}
+    except subprocess.TimeoutExpired:
+        return {"error": f"cpu fallback exceeded {timeout_s}s"}
+    except Exception as e:  # noqa: BLE001 - record, never crash the bench
+        return {"error": f"{type(e).__name__}: {e}"}
+
+
+if __name__ == "__main__" and not _CPU_FALLBACK \
+        and not os.environ.get("ULTRA_BENCH_NO_PROBE"):
     _ok, _detail = _probe_backend()
     if not _ok:
         print(json.dumps({
             "metric": "ofdm_dqpsk_r12_frame_pipelines_per_sec",
             "value": 0.0, "unit": "pipelines/s/chip", "vs_baseline": 0.0,
             "error": "backend-unavailable", "error_detail": _detail,
+            "cpu_fallback": _cpu_fallback_record(),
         }))
         sys.exit(0)
 
 import jax
+if _CPU_FALLBACK:
+    # The axon sitecustomize pins jax to the TPU via plugin registration;
+    # the config knob (NOT the env var) is what reliably overrides it.
+    jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_projectultra")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
@@ -89,6 +117,8 @@ TARGET_PIPELINES_PER_SEC = 10_000.0  # BASELINE.md north star
 SNR_DB = 17.0
 BATCH = 16384  # HBM sweet spot post MXU-contraction rework (32768 regresses)
 ITERS = 256  # one dispatch, ~5 s timed: amortizes the ~100 ms tunnel latency
+if _CPU_FALLBACK:  # sanity-scale sizes: minutes on CPU, same gates
+    BATCH, ITERS = 512, 4
 
 CFG = P.chirp_ofdm_config()
 MOD = Modulation.DQPSK
@@ -122,6 +152,8 @@ def _step_many(info_bits, keys):
 ACQ_BATCH = 256
 ACQ_ITERS = 16
 ACQ_SNR_DB = 5.0
+if _CPU_FALLBACK:
+    ACQ_BATCH, ACQ_ITERS = 16, 2
 
 
 def _build_acq():
@@ -249,7 +281,7 @@ def main():
     result = {
         "metric": "ofdm_dqpsk_r12_frame_pipelines_per_sec",
         "value": round(pps, 1),
-        "unit": "pipelines/s/chip",
+        "unit": "pipelines/s/cpu-sanity" if _CPU_FALLBACK else "pipelines/s/chip",
         "vs_baseline": round(pps / TARGET_PIPELINES_PER_SEC, 3),
     }
     # Guard: a fast but wrong pipeline is worthless.
@@ -264,7 +296,7 @@ def main():
     acq_fps, acq_ok = _bench_acq()
     result["acq_metric"] = "mcdpsk_chirp_acquisition_frames_per_sec"
     result["acq_value"] = round(acq_fps, 1)
-    result["acq_unit"] = "frames/s/chip"
+    result["acq_unit"] = "frames/s/cpu-sanity" if _CPU_FALLBACK else "frames/s/chip"
     result["acq_decode_ok_rate"] = round(acq_ok, 4)
 
     print(json.dumps(result))

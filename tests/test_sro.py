@@ -1,0 +1,49 @@
+"""Sample-rate-offset robustness gate (tools/test_sro.py at suite scale).
+
+Real TX/RX soundcards run tens of ppm apart; the reference has no SRO test
+or compensation anywhere (no resample/ppm/skew under its tests/ or
+src/sync).  The full row/ppm matrix lives in the tool; the suite pins the
+consumer-soundcard class (|ppm| <= 50) on the default 512 Cox row through
+the real streaming engine.
+"""
+
+import importlib.util
+import os
+
+_TOOL = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "tools", "test_sro.py")
+
+
+def _load_tool():
+    spec = importlib.util.spec_from_file_location("sro_tool", _TOOL)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_sro_50ppm_cox_dqpsk():
+    tool = _load_tool()
+    from projectultra_tpu.config import Modulation, CodeRate
+    from projectultra_tpu.modem.engine import ModemEngine
+    from projectultra_tpu.protocol.frame_v2 import WaveformMode
+
+    res = tool.run_row(
+        "512 COX DQPSK R1/2 @25dB", lambda: ModemEngine(),
+        WaveformMode.OFDM_COX, Modulation.DQPSK, CodeRate.R1_2,
+        25.0, 200, [50, -50], frames=1)
+    for ppm, (n_ok, n) in res.items():
+        assert n_ok == n, f"{ppm:+} ppm: {n_ok}/{n} frames decoded"
+
+
+def test_sro_resampler_passthrough():
+    """At 0 ppm the Catmull-Rom resampler must be a near-exact pass-through
+    (integer phases): the SRO measurements then isolate clock skew, not
+    interpolation error."""
+    import numpy as np
+    tool = _load_tool()
+    rng = np.random.default_rng(0)
+    x = rng.normal(0, 0.3, 48000).astype(np.float32)
+    y = tool.apply_sro(x, 0)
+    n = len(y)
+    assert n >= 48000 - 8
+    assert np.max(np.abs(y - x[:n])) < 1e-6
