@@ -836,26 +836,57 @@ def _demod_coherent_refined(config: ModemConfig, mod: Modulation,
     # symbol frame decode as noise while 0-34 are clean).  The loop only
     # ever tracks the small per-symbol increment, so its decisions stay
     # inside the correct cell all the way down the frame.
+    #
+    # The loop is DUAL: common phase (CFO residual) AND a per-bin phase
+    # slope (symbol-TIMING drift).  A TX/RX sample-clock offset of eps
+    # slides the analysis window by eps*L samples per symbol; a window
+    # shift of delta rotates signed bin k by exp(-j*2pi*k*delta/N) — a
+    # slope in k that the rank-1 g[s]*h[c] model CANNOT absorb (measured:
+    # the no-pilot NVIS QAM256 R5/6 row dies at +-20 ppm without this,
+    # ~42 deg at the edge bins after 4 samples of drift; consumer
+    # soundcards run 20-100 ppm apart, tools/test_sro.py).  Both loops
+    # are second-order, so a constant-rate ramp tracks with zero
+    # steady-state error.
     h2 = h[:, 0, :]                                      # [B, Cd]
     hp2 = jnp.maximum(jnp.abs(h2) ** 2, 1e-12)
+    kbin = jnp.asarray(_used_bins_k(config)[:Cd])        # [Cd] signed bins
+    kb2sum_w = 1e-12
 
     def pll_step(carry, xs_s):
         fd_s, m_s = xs_s                                 # [B, Cd], [1, Cd]
-        phi, om = carry                                  # [B], [B]
-        rot = jnp.exp(-1j * phi.astype(jnp.complex64))[:, None]
+        phi, om, psi, ups = carry                        # [B] each
+        ang = phi[:, None] + psi[:, None] * kbin[None, :]
+        rot = jnp.exp(-1j * ang.astype(jnp.complex64))
         z = fd_s * rot
         d_s = demap_ops.hard_decision(mod, z * jnp.conj(h2) / hp2)
-        e = (z * jnp.conj(h2 * d_s) * m_s).sum(-1)
-        err = jnp.arctan2(e.imag, e.real)
+        e = z * jnp.conj(h2 * d_s) * m_s                 # [B, Cd]
+        ec = e.sum(-1)
+        err = jnp.arctan2(ec.imag, ec.real)
+        # Timing-slope error: weighted LS fit of the residual per-carrier
+        # phase against the signed bin number (common part removed first,
+        # so the angles are small increments and never wrap).
+        th = e * jnp.exp(-1j * err.astype(jnp.complex64))[:, None]
+        resid_ph = jnp.arctan2(th.imag, th.real)
+        w = jnp.abs(e)
+        err_s = ((w * resid_ph * kbin[None, :]).sum(-1)
+                 / jnp.maximum((w * kbin[None, :] ** 2).sum(-1), kb2sum_w))
         om = om + 0.05 * err
         phi_s = phi + err                                # best phase for s
         phi = phi + om + 0.3 * err
-        return (phi, om), phi_s
+        ups = ups + 0.05 * err_s
+        psi_s = psi + err_s                              # best slope for s
+        psi = psi + ups + 0.3 * err_s
+        return (phi, om, psi, ups), (phi_s, psi_s)
 
     zero = jnp.zeros((B,), jnp.float32)
-    _, phis = jax.lax.scan(pll_step, (zero, zero),
-                           (jnp.moveaxis(fd, 0, 1),
-                            jnp.moveaxis(live, 0, 1)))   # [S, B]
+    _, (phis, psis) = jax.lax.scan(pll_step, (zero, zero, zero, zero),
+                                   (jnp.moveaxis(fd, 0, 1),
+                                    jnp.moveaxis(live, 0, 1)))  # [S, B] x2
+    # Take the tracked timing slope OUT of fd so the rank-1 model (and the
+    # residual-noise estimator) see a drift-free grid; the common phase
+    # stays in g's seed exactly as before.
+    fd = fd * jnp.exp(-1j * (jnp.moveaxis(psis, 0, 1)[:, :, None]
+                             * kbin[None, None, :]).astype(jnp.complex64))
     g = jnp.exp(1j * jnp.moveaxis(phis, 0, 1))[:, :, None].astype(
         jnp.complex64)                                   # [B, S, 1]
     d = None

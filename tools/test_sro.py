@@ -155,6 +155,13 @@ def main():
         "mc_dpsk": ("MC-DPSK DQPSK R1/2 @10dB", lambda: ModemEngine(),
                     WaveformMode.MC_DPSK, Modulation.DQPSK, CodeRate.R1_2,
                     10.0, 120),
+        # 33 dB wideband, not the reference's "30+": its README SNRs are
+        # on the INFLATED pilot scale (reads 10-20 dB above wideband,
+        # CLAUDE.md); 432 B matches the throughput row's frame shape.
+        "nvis_qam32": ("NVIS QAM32 R3/4 @33dB",
+                       lambda: ModemEngine(config=nvis_mode()),
+                       WaveformMode.OFDM_COX, Modulation.QAM32, CodeRate.R3_4,
+                       33.0, 432),
         "nvis_qam64": ("NVIS QAM64 R3/4 @33dB",
                        lambda: ModemEngine(config=nvis_mode()),
                        WaveformMode.OFDM_COX, Modulation.QAM64, CodeRate.R3_4,
