@@ -748,11 +748,17 @@ def demodulate_with_lts(config: ModemConfig, mod: Modulation,
     state = estimate_channel_from_lts(config, state, lts, t0_base=t0_lts,
                                       t0_stride=t0_lts_stride,
                                       image_cancel=ic, taper=taper)
-    if (q256 and len(carriers_mod.carrier_map(config).pilot_idx) == 0
+    # EVERY coherent no-pilot mode takes the refined two-pass path: the
+    # scan path has no per-symbol tracking without pilots (the LTS-only H
+    # is frozen for the whole frame), which loses QAM16/32 from +-20 ppm
+    # of sample-clock skew (tools/test_sro.py).  The data window keeps
+    # each tier's established choice via ``taper``.
+    if (not is_differential(mod)
+            and len(carriers_mod.carrier_map(config).pilot_idx) == 0
             and not config.adaptive_eq_enabled):
         llrs = _demod_coherent_refined(config, mod, state, data,
                                        t0_base=t0_data, front=front,
-                                       n_bits=n_bits)
+                                       n_bits=n_bits, taper=taper)
         return llrs, state
     state, llrs = _scan_data_symbols(config, mod, state, data,
                                      t0_base=t0_data, front=front,
@@ -781,9 +787,15 @@ def _live_carrier_mask(mod: Modulation, S: int, Cd: int,
 def _demod_coherent_refined(config: ModemConfig, mod: Modulation,
                             state: DemodState, data: jnp.ndarray,
                             t0_base, front: str = "analytic",
-                            n_bits: int | None = None) -> jnp.ndarray:
+                            n_bits: int | None = None,
+                            taper: bool | None = None) -> jnp.ndarray:
     """Two-pass no-pilot coherent demod with decision-directed channel
-    refinement, used by the 256QAM path (both RX flavors).
+    refinement — every coherent no-pilot mode routes here (round 4: the
+    scan path has NO per-symbol tracking without pilots, so NVIS QAM16/32
+    degraded from +-20 ppm of TX/RX clock skew; the dual PLL below holds
+    them to +-100 ppm like the hi-order modes).  ``taper`` follows the
+    caller's window choice so the data analysis window always matches the
+    LTS estimate's (<=32QAM keeps rect; hi-order keeps folded-Tukey).
 
     Under a true (SSB) CFO the LTS-only channel estimate is contaminated
     by the Hilbert ringing of the LTS<->data boundary — a PAYLOAD-dependent
@@ -800,14 +812,17 @@ def _demod_coherent_refined(config: ModemConfig, mod: Modulation,
     cm = carriers_mod.carrier_map(config)
     B, S, L = data.shape
     Cd = len(cm.data_idx)
+    if taper is None:
+        taper = front != "real"
+    hi = _hi_order(mod)
 
     def step(carry, xs):
         st = carry
         sym, s_idx = xs
         fd, st = to_baseband_fd(
             config, st, sym, t0_base + s_idx * L,
-            image_cancel=(QAM256_RX == "real" and front != "real"),
-            taper=front != "real")
+            image_cancel=(hi and QAM256_RX == "real" and front != "real"),
+            taper=taper)
         return st, fd
 
     xs = (jnp.moveaxis(data, 1, 0), jnp.arange(S))
@@ -1105,6 +1120,15 @@ def demodulate_presynced(config: ModemConfig, mod: Modulation,
         # of a sequential scan.  Bit-identical to the scan path.
         llrs = _demod_differential_parallel(config, mod, state, data,
                                             t0_base=training_symbols * L)
+        return llrs, state
+    if (not is_differential(mod) and not has_pilots
+            and not config.adaptive_eq_enabled):
+        # Coherent no-pilot: refined two-pass with the dual PLL (phase +
+        # timing slope) — same routing as demodulate_with_lts; this
+        # function's window choice (Tukey only at QAM256) is preserved.
+        llrs = _demod_coherent_refined(config, mod, state, data,
+                                       t0_base=training_symbols * L,
+                                       taper=(mod == Modulation.QAM256))
         return llrs, state
     state, llrs = _scan_data_symbols(config, mod, state, data,
                                      t0_base=training_symbols * L)

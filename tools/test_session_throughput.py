@@ -27,7 +27,8 @@ import tempfile
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
-def run_session(profile, true_snr, n_bytes, warm_msgs=16, chunk=4000):
+def run_session(profile, true_snr, n_bytes, warm_msgs=16, chunk=4000,
+                sro_ppm=0.0):
     """warm_msgs >= 16: the flat-evidence gate needs STABLE_WINDOW (6)
     readings plus FLAT_FRAMES (3) before the high-order ladder opens, and
     the upgrade debounce then wants 4 consecutive recommendations.
@@ -54,9 +55,25 @@ def run_session(profile, true_snr, n_bytes, warm_msgs=16, chunk=4000):
     counter = [0]
     audio_samples = [0]
 
-    def channel(audio):
+    # TX/RX sample-clock skew (tools/test_sro.py): station A's DAC/ADC
+    # run sro_ppm fast relative to B's, so A->B audio resamples by +ppm
+    # and B->A by -ppm — both radios see the skew, like real hardware.
+    if sro_ppm:
+        import importlib.util
+        _spec = importlib.util.spec_from_file_location(
+            "sro_tool", os.path.join(os.path.dirname(__file__),
+                                     "test_sro.py"))
+        _sro = importlib.util.module_from_spec(_spec)
+        _spec.loader.exec_module(_sro)
+        _apply_sro = _sro.apply_sro
+    else:
+        _apply_sro = None
+
+    def channel(audio, ppm=0.0):
         counter[0] += 1
         audio_samples[0] += len(audio)
+        if _apply_sro is not None and ppm:
+            audio = _apply_sro(audio, ppm)
         a = jnp.asarray(np.concatenate(
             [np.zeros(2000, np.float32), audio,
              np.zeros(4000, np.float32)])[None, :])
@@ -72,8 +89,8 @@ def run_session(profile, true_snr, n_bytes, warm_msgs=16, chunk=4000):
     a.connection.set_local_callsign("W1AW")
     b.connection.set_local_callsign("VE3ABC")
     b.connection.set_measured_snr(true_snr)
-    a.on_tx_audio = lambda audio: b.feed_audio(channel(audio))
-    b.on_tx_audio = lambda audio: a.feed_audio(channel(audio))
+    a.on_tx_audio = lambda audio: b.feed_audio(channel(audio, sro_ppm))
+    b.on_tx_audio = lambda audio: a.feed_audio(channel(audio, -sro_ppm))
     got_b = []
     b.connection.on_message_received = got_b.append
 
@@ -146,6 +163,8 @@ def main():
     ap.add_argument("--chunk", type=int, default=4000)
     ap.add_argument("--tpu", action="store_true",
                     help="run on the default (TPU) backend")
+    ap.add_argument("--sro-ppm", type=float, default=0.0,
+                    help="TX/RX sample-clock skew in ppm (A fast, B slow)")
     args = ap.parse_args()
     import jax
     jax.config.update("jax_compilation_cache_dir",
@@ -160,7 +179,8 @@ def main():
     all_ok = True
     for row in args.rows.split(","):
         profile, snr = row.rsplit("_", 1)
-        r = run_session(profile, float(snr), args.bytes, chunk=args.chunk)
+        r = run_session(profile, float(snr), args.bytes, chunk=args.chunk,
+                        sro_ppm=args.sro_ppm)
         if r is None:
             print(f"  {row:10s}: FAIL")
             all_ok = False

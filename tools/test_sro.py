@@ -155,6 +155,9 @@ def main():
         "mc_dpsk": ("MC-DPSK DQPSK R1/2 @10dB", lambda: ModemEngine(),
                     WaveformMode.MC_DPSK, Modulation.DQPSK, CodeRate.R1_2,
                     10.0, 120),
+        "otfs": ("OTFS_EQ QPSK R1/2 @20dB", lambda: ModemEngine(),
+                 WaveformMode.OTFS_EQ, Modulation.QPSK, CodeRate.R1_2,
+                 20.0, 150),
         # 33 dB wideband, not the reference's "30+": its README SNRs are
         # on the INFLATED pilot scale (reads 10-20 dB above wideband,
         # CLAUDE.md); 432 B matches the throughput row's frame shape.
