@@ -338,7 +338,13 @@ class CoxPath(AcquisitionPath):
         ci = channel_interleaver(bps, F.LDPC_CODEWORD_BITS) \
             if self.e.interleaving_enabled else None
 
-        def demod(n_cw: int):
+        # Front-end eligibility for the REAL passband (see pick below):
+        # coherent, pilot plan, small detected CFO — the physics gates.
+        real_ok = (not demod_mod.is_differential(mod)
+                   and len(carriers_mod.carrier_map(cfg).pilot_idx) > 0
+                   and abs(float(cfo)) <= self.e.REAL_FRONT_CFO_MAX_HZ)
+
+        def demod(n_cw: int, front: str):
             S = ofdm_pipeline.num_data_symbols(cfg, mod, n_cw)
             need = lts_start + 2 * plen + S * cfg.symbol_duration
             if len(buf) < need:
@@ -371,10 +377,6 @@ class CoxPath(AcquisitionPath):
             # operating mode (and its 1024 grid leaves just 4 bins
             # between signal and image), measured better than the real
             # front at the R5/6 waterfall edges.
-            front = ("real" if not demod_mod.is_differential(mod)
-                     and len(carriers_mod.carrier_map(cfg).pilot_idx) > 0
-                     and abs(float(cfo)) <= self.e.REAL_FRONT_CFO_MAX_HZ
-                     else "analytic")
             span = jnp.asarray(buf[None, lts_start - lead:need + tail])
             llrs, state = demod_mod.demodulate_span(
                 cfg, mod, span, cfo, 0.0, n_lts=2, S=S,
@@ -393,7 +395,24 @@ class CoxPath(AcquisitionPath):
                     for i in range(n_cw)])
             return out, state
 
-        llrs0, st0 = demod(1)
+        # Primary front pick (host branch on the detected CFO + mode): the
+        # REAL passband is EXACT at small CFO (conjugate image
+        # bin-orthogonal, like the reference's channel_equalizer.cpp:19-71
+        # front) and wins where the analytic mask's DC-adjacent leakage
+        # binds — hi-order decision distances (QAM64/256) and parity-free
+        # rates (R3/4, R5/6, corrupted at ANY SNR).  For full-parity
+        # <=32QAM the analytic front wins instead: the real front's image
+        # ICI under a TRUE 1-1.5 Hz offset measurably loses QAM16 R2/3
+        # frames at 25 dB, while the mask floor never binds those decision
+        # distances (docs/PERF.md round-4 CFO-ramp section).  Neither
+        # front dominates every corner (the real front is also the better
+        # one under sample-clock timing drift), so a FAILED frame decode
+        # retries once with the other front below.
+        parity_free = data_rate in (CodeRate.R3_4, CodeRate.R5_6)
+        hi_mod = mod in (Modulation.QAM64, Modulation.QAM256)
+        front = "real" if real_ok and (hi_mod or parity_free) else "analytic"
+
+        llrs0, st0 = demod(1, front)
         if llrs0 is None:
             return "wait", None
         info = rate0 = None
@@ -404,6 +423,23 @@ class CoxPath(AcquisitionPath):
                 if hdr.valid:
                     info, rate0 = hdr, rate
                     break
+        if info is None and real_ok:
+            # Header probe failed on the primary front: one retry on the
+            # other front before declaring the detection bad.
+            alt = "analytic" if front == "real" else "real"
+            llrs0a, st0a = demod(1, alt)
+            if llrs0a is not None:
+                for rate in candidate_rates:
+                    ok, data = F.decode_codewords_with_ldpc(
+                        [llrs0a[:648]], rate)
+                    if ok[0]:
+                        hdr = F.parse_header(
+                            data[0].ljust(F.BYTES_PER_CODEWORD, b"\0"))
+                        if hdr.valid:
+                            info, rate0 = hdr, rate
+                            front, llrs0, st0 = alt, llrs0a, st0a
+                            self.e.stats.frames_front_retried += 1
+                            break
         if info is None:
             return "fail", None
         # header.total_cw is sized at R1/4 (the ARQ's makeData default,
@@ -413,41 +449,63 @@ class CoxPath(AcquisitionPath):
         total_cw = max(1, info.total_cw) if info.is_control \
             else F.calculate_codewords(info.payload_len, rate0)
 
-        if total_cw > 1:
-            llrs, st = demod(total_cw)
-            if llrs is None:
-                return "wait", None
-            blocks = [llrs[i * 648:(i + 1) * 648] for i in range(total_cw)]
-            oks, datas = F.decode_codewords_with_ldpc(blocks, rate0)
-        else:
-            st = st0  # reuse the probe demod's state (no second device pass)
-            oks, datas = ok, data
-
         if info.is_control:
             expected = F.CONTROL_SIZE
         else:
             expected = F.HEADER_SIZE + info.payload_len + F.CRC_SIZE
         bpc = F.bytes_per_codeword(rate0)
-        frame_bytes = F.reassemble_codewords(
-            [d if o else b"\0" * bpc for o, d in zip(oks, datas)], expected)
 
-        # CRC-aided parity-free bit recovery (fec/crc_recover.py): at R3/4 and
-        # R5/6 the H construction leaves info bits with zero checks, so every
-        # codeword can converge (cw_ok) while the frame CRC fails on a few
-        # low-|LLR| raw demapper decisions.  Syndrome-search those positions
-        # before giving the frame up to ARQ.
-        if (all(oks) and not info.is_control
-                and rate0 in (CodeRate.R3_4, CodeRate.R5_6)
-                and len(frame_bytes) == expected):
-            from ...fec import crc_recover
-            llr_blocks = ([llrs0[:648]] if total_cw == 1 else
-                          [llrs[i * 648:(i + 1) * 648]
-                           for i in range(total_cw)])
-            fixed = crc_recover.recover_frame(
-                frame_bytes, llr_blocks, rate0, expected)
-            if fixed is not None:
-                frame_bytes = fixed
-                self.e.stats.frames_crc_recovered += 1
+        def attempt(front_try, llrs_pre=None, st_pre=None):
+            """Demod + LDPC + reassemble + CRC recovery at one front.
+            Returns (oks, frame_bytes, state, good, recovered) or "wait"."""
+            if total_cw == 1 and llrs_pre is not None:
+                llrs_, st_ = llrs_pre, st_pre
+            else:
+                llrs_, st_ = demod(total_cw, front_try)
+                if llrs_ is None:
+                    return "wait"
+            blocks = [llrs_[i * 648:(i + 1) * 648] for i in range(total_cw)]
+            oks_, datas_ = F.decode_codewords_with_ldpc(blocks, rate0)
+            frame_ = F.reassemble_codewords(
+                [d if o else b"\0" * bpc for o, d in zip(oks_, datas_)],
+                expected)
+            recovered = False
+            # CRC-aided parity-free bit recovery (fec/crc_recover.py): at
+            # R3/4 and R5/6 the H construction leaves info bits with zero
+            # checks, so every codeword can converge (cw_ok) while the
+            # frame CRC fails on a few low-|LLR| raw demapper decisions.
+            # Syndrome-search those positions before giving the frame up.
+            if (all(oks_) and not info.is_control
+                    and rate0 in (CodeRate.R3_4, CodeRate.R5_6)
+                    and len(frame_) == expected):
+                from ...fec import crc_recover
+                fixed = crc_recover.recover_frame(
+                    frame_, blocks, rate0, expected)
+                if fixed is not None:
+                    frame_, recovered = fixed, True
+            good = bool(all(oks_)) and len(frame_) == expected
+            if good and not info.is_control:
+                # Full validity for data frames = trailing CRC16 too: a
+                # cw_ok frame with a bad CRC still costs an ARQ round.
+                good = F.DataFrame.deserialize(frame_) is not None
+            return oks_, frame_, st_, good, recovered
+
+        res = attempt(front, llrs0, st0)
+        if res == "wait":
+            return "wait", None
+        # Neither front dominates the marginal corners (real wins under
+        # timing drift, analytic under a true 1-2 Hz CFO — both measured,
+        # docs/PERF.md round-4): a BAD frame gets one retry on the other
+        # front before falling through to ARQ.
+        if not res[3] and real_ok:
+            alt = "analytic" if front == "real" else "real"
+            res2 = attempt(alt)
+            if res2 != "wait" and res2[3]:
+                res = res2
+                self.e.stats.frames_front_retried += 1
+        oks, frame_bytes, st, _, recovered = res
+        if recovered:
+            self.e.stats.frames_crc_recovered += 1
 
         S = ofdm_pipeline.num_data_symbols(cfg, mod, total_cw)
         self.e._consume(lts_start + 2 * plen + S * cfg.symbol_duration)

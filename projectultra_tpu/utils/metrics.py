@@ -37,6 +37,11 @@ class ModemStats:
     # Round-4: frames whose parity-free info bits were repaired by CRC
     # syndrome search (fec/crc_recover.py) — beyond-reference capability.
     frames_crc_recovered: int = 0
+    # Round-4: frames rescued by re-demodulating with the OTHER front-end
+    # (real <-> analytic) after a failed decode: the real front wins under
+    # timing drift, the analytic under a true 1-2 Hz CFO — neither
+    # dominates in the marginal corners, so failures retry once.
+    frames_front_retried: int = 0
     current_modulation: Modulation = Modulation.QPSK
     current_code_rate: CodeRate = CodeRate.R1_2
 

@@ -57,9 +57,16 @@ def apply_sro(audio, ppm):
 
 
 def run_row(label, mk_engine, waveform, mod, rate, snr_db, payload, ppm_list,
-            frames, chunk=960, verbose=True):
+            frames, chunk=960, verbose=True, distort=None, unit="ppm"):
+    """Streams `frames` random-payload frames through one RX engine per
+    variant value in ppm_list, applying `distort(stream, value)` (default:
+    apply_sro) before the noise.  Shared harness for the SRO matrix and
+    the CFO-ramp tool (tools/test_cfo_ramp.py)."""
     import numpy as np
     from projectultra_tpu.protocol import frame_v2 as F
+
+    if distort is None:
+        distort = apply_sro
 
     rng = np.random.default_rng(11)
     tx = mk_engine()
@@ -87,7 +94,7 @@ def run_row(label, mk_engine, waveform, mod, rate, snr_db, payload, ppm_list,
                                          np.float32))
         stream_parts.append(np.zeros(48000, np.float32))
         stream = np.concatenate(stream_parts)
-        stream = apply_sro(stream, ppm)
+        stream = distort(stream, ppm)
         sig_power = float(np.mean(np.concatenate(frame_audio) ** 2))
         noise = rng.normal(0, np.sqrt(sig_power / 10 ** (snr_db / 10.0)),
                            len(stream)).astype(np.float32)
@@ -119,7 +126,7 @@ def run_row(label, mk_engine, waveform, mod, rate, snr_db, payload, ppm_list,
         n_ok = sum(1 for pb in payloads if pb in decoded)
         results[ppm] = (n_ok, frames)
         if verbose:
-            print(f"  {label:<34} {ppm:>+5} ppm  {n_ok}/{frames}")
+            print(f"  {label:<34} {ppm:>+6} {unit}  {n_ok}/{frames}")
     return results
 
 
