@@ -42,7 +42,7 @@ def tx_ramp(audio, n=1200):
 
 
 def run(snr_db=25.0, num_frames=12, duration_sec=60.0, soak_minutes=10.0,
-        chunk=960, verbose=True):
+        chunk=960, verbose=True, sro_ppm=0.0):
     import numpy as np
     from projectultra_tpu.config import Modulation, CodeRate
     from projectultra_tpu.modem.engine import ModemEngine
@@ -89,6 +89,19 @@ def run(snr_db=25.0, num_frames=12, duration_sec=60.0, soak_minutes=10.0,
         stream[pos:pos + len(audio)] += audio
         positions.append(pos)
         t += len(audio) / 48000.0 + avg_gap * float(rng.uniform(0.7, 1.3))
+
+    if sro_ppm:
+        # Compound impairment: the whole mixed-waveform stream through a
+        # skewed RX clock (tools/test_sro.py apply_sro), BEFORE the noise
+        # (the RX ADC samples channel noise at its own clock, so noise
+        # statistics are unchanged by the resample).
+        import importlib.util
+        _spec = importlib.util.spec_from_file_location(
+            "sro_tool", os.path.join(os.path.dirname(
+                os.path.abspath(__file__)), "test_sro.py"))
+        _sro = importlib.util.module_from_spec(_spec)
+        _spec.loader.exec_module(_sro)
+        stream = _sro.apply_sro(stream, sro_ppm)
 
     sig_power = float(np.mean(np.concatenate(placed) ** 2))
     noise_std = float(np.sqrt(sig_power / 10 ** (snr_db / 10.0)))
@@ -218,6 +231,7 @@ def main():
     ap.add_argument("--duration", type=float, default=60.0)
     ap.add_argument("--soak-minutes", type=float, default=10.0)
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--sro-ppm", type=float, default=0.0)
     ap.add_argument("--quick", action="store_true",
                     help="6 frames / 30 s / 1 min soak (test-suite scale)")
     args = ap.parse_args()
@@ -228,7 +242,8 @@ def main():
         jax.config.update("jax_platforms", "cpu")
     if args.quick:
         args.frames, args.duration, args.soak_minutes = 6, 30.0, 1.0
-    p1, p2, p3 = run(args.snr, args.frames, args.duration, args.soak_minutes)
+    p1, p2, p3 = run(args.snr, args.frames, args.duration, args.soak_minutes,
+                     sro_ppm=args.sro_ppm)
     print(f"frames+ping: {'PASS' if p1 else 'FAIL'}   "
           f"false-decode soak: {'PASS' if p2 else 'FAIL'}   "
           f"impulse torture: {'PASS' if p3 else 'FAIL'}")

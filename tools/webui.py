@@ -392,6 +392,8 @@ class Station:
                 f"(wideband {m.stats.wideband_snr_db:5.1f})\n"
                 f"frames:   tx {m.stats.frames_sent} / "
                 f"rx {m.stats.frames_received}\n"
+                f"rescued:  crc {m.stats.frames_crc_recovered} / "
+                f"front {m.stats.frames_front_retried}\n"
                 f"pings rx: {m.pings_received}")
             wf_rows = []
             if self.wf_hist:
