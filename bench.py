@@ -104,6 +104,10 @@ jax.config.update("jax_default_prng_impl", "rbg")
 # f32 default for lane-exact C++ parity.
 import os
 os.environ.setdefault("ULTRA_LDPC_BF16", "1")
+# bf16 chirp refine matmuls + decimation conv: +5.9% acquisition metric
+# (19,272 -> 20,410 frames/s, 2026-08-18 recapture), headline unchanged,
+# 100% decode.  Chirp parity tests keep the f32 default.
+os.environ.setdefault("ULTRA_CHIRP_BF16", "1")
 
 import jax.numpy as jnp
 import numpy as np
