@@ -263,8 +263,112 @@ def _refine_mats(cfg: ChirpConfig):
     return kc_up, kc_dn, ke
 
 
+# Gather alignment for the bf16 refine path.  A batched dynamic-slice
+# gather of [B*K, 24024] f32 runs ~25 GB/s effective on TPU (3.7 ms/iter at
+# B*K=512 — virtually ALL of the refine stage's cost; the matmuls are
+# FLOP-trivial), but the same gather BLOCK-ALIGNED runs 2.4x faster
+# (1.5 ms at A=128; A=8 and take_along_axis are 40x WORSE — all measured,
+# docs/PERF.md round 4).  So in bf16 mode the refine gathers 128-aligned
+# blocks and absorbs the intra-block offset into EXTRA shifted-template
+# matmul columns (n_q = 193 placements instead of 25), selecting each
+# row's 25 live columns afterwards — trading free MXU FLOPs for the
+# gather's fixed cost.  f32 keeps the tight dense path: its matmul cost
+# would grow ~8x (slow on the CPU test backend) and it is the exactness-
+# contract path.
+REFINE_ALIGN = 128
+
+
+@functools.lru_cache(maxsize=None)
+def _refine_mats_aligned(cfg: ChirpConfig, which: str):
+    """Extended shifted-template matrices for the block-aligned bf16 refine.
+
+    Column q of kc holds the template placed q rows down the WA-long
+    gathered window (q in [0, n_q)); a candidate whose window starts r
+    samples into the gathered block range selects columns [r, r+2R].
+    Returns (kc [WA, 2*n_q] bf16, ke [WA, n_q] bf16, WA, n_q)."""
+    import ml_dtypes
+    up, down, _, _ = _templates(cfg)
+    tmpl = up if which == "up" else down
+    L = cfg.chirp_samples
+    R = REFINE_HALF
+    W = L + 2 * R
+    A = REFINE_ALIGN
+    WA = -(-(W + A - 1) // A) * A
+    n_q = WA - W + 2 * R + 1
+
+    def shifts(vec, n):
+        m = np.zeros((WA, n), np.float32)
+        for j in range(n):
+            m[j:j + L, j] = vec
+        return m
+
+    kc = np.concatenate([shifts(tmpl.real.astype(np.float32), n_q),
+                         shifts(-tmpl.imag.astype(np.float32), n_q)], 1)
+    ke = shifts(np.ones(L, np.float32), n_q)
+    return (kc.astype(ml_dtypes.bfloat16), ke.astype(ml_dtypes.bfloat16),
+            WA, n_q)
+
+
+def _corr_dense(cfg: ChirpConfig, samples: jnp.ndarray, start: jnp.ndarray,
+                mats, e_t: float):
+    """f32 path: per-candidate [W]-gather + dense [W, 2*(2R+1)] matmuls."""
+    B, T = samples.shape
+    L = cfg.chirp_samples
+    R = REFINE_HALF
+    W = L + 2 * R
+    K = start.shape[1]
+    seg = jax.vmap(lambda b, st: jax.vmap(
+        lambda s: jax.lax.dynamic_slice(b, (s,), (W,)))(st)
+    )(samples, start)                                    # [B, K, W]
+    seg2 = seg.reshape(B * K, W)
+    kc, ke = mats
+    n_off = 2 * R + 1
+    num = _mxu_dot(seg2, jnp.asarray(kc))                # [B*K, 2*(2R+1)]
+    mag = jnp.sqrt(num[:, :n_off] ** 2 + num[:, n_off:] ** 2)
+    en = _mxu_dot(seg2 * seg2, jnp.asarray(ke))          # [B*K, 2R+1]
+    denom = jnp.sqrt(jnp.maximum(en * e_t, 0.0))
+    return jnp.where(denom > 1e-10, mag / denom, 0.0)
+
+
+def _corr_aligned(cfg: ChirpConfig, samples: jnp.ndarray, start: jnp.ndarray,
+                  which: str, e_t: float):
+    """bf16 path: 128-aligned block gather + extended-column matmuls.
+
+    Gathered windows may run into the zero-padded tail, but every SELECTED
+    column q <= r + 2R only reads rows < start + W - block_start <= T -
+    block_start, i.e. real samples; padded rows only feed unselected
+    columns."""
+    B, T = samples.shape
+    L = cfg.chirp_samples
+    R = REFINE_HALF
+    W = L + 2 * R
+    A = REFINE_ALIGN
+    kc, ke, WA, n_q = _refine_mats_aligned(cfg, which)
+    K = start.shape[1]
+    nblk = WA // A
+    # Pad two extra blocks so block starts never clamp (WA - W < 2A).
+    Tb = -(-T // A) + 2
+    rb = jnp.pad(samples, ((0, 0), (0, Tb * A - T))) \
+        .reshape(B, Tb, A).astype(jnp.bfloat16)
+    stb = start // A                                     # [B, K], fits by pad
+    seg = jax.vmap(lambda b, st: jax.vmap(
+        lambda s: jax.lax.dynamic_slice(b, (s, 0), (nblk, A)))(st)
+    )(rb, stb)                                           # [B, K, nblk, A]
+    seg2 = seg.reshape(B * K, WA)
+    r = (start - stb * A).reshape(B * K)                 # intra-block offset
+    num = jnp.dot(seg2, jnp.asarray(kc),
+                  preferred_element_type=jnp.float32)    # [B*K, 2*n_q]
+    en = jnp.dot(seg2 * seg2, jnp.asarray(ke),
+                 preferred_element_type=jnp.float32)     # [B*K, n_q]
+    rows = jnp.arange(start.size)[:, None]
+    sel = r[:, None] + jnp.arange(2 * R + 1)[None, :]    # live columns
+    mag = jnp.sqrt(num[rows, sel] ** 2 + num[rows, n_q + sel] ** 2)
+    denom = jnp.sqrt(jnp.maximum(en[rows, sel] * np.float32(e_t), 0.0))
+    return jnp.where(denom > 1e-10, mag / denom, 0.0)
+
+
 def _refine_full(cfg: ChirpConfig, samples: jnp.ndarray, pos: jnp.ndarray,
-                 mats, e_t: float):
+                 mats, e_t: float, which: str = ""):
     """Exact normalized correlation around candidates: direct windowed
     correlation at EVERY full-rate offset in [pos-R, pos+R], peak argmax +
     parabolic sub-sample interpolation rounded back to int
@@ -281,17 +385,10 @@ def _refine_full(cfg: ChirpConfig, samples: jnp.ndarray, pos: jnp.ndarray,
     posk = pos[:, None] if squeeze else pos              # [B, K]
     K = posk.shape[1]
     start = jnp.clip(posk - R, 0, max(T - W, 0))
-    seg = jax.vmap(lambda b, st: jax.vmap(
-        lambda s: jax.lax.dynamic_slice(b, (s,), (W,)))(st)
-    )(samples, start)                                    # [B, K, W]
-    seg2 = seg.reshape(B * K, W)
-    kc, ke = mats
-    n_off = 2 * R + 1
-    num = _mxu_dot(seg2, jnp.asarray(kc))                # [B*K, 2*(2R+1)]
-    mag = jnp.sqrt(num[:, :n_off] ** 2 + num[:, n_off:] ** 2)
-    en = _mxu_dot(seg2 * seg2, jnp.asarray(ke))          # [B*K, 2R+1]
-    denom = jnp.sqrt(jnp.maximum(en * e_t, 0.0))
-    corr = jnp.where(denom > 1e-10, mag / denom, 0.0)
+    if _BF16 and which and T >= W:
+        corr = _corr_aligned(cfg, samples, start, which, e_t)
+    else:
+        corr = _corr_dense(cfg, samples, start, mats, e_t)
 
     idx = jnp.arange(B * K)
     j = jnp.argmax(corr, axis=-1).astype(jnp.int32)
@@ -420,7 +517,7 @@ def detect_dual_chirp(cfg: ChirpConfig, samples: jnp.ndarray,
     strong_b = cu >= jnp.maximum(thr_grid, 0.7 * gmax[:, None])
     upd2 = jnp.stack([up_candidate(strong_a), up_candidate(strong_b)], 1)
     up_pos2, up_corr2 = _refine_full(cfg, samples, upd2 * D, (kc_up, ke),
-                                     e_up)                  # [B, 2]
+                                     e_up, which="up")      # [B, 2]
     any2 = jnp.stack([strong_a.any(-1), strong_b.any(-1)], 1)
     up_found2 = any2 & (up_corr2 >= threshold)
 
@@ -428,7 +525,7 @@ def detect_dual_chirp(cfg: ChirpConfig, samples: jnp.ndarray,
     dnd_b, dng_b = down_candidate(up_pos2[:, 1])
     dnd2 = jnp.stack([dnd_a, dnd_b], 1)
     down_pos2, down_corr2 = _refine_full(cfg, samples, dnd2 * D,
-                                         (kc_dn, ke), e_down)
+                                         (kc_dn, ke), e_down, which="down")
     down_grid2 = jnp.stack([dng_a, dng_b], 1)
     down_found2 = (down_grid2 >= thr_grid) & (down_corr2 >= threshold)
 
