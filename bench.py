@@ -154,7 +154,10 @@ def _step_many(info_bits, keys):
 # whole ~75k-sample buffer dominates — this is the "fast where it's hard"
 # number VERDICT round 1 asked for.
 ACQ_BATCH = 256
-ACQ_ITERS = 16
+# 32 scanned iterations amortize the per-dispatch tunnel overhead twice as
+# well as 16 (26.5k -> 32.5k frames/s measured); 48 OOMs the chip during
+# the double-buffered re-noise (2 x 3.8 GB of fresh inputs resident).
+ACQ_ITERS = 32
 ACQ_SNR_DB = 5.0
 if _CPU_FALLBACK:
     ACQ_BATCH, ACQ_ITERS = 16, 2
@@ -187,16 +190,28 @@ def _build_acq():
     def add_noise(tx, key):
         return W.add_noise_active(key, tx, ACQ_SNR_DB)
 
+    # Span gather is 128-block-aligned (unaligned batched gathers run
+    # ~2.4x slower, docs/PERF.md round 4); the intra-block residue rides
+    # the demod's Hilbert FFT as a phase ramp (demodulate_presynced
+    # intra_offset).
+    ALIGN = 128
+    span_pad = -(-(span_len + 2 * ALIGN) // ALIGN) * ALIGN
+
     @jax.jit
     def step(rx):
         det = chirp_mod.detect_dual_chirp(cc, rx, threshold=mc.chirp_threshold)
         tr = chirp_mod.training_start(cc, det["down_chirp_start"])
         T = rx.shape[-1]
-        starts = jnp.clip(tr, 0, T - span_len)
-        span = jax.vmap(lambda b, s: jax.lax.dynamic_slice(b, (s,), (span_len,))
-                        )(rx, starts)
+        Tb = T // ALIGN
+        rxb = rx[:, :Tb * ALIGN].reshape(ACQ_BATCH, Tb, ALIGN)
+        s0 = jnp.clip((tr // ALIGN) * ALIGN, 0, Tb * ALIGN - span_pad)
+        r = jnp.clip(tr - s0, 0, span_pad - span_len - 1)
+        span = jax.vmap(lambda b, s: jax.lax.dynamic_slice(
+            b, (s, 0), (span_pad // ALIGN, ALIGN))
+        )(rxb, s0 // ALIGN).reshape(ACQ_BATCH, span_pad)
         llrs = MC.demodulate_presynced(mc, span, det["cfo_hz"],
-                                       tr.astype(jnp.float32), n_sym)
+                                       tr.astype(jnp.float32), n_sym,
+                                       intra_offset=r)
         out, ok, _ = ldpc_ops.decode(code, llrs[:, :code.n])
         return out, ok & det["success"]
 
@@ -230,7 +245,10 @@ def _bench_acq():
     jax.block_until_ready(step_many(rx_all))  # compile warmup
 
     # Re-noise with fresh keys so the timed scan sees never-dispatched
-    # inputs, then time with full host materialization.
+    # inputs, then time with full host materialization.  Free the warmup
+    # buffers FIRST — two ACQ_ITERS x B x T f32 sets resident at once is
+    # what OOMs the chip at 48 iterations.
+    rx_all = None
     keys2 = jax.random.split(jax.random.PRNGKey(4), ACQ_ITERS)
     rx_all = jnp.stack([add_noise(tx, k) for k in keys2])
     jax.block_until_ready(rx_all)

@@ -182,28 +182,53 @@ def correlate_symbols(cfg: MCDPSKConfig, samples: jnp.ndarray) -> jnp.ndarray:
     return (re + 1j * im).astype(jnp.complex64)
 
 
-@functools.partial(jax.jit, static_argnames=("sample_rate",))
+@functools.partial(jax.jit, static_argnames=("sample_rate", "out_len"))
 def apply_cfo_segment(samples: jnp.ndarray, cfo_hz, initial_phase,
-                      sample_rate: float = 48000.0) -> jnp.ndarray:
+                      sample_rate: float = 48000.0,
+                      intra_offset=None, out_len: int = 0) -> jnp.ndarray:
     """CFO-correct one segment: analytic signal rotated by
     exp(j*(initial_phase - 2*pi*cfo*i/fs)), real part
     (applyCFOCorrection, hpp:632-659; zero-delay FFT Hilbert).  Jitted:
     the engine calls it from host code and eager complex ops are
-    unimplemented on the axon backend."""
+    unimplemented on the axon backend.
+
+    intra_offset (with static out_len): the segment arrives OVER-SLICED at
+    a block-aligned position r = intra_offset samples EARLY (a per-row
+    int32 array) — unaligned batched gathers run ~2.4x slower on TPU than
+    block-aligned ones (docs/PERF.md round 4), so hot callers slice on a
+    block grid and pass the residue here.  The shift rides the Hilbert
+    FFT as a phase ramp e^{+j 2 pi k r / N} (exact circular shift; the
+    kept [0, out_len) window stays inside the real data for any
+    r <= T - out_len, so the wrap never contaminates it).  In this mode
+    the output is the analytic real part even at cfo=0 (identical up to
+    f32 FFT roundtrip, ~1e-6); the default path is byte-identical to
+    round 2 and remains the golden-parity route."""
     T = samples.shape[-1]
     n_fft = 1 << (T - 1).bit_length()
     x = jnp.fft.fft(samples.astype(jnp.complex64), n=n_fft, axis=-1)
     mult = np.ones(n_fft, np.float32)
     mult[1:n_fft // 2] = 2.0
     mult[n_fft // 2 + 1:] = 0.0
-    analytic = jnp.fft.ifft(x * jnp.asarray(mult), axis=-1)[..., :T]
-    i = jnp.arange(T, dtype=jnp.float32)
+    spec = x * jnp.asarray(mult)
     cfo = jnp.asarray(cfo_hz, jnp.float32)
+    if intra_offset is None:
+        analytic = jnp.fft.ifft(spec, axis=-1)[..., :T]
+        i = jnp.arange(T, dtype=jnp.float32)
+        ph = (jnp.asarray(initial_phase, jnp.float32)[..., None]
+              - 2.0 * np.pi * cfo[..., None] * i / np.float32(sample_rate))
+        out = (analytic * jnp.exp(1j * ph)).real.astype(jnp.float32)
+        active = (jnp.abs(cfo) > 0.1)[..., None]
+        return jnp.where(active, out, samples)
+    k = jnp.arange(n_fft, dtype=jnp.float32)
+    r = jnp.asarray(intra_offset, jnp.float32)
+    ramp = jnp.exp(1j * (2.0 * np.pi / n_fft) * r[..., None] * k)
+    analytic = jnp.fft.ifft(spec * ramp, axis=-1)[..., :out_len]
+    i = jnp.arange(out_len, dtype=jnp.float32)
     ph = (jnp.asarray(initial_phase, jnp.float32)[..., None]
           - 2.0 * np.pi * cfo[..., None] * i / np.float32(sample_rate))
-    out = (analytic * jnp.exp(1j * ph)).real.astype(jnp.float32)
     active = (jnp.abs(cfo) > 0.1)[..., None]
-    return jnp.where(active, out, samples)
+    ph = jnp.where(active, ph, 0.0)  # Re(analytic) == input when inactive
+    return (analytic * jnp.exp(1j * ph)).real.astype(jnp.float32)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
@@ -310,16 +335,24 @@ def demodulate_soft(cfg: MCDPSKConfig, data: jnp.ndarray,
 
 @functools.partial(jax.jit, static_argnames=("cfg", "num_data_symbols"))
 def demodulate_presynced(cfg: MCDPSKConfig, samples: jnp.ndarray, cfo_hz,
-                         train_start_abs, num_data_symbols: int) -> jnp.ndarray:
+                         train_start_abs, num_data_symbols: int,
+                         intra_offset=None) -> jnp.ndarray:
     """Full presynced MC-DPSK RX for a batch of frames.
 
     Args:
       samples: [B, T] aligned at TRAINING start
-               (layout [TRAINING][REF][DATA...]).
+               (layout [TRAINING][REF][DATA...]); with intra_offset, a
+               block-aligned OVER-slice whose true training start sits
+               intra_offset[b] samples in (tail must extend past the data
+               end by at least max(intra_offset)).
       cfo_hz: [B] dual-chirp CFO estimate (trusted; training refinement is
               discarded in the chirp path, modem_rx_decode.cpp:358-369).
       train_start_abs: [B] absolute sample index of the training start in the
               original stream — per-segment CFO initial phases derive from it.
+      intra_offset: optional [B] int32 residue of a block-aligned gather —
+              absorbed as an FFT phase ramp inside apply_cfo_segment so hot
+              callers never pay an unaligned batched gather (the bench's
+              acquisition workload; default None is the golden-parity path).
     Returns LLRs [B, num_data_symbols * bits_per_mc_symbol].
     """
     L = cfg.samples_per_symbol
@@ -332,13 +365,22 @@ def demodulate_presynced(cfg: MCDPSKConfig, samples: jnp.ndarray, cfo_hz,
         ph = -2.0 * np.pi * cfo * abs_pos / np.float32(fs)
         return jnp.mod(ph + np.pi, 2 * np.pi) - np.pi
 
-    ref_seg = apply_cfo_segment(samples[:, tr_n:tr_n + ref_n], cfo,
-                                phase_at(t0 + tr_n), fs)
-    prev = reference_symbols(cfg, ref_seg)
-
     d0 = tr_n + ref_n
-    data = samples[:, d0:d0 + num_data_symbols * L]
-    data = apply_cfo_segment(data, cfo, phase_at(t0 + d0), fs)
+    n_data = num_data_symbols * L
+    if intra_offset is None:
+        ref_seg = apply_cfo_segment(samples[:, tr_n:tr_n + ref_n], cfo,
+                                    phase_at(t0 + tr_n), fs)
+        data = apply_cfo_segment(samples[:, d0:d0 + n_data], cfo,
+                                 phase_at(t0 + d0), fs)
+    else:
+        pad = samples.shape[-1] - tr_n - ref_n - n_data
+        ref_seg = apply_cfo_segment(samples[:, tr_n:tr_n + ref_n + pad], cfo,
+                                    phase_at(t0 + tr_n), fs,
+                                    intra_offset=intra_offset, out_len=ref_n)
+        data = apply_cfo_segment(samples[:, d0:d0 + n_data + pad], cfo,
+                                 phase_at(t0 + d0), fs,
+                                 intra_offset=intra_offset, out_len=n_data)
+    prev = reference_symbols(cfg, ref_seg)
     return demodulate_soft(cfg, data, prev)
 
 

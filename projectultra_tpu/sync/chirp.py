@@ -458,19 +458,28 @@ def detect_dual_chirp(cfg: ChirpConfig, samples: jnp.ndarray,
     n_fft = 1 << int(Td - 1).bit_length()
     S = jnp.fft.fft(xd, n=n_fft, axis=-1)
 
-    def mf(t_re, t_im, kappa):
-        tmpl = jnp.asarray(t_re) + 1j * jnp.asarray(t_im)
-        Tf = jnp.fft.fft(tmpl, n=n_fft)
-        c = jnp.fft.ifft(S * jnp.conj(Tf), axis=-1)[:, :n_pos_d]
-        return jnp.abs(c) * kappa                       # full-rate numerator
-
-    num_up = mf(up_re, up_im, k_up)
-    num_dn = mf(dn_re, dn_im, k_dn)
+    # Both templates ride ONE batched inverse FFT ([B, 2, n_fft] — one
+    # kernel call instead of two, full-rate numerator scale via kappa).
+    t_up = jnp.asarray(up_re) + 1j * jnp.asarray(up_im)
+    t_dn = jnp.asarray(dn_re) + 1j * jnp.asarray(dn_im)
+    Tf2 = jnp.fft.fft(jnp.stack([t_up, t_dn]), n=n_fft, axis=-1)  # [2, n_fft]
+    c2 = jnp.fft.ifft(S[:, None, :] * jnp.conj(Tf2)[None], axis=-1)
+    num_up = jnp.abs(c2[:, 0, :n_pos_d]) * k_up
+    num_dn = jnp.abs(c2[:, 1, :n_pos_d]) * k_dn
     energy = _window_sum_dec(samples, L, n_pos_d)       # full-rate energy
     den_up = jnp.sqrt(jnp.maximum(energy * e_up, 0.0))
     den_dn = jnp.sqrt(jnp.maximum(energy * e_down, 0.0))
     corr_up = jnp.where(den_up > 1e-10, num_up / den_up, 0.0)  # [B, n_pos_d]
     corr_dn = jnp.where(den_dn > 1e-10, num_dn / den_dn, 0.0)
+    if _BF16:
+        # The candidate-selection glue (masks/argmax chains over
+        # [B, n_pos_d]) is lowering-bound; bf16 coarse correlations halve
+        # its bytes.  Threshold-margin quantities only: every accept gate
+        # re-tests the refined full-rate f32 peak, and a bf16-induced
+        # one-cell candidate shift stays inside the +-12-sample refine
+        # capture window (parity suite runs with the flag on).
+        corr_up = corr_up.astype(jnp.bfloat16)
+        corr_dn = corr_dn.astype(jnp.bfloat16)
 
     pos_d = jnp.arange(n_pos_d)
     # Reference searches pos < samples.size() - L (exclusive of last).

@@ -129,3 +129,56 @@ def test_loopback_awgn_snr5_cfo30():
 
     ok, match = _mc_loopback(chan, cfo_for_rx=cfo, B=8)
     assert ok.all() and match.all()
+
+
+def test_presynced_intra_offset_matches_sliced_path():
+    """The block-aligned over-slice + intra_offset FFT-ramp path (the
+    bench's acquisition gather, docs/PERF.md round 4) must match the
+    exact-slice golden path: same hard decisions, near-identical LLRs."""
+    mc = MC.level10()
+    code = ldpc.get_code(CodeRate.R1_4)
+    rng = np.random.default_rng(11)
+    B = 4
+    info = jnp.asarray(rng.integers(0, 2, (B, code.k)).astype(np.float32))
+    cw = ldpc_ops.encode(code, info)
+    n_sym = MC.num_symbols_for_bits(mc, code.n)
+    data = MC.modulate(mc, cw)
+    lead = 777  # deliberately NOT block-aligned
+    tx = jnp.concatenate([
+        jnp.zeros((B, lead)),
+        jnp.broadcast_to(jnp.asarray(np.concatenate(
+            [MC.generate_training(mc), MC.generate_reference(mc)])),
+            (B, mc.training_samples + mc.ref_samples)),
+        data, jnp.zeros((B, 900))], axis=-1).astype(jnp.float32)
+    rx = W.add_noise_active(jax.random.PRNGKey(5), tx, 8.0)
+    span_len = (mc.training_samples + mc.ref_samples
+                + n_sym * mc.samples_per_symbol)
+    T = rx.shape[-1]
+
+    for cfo_true in (0.0, 2.5):  # exercise both CFO-active branches
+        cfo = jnp.full((B,), cfo_true, jnp.float32)
+        tr = jnp.full((B,), lead, jnp.int32)
+        exact = jax.vmap(lambda b, s: jax.lax.dynamic_slice(
+            b, (s,), (span_len,)))(rx, tr)
+        llr_ref = MC.demodulate_presynced(mc, exact, cfo,
+                                          tr.astype(jnp.float32), n_sym)
+
+        ALIGN = 128
+        span_pad = -(-(span_len + 2 * ALIGN) // ALIGN) * ALIGN
+        s0 = jnp.clip((tr // ALIGN) * ALIGN, 0, T - span_pad)
+        r = tr - s0
+        span = jax.vmap(lambda b, s: jax.lax.dynamic_slice(
+            b, (s,), (span_pad,)))(rx, s0)
+        llr_fast = MC.demodulate_presynced(mc, span, cfo,
+                                           tr.astype(jnp.float32), n_sym,
+                                           intra_offset=r)
+
+        a, b = np.asarray(llr_ref), np.asarray(llr_fast)
+        # identical hard decisions; LLR deviation limited to FFT-window
+        # edge effects (the over-slice sees a longer Hilbert window)
+        assert (np.sign(a) == np.sign(b)).mean() > 0.999
+        assert np.abs(a - b).mean() < 0.05
+
+        out, ok, _ = ldpc_ops.decode(code, jnp.asarray(b)[:, :code.n])
+        assert bool(ok.all())
+        assert (np.asarray(out) == np.asarray(info, np.uint8)).all()
