@@ -80,6 +80,12 @@ class ModemEngine:
         self._rx_buffer = np.zeros(0, np.float32)
         self._rx_consumed = 0  # absolute sample index of buffer[0]
         self._buf_lock = threading.Lock()
+        # Adaptive narrowband excision (beyond-reference, modem/excision.py):
+        # persistent CW/het interferers are notched ahead of the buffer.
+        # Clean streams never trigger it (quiet-gated, narrowness-gated,
+        # persistence-gated), so golden/lane parity is unaffected.
+        from .excision import ToneExciser
+        self.exciser = ToneExciser()
         self.on_ping: Optional[Callable[[float], None]] = None
         self.on_frame: Optional[Callable[[DecodedFrame], None]] = None
         self.frames_received = 0
@@ -368,6 +374,7 @@ class ModemEngine:
 
     def feed_audio(self, samples: np.ndarray):
         samples = np.asarray(samples, np.float32)
+        samples = self.exciser.process(samples)
         if len(samples):
             rms = float(np.sqrt((samples * samples).mean()))
             self._channel_energy = (self._energy_smoothing * rms

@@ -74,6 +74,9 @@ def _load():
     for fn in ("ultra_ring_write", "ultra_ring_read", "ultra_ring_peek"):
         getattr(lib, fn).restype = ctypes.c_size_t
         getattr(lib, fn).argtypes = [ctypes.c_void_p, f32p, ctypes.c_size_t]
+    f64p = ctypes.POINTER(ctypes.c_double)
+    lib.ultra_biquad_cascade.argtypes = [f32p, ctypes.c_size_t, f64p, f64p,
+                                         ctypes.c_int32]
     _LIB = lib
     return lib
 
@@ -188,3 +191,39 @@ class RingBuffer:
         m = min(n, len(self._fallback))
         self._fallback = self._fallback[m:]
         return m
+
+
+def biquad_cascade(data: np.ndarray, coef: np.ndarray,
+                   state: np.ndarray) -> np.ndarray:
+    """Streaming cascaded-biquad IIR, direct form II transposed.
+
+    data: float32 [n] (returned filtered, input untouched); coef: float64
+    [nsec, 5] rows [b0, b1, b2, a1, a2] with a0 normalized to 1; state:
+    float64 [nsec, 2], MUTATED in place (carries across chunk boundaries).
+    Native C loop when available (per-sample IIR recurrences don't batch);
+    pure-Python fallback otherwise.
+    """
+    lib = _load()
+    out = np.ascontiguousarray(data, np.float32).copy()
+    coef = np.ascontiguousarray(coef, np.float64)
+    assert state.dtype == np.float64 and state.flags.c_contiguous
+    nsec = coef.shape[0]
+    if lib:
+        lib.ultra_biquad_cascade(
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), len(out),
+            coef.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+            state.ctypes.data_as(ctypes.POINTER(ctypes.c_double)), nsec)
+        return out
+    x = out.astype(np.float64)
+    for s in range(nsec):
+        b0, b1, b2, a1, a2 = coef[s]
+        z1, z2 = state[s]
+        y = np.empty_like(x)
+        for i in range(len(x)):
+            yi = b0 * x[i] + z1
+            z1 = b1 * x[i] - a1 * yi + z2
+            z2 = b2 * x[i] - a2 * yi
+            y[i] = yi
+        state[s, 0], state[s, 1] = z1, z2
+        x = y
+    return x.astype(np.float32)

@@ -175,4 +175,33 @@ size_t ultra_ring_skip(UltraRing* r, size_t n) {
     return n;
 }
 
+// ---------------------------------------------------------------------------
+// Streaming cascaded-biquad IIR (direct form II transposed), in-place.
+// The adaptive narrowband exciser (modem/excision.py) runs its notch
+// cascade here: per-sample IIR recurrences are the one RX hot-path the
+// array backends can't batch (state carries across every sample and chunk
+// boundary), exactly the runtime/IO layer this library exists for.
+// coef: nsec x 5 doubles [b0, b1, b2, a1, a2] (a0 pre-normalized to 1);
+// state: nsec x 2 doubles, carried across calls by the owner.
+// ---------------------------------------------------------------------------
+
+void ultra_biquad_cascade(float* data, size_t n, const double* coef,
+                          double* state, int32_t nsec) {
+    for (int32_t s = 0; s < nsec; ++s) {
+        const double b0 = coef[s * 5 + 0], b1 = coef[s * 5 + 1],
+                     b2 = coef[s * 5 + 2], a1 = coef[s * 5 + 3],
+                     a2 = coef[s * 5 + 4];
+        double z1 = state[s * 2], z2 = state[s * 2 + 1];
+        for (size_t i = 0; i < n; ++i) {
+            const double x = static_cast<double>(data[i]);
+            const double y = b0 * x + z1;
+            z1 = b1 * x - a1 * y + z2;
+            z2 = b2 * x - a2 * y;
+            data[i] = static_cast<float>(y);
+        }
+        state[s * 2] = z1;
+        state[s * 2 + 1] = z2;
+    }
+}
+
 }  // extern "C"

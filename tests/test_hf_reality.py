@@ -24,7 +24,7 @@ def _load_tool():
 
 def test_hf_reality_quick():
     run = _load_tool().run
-    frames_ok, soak_ok, torture_ok = run(
+    frames_ok, soak_ok, torture_ok, tone_ok = run(
         snr_db=25.0, num_frames=6, duration_sec=30.0,
         soak_minutes=0.5, verbose=True)
     assert frames_ok, "mixed-waveform stream: frames/ping missing or extra"
@@ -34,3 +34,8 @@ def test_hf_reality_quick():
     # false decodes (VERDICT r3 next #8).
     assert torture_ok, "impulse/clipping torture: lost adjacent frames " \
                        "or produced false decodes"
+    # Round-4 beyond-reference: a persistent CW interferer at SIR 5 dB
+    # over the whole stream — the adaptive exciser must notch it during
+    # the noise lead and every frame must decode (modem/excision.py).
+    assert tone_ok, "CW interferer: frames lost, false decodes, or the " \
+                    "exciser never locked the tone"

@@ -221,7 +221,46 @@ def run(snr_db=25.0, num_frames=12, duration_sec=60.0, soak_minutes=10.0,
         for m in missing3:
             print(f"  MISSING (non-sacrificial): {m}")
     phase3 = not missing3 and not extra3
-    return phase1, phase2, phase3
+
+    # --- phase 4: co-channel CW interferer (round-4 beyond-reference).
+    # A persistent carrier at SIR 5 dB (vs mean in-frame power) rides the
+    # WHOLE stream from sample 0 — without the adaptive narrowband exciser
+    # (modem/excision.py) this decodes ~0 frames; with it, everything must
+    # decode (the exciser engages during the 2-4 s noise lead) and the
+    # noise floor must produce zero false decodes.
+    tone_hz = 1234.5
+    tone_p = sig_power / 10 ** (5.0 / 10.0)
+    tphase = 2.0 * np.pi * tone_hz * np.arange(len(stream)) / 48000.0
+    toned = stream + np.sqrt(2 * tone_p) * np.sin(tphase).astype(np.float32)
+    rx4 = make_tx(WaveformMode.OFDM_COX)
+    got4, pings4 = [], []
+    rx4.on_frame = got4.append
+    rx4.on_ping = pings4.append
+    fed = 0
+    for i in range(0, len(toned), chunk):
+        rx4.feed_audio(toned[i:i + chunk])
+        fed += chunk
+        if fed % 4800 < chunk:
+            rx4.poll()
+    rx4.feed_audio(np.zeros(8000, np.float32))
+    rx4.poll()
+    texts4 = []
+    for fr in got4:
+        df = F.DataFrame.deserialize(fr.frame_bytes)
+        if df:
+            texts4.append(df.payload_as_text())
+    missing4 = [m for m in msgs if m not in texts4]
+    extra4 = [x for x in texts4 if x not in msgs]
+    tones = rx4.exciser.active_tones
+    if verbose:
+        print(f"CW interferer @ {tone_hz} Hz SIR=5dB: decoded "
+              f"{len(texts4)}/{num_frames}, pings {len(pings4)}/1, "
+              f"false={len(extra4)}, notched={[round(t, 1) for t in tones]}")
+        for m in missing4:
+            print(f"  MISSING under tone: {m}")
+    phase4 = (not missing4 and not extra4 and len(pings4) == 1
+              and any(abs(t - tone_hz) < 15 for t in tones))
+    return phase1, phase2, phase3, phase4
 
 
 def main():
@@ -242,12 +281,13 @@ def main():
         jax.config.update("jax_platforms", "cpu")
     if args.quick:
         args.frames, args.duration, args.soak_minutes = 6, 30.0, 1.0
-    p1, p2, p3 = run(args.snr, args.frames, args.duration, args.soak_minutes,
-                     sro_ppm=args.sro_ppm)
+    p1, p2, p3, p4 = run(args.snr, args.frames, args.duration,
+                         args.soak_minutes, sro_ppm=args.sro_ppm)
     print(f"frames+ping: {'PASS' if p1 else 'FAIL'}   "
           f"false-decode soak: {'PASS' if p2 else 'FAIL'}   "
-          f"impulse torture: {'PASS' if p3 else 'FAIL'}")
-    return 0 if (p1 and p2 and p3) else 1
+          f"impulse torture: {'PASS' if p3 else 'FAIL'}   "
+          f"CW interferer: {'PASS' if p4 else 'FAIL'}")
+    return 0 if (p1 and p2 and p3 and p4) else 1
 
 
 if __name__ == "__main__":
