@@ -86,6 +86,12 @@ class ModemEngine:
         # persistence-gated), so golden/lane parity is unaffected.
         from .excision import ToneExciser
         self.exciser = ToneExciser()
+        # Impulse blanker (beyond-reference, modem/blanker.py): short
+        # broadband crashes >= ~10 dB over the local envelope are erased
+        # ahead of the exciser and the buffer.  Quiet/clean streams pass
+        # byte-identical (zero-floor guard), so parity is unaffected.
+        from .blanker import ImpulseBlanker
+        self.blanker = ImpulseBlanker()
         self.on_ping: Optional[Callable[[float], None]] = None
         self.on_frame: Optional[Callable[[DecodedFrame], None]] = None
         self.frames_received = 0
@@ -374,6 +380,7 @@ class ModemEngine:
 
     def feed_audio(self, samples: np.ndarray):
         samples = np.asarray(samples, np.float32)
+        samples = self.blanker.process(samples)
         samples = self.exciser.process(samples)
         if len(samples):
             rms = float(np.sqrt((samples * samples).mean()))

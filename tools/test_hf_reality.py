@@ -222,6 +222,61 @@ def run(snr_db=25.0, num_frames=12, duration_sec=60.0, soak_minutes=10.0,
             print(f"  MISSING (non-sacrificial): {m}")
     phase3 = not missing3 and not extra3
 
+    # --- phase 3b: STRONG static crashes mid-frame (round-4, impulse
+    # blanker showcase).  Phase 3's 15x-noise-std crash sits ~1.5 dB BELOW
+    # frame power at SNR 25 — envelope-undetectable, the sacrificial frame
+    # may die.  Here every frame takes a 30 ms crash at +15 dB over MEAN
+    # IN-FRAME power (a close lightning strike; raw decode collapses to
+    # ~1/4 at this level, docs/PERF.md) plus the same gap crashes, and the
+    # blanker (modem/blanker.py) must carry ALL frames + the ping through
+    # with zero false decodes.
+    rng3b = np.random.default_rng(4321)
+    tough = stream.copy()
+    for k, audio in enumerate(placed[:-1]):  # data frames, not the ping
+        mid = positions[k] + int(0.5 * len(audio))
+        n = 1440
+        # +15 dB over the power of the frame it HITS (the all-frame mean
+        # under-scales crashes on the hotter OFDM frames to ~+11 dB —
+        # at the blanker threshold, fragmenting the run)
+        crash_std = float(np.sqrt(np.mean(audio ** 2) * 10 ** (15.0 / 10.0)))
+        tough[mid:mid + n] += rng3b.normal(0, crash_std, n).astype(np.float32)
+    for k in range(len(positions) - 1):
+        end_k = positions[k] + len(placed[k])
+        gap = positions[k + 1] - end_k
+        if gap < 24000:
+            continue
+        n = int(rng3b.uniform(0.010, 0.040) * 48000)
+        at = end_k + int(rng3b.uniform(0.2, 0.7) * (gap - n))
+        tough[at:at + n] += rng3b.normal(0, 15 * noise_std, n).astype(np.float32)
+    rx3b = make_tx(WaveformMode.OFDM_COX)
+    got3b, pings3b = [], []
+    rx3b.on_frame = got3b.append
+    rx3b.on_ping = pings3b.append
+    fed = 0
+    for i in range(0, len(tough), chunk):
+        rx3b.feed_audio(tough[i:i + chunk])
+        fed += chunk
+        if fed % 4800 < chunk:
+            rx3b.poll()
+    rx3b.feed_audio(np.zeros(8000, np.float32))
+    rx3b.poll()
+    texts3b = []
+    for fr in got3b:
+        df = F.DataFrame.deserialize(fr.frame_bytes)
+        if df:
+            texts3b.append(df.payload_as_text())
+    missing3b = [m for m in msgs if m not in texts3b]
+    extra3b = [x for x in texts3b if x not in msgs]
+    if verbose:
+        print(f"strong crashes (+15 dB over frame, every frame): decoded "
+              f"{len(texts3b)}/{num_frames}, pings {len(pings3b)}/1, "
+              f"blanked {rx3b.blanker.blanked_runs} runs, "
+              f"false={len(extra3b)}")
+        for m in missing3b:
+            print(f"  MISSING under crashes: {m}")
+    phase3b = (not missing3b and not extra3b and len(pings3b) == 1
+               and rx3b.blanker.blanked_runs >= num_frames)
+
     # --- phase 4: co-channel CW interferer (round-4 beyond-reference).
     # A persistent carrier at SIR 5 dB (vs mean in-frame power) rides the
     # WHOLE stream from sample 0 — without the adaptive narrowband exciser
@@ -260,7 +315,7 @@ def run(snr_db=25.0, num_frames=12, duration_sec=60.0, soak_minutes=10.0,
             print(f"  MISSING under tone: {m}")
     phase4 = (not missing4 and not extra4 and len(pings4) == 1
               and any(abs(t - tone_hz) < 15 for t in tones))
-    return phase1, phase2, phase3, phase4
+    return phase1, phase2, phase3 and phase3b, phase4
 
 
 def main():
