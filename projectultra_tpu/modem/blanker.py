@@ -56,10 +56,15 @@ delayed, so downstream positions/decodes are unaffected.  Below
 threshold the blanker adds zero latency (full blocks pass immediately;
 only a sub-block tail, < 1 ms, carries to the next feed).
 
-Sits in front of the narrowband exciser (modem/excision.py) in
-ModemEngine.feed_audio: blanked bursts would otherwise pollute the
-exciser's quiet-gated PSD and the wideband-SNR minimum floor.
-ULTRA_BLANKER=0 disables globally.
+Sits BEHIND the narrowband exciser (modem/excision.py) in
+ModemEngine.feed_audio.  The first integration ran blanker-first and
+failed the compound (tone + crash) soak: a zero hole UPSTREAM of the
+notch IIRs interrupts a steady tone mid-frame, and the notch's
+re-convergence transient after the hole leaks tone onto the straddled
+carriers (measured 1/3 OFDM decodes vs 3/3 exciser-first).  Downstream
+of the notch the hole is benign, and the blanker's median sees a
+tone-free floor.  The exciser's quiet-gated PSD skips crash-lit blocks
+on its own.  ULTRA_BLANKER=0 disables globally.
 """
 
 from __future__ import annotations
@@ -122,7 +127,22 @@ class ImpulseBlanker:
             powers = (blocks.astype(np.float64) ** 2).mean(axis=1)
             for i in range(n_blocks):
                 self._step(blocks[i], powers[i], out)
-        self._carry = tail.copy()
+        if self._held:
+            # Mid-run: the sub-block tail belongs to the candidate crash;
+            # hold it with the run (the run closes within the bridge).
+            self._carry = tail.copy()
+        else:
+            # LIVENESS: emit the tail now and restart the block grid at
+            # the next feed.  Burst-fed peers (protocol sims, real PTT
+            # exchanges) may not send more audio until THIS stream is
+            # fully delivered — a held 16-sample tail starved the chirp
+            # ping detector of its post-ping margin and deadlocked the
+            # ping/pong handshake (measured: connect fails with zero
+            # blanked runs).  A runt block at a feed seam merely passes
+            # unexamined (< 1 ms).
+            self._carry = samples[:0]
+            if tail.size:
+                out.append(tail)
         return np.concatenate(out) if out else samples[:0]
 
     @property

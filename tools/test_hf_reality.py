@@ -315,7 +315,51 @@ def run(snr_db=25.0, num_frames=12, duration_sec=60.0, soak_minutes=10.0,
             print(f"  MISSING under tone: {m}")
     phase4 = (not missing4 and not extra4 and len(pings4) == 1
               and any(abs(t - tone_hz) < 15 for t in tones))
-    return phase1, phase2, phase3 and phase3b, phase4
+
+    # --- phase 5: COMPOUND impairments (round-4 beyond-reference): the
+    # same stream with the CW interferer AND the strong mid-frame crashes
+    # AND the gap crashes AND 85%-of-peak clipping, all at once.  The
+    # blanker and exciser must compose: the blanker sees the un-notched
+    # tone (its median absorbs the tone's power; gap crashes sink below
+    # its threshold against the tone-lit floor — harmless, they never
+    # cost a frame), the exciser's quiet-gated PSD must still lock the
+    # tone through crash-lit blocks, and every frame must ride through
+    # its own +15 dB crash.
+    chaos = tough.copy()  # strong mid-frame + gap crashes from phase 3b
+    chaos = chaos + np.sqrt(2 * tone_p) * np.sin(tphase).astype(np.float32)
+    clip5 = 0.85 * float(np.abs(chaos).max())
+    chaos = np.clip(chaos, -clip5, clip5)
+    rx5 = make_tx(WaveformMode.OFDM_COX)
+    got5, pings5 = [], []
+    rx5.on_frame = got5.append
+    rx5.on_ping = pings5.append
+    fed = 0
+    for i in range(0, len(chaos), chunk):
+        rx5.feed_audio(chaos[i:i + chunk])
+        fed += chunk
+        if fed % 4800 < chunk:
+            rx5.poll()
+    rx5.feed_audio(np.zeros(8000, np.float32))
+    rx5.poll()
+    texts5 = []
+    for fr in got5:
+        df = F.DataFrame.deserialize(fr.frame_bytes)
+        if df:
+            texts5.append(df.payload_as_text())
+    missing5 = [m for m in msgs if m not in texts5]
+    extra5 = [x for x in texts5 if x not in msgs]
+    tones5 = rx5.exciser.active_tones
+    if verbose:
+        print(f"COMPOUND (tone SIR5 + crashes + clip@85%): decoded "
+              f"{len(texts5)}/{num_frames}, pings {len(pings5)}/1, "
+              f"blanked {rx5.blanker.blanked_runs} runs, "
+              f"notched={[round(t, 1) for t in tones5]}, "
+              f"false={len(extra5)}")
+        for m in missing5:
+            print(f"  MISSING under compound: {m}")
+    phase5 = (not missing5 and not extra5 and len(pings5) == 1
+              and any(abs(t - tone_hz) < 15 for t in tones5))
+    return phase1, phase2, phase3 and phase3b, phase4 and phase5
 
 
 def main():
