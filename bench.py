@@ -162,7 +162,9 @@ ACQ_SNR_DB = 5.0
 # Best-of-N timed repeats (fresh inputs each) for both metrics: absorbs
 # tunnel warm-up latency after an outage without inflating anything (each
 # repeat is still a full fresh-input fused scan, correctness-gated).
-_TIMED_REPEATS = 2
+# N=3: back-to-back runs scatter ~5% (34.7k/35.7k/36.6k acq measured) and
+# the driver capture is one-shot.
+_TIMED_REPEATS = 3
 if _CPU_FALLBACK:
     ACQ_BATCH, ACQ_ITERS = 16, 2
     _TIMED_REPEATS = 1

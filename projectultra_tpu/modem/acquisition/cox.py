@@ -106,12 +106,17 @@ class CoxPath(AcquisitionPath):
             hunt_rates = [CodeRate.R1_4]
             if self.e.connected and self.e.data_code_rate not in hunt_rates:
                 hunt_rates.append(self.e.data_code_rate)
-            # Same mode candidates as _decode_frame_cox: a MODE_CHANGE may
-            # have crossed this frame in flight.
+            # Same mode candidates as decode(): current/previous data mode
+            # (a MODE_CHANGE may have crossed this frame in flight), plus
+            # the DQPSK R1/4 link-establishment fallback when disconnected
+            # (modem_engine.cpp:148-151).
             hunt_mods = [self.e.data_modulation]
             if (self.e.prev_data_modulation is not None
                     and self.e.prev_data_modulation not in hunt_mods):
                 hunt_mods.append(self.e.prev_data_modulation)
+            if not self.e.connected \
+                    and Modulation.DQPSK not in hunt_mods:
+                hunt_mods.append(Modulation.DQPSK)
             done = False
             for hm in hunt_mods:
                 for hr in hunt_rates:
@@ -307,14 +312,27 @@ class CoxPath(AcquisitionPath):
     def decode(self, lts_start: int, cfo: float
                           ) -> tuple[str, Optional[DecodedFrame]]:
         """OFDM_COX decode: current data mode first, then the previous mode
-        (a MODE_CHANGE may have crossed this frame in flight)."""
-        st, fr = self._decode_mod(lts_start, cfo,
-                                            self.e.data_modulation,
-                                            self.e.data_code_rate)
+        (a MODE_CHANGE may have crossed this frame in flight).
+
+        Disconnected, the DQPSK R1/4 link-establishment mode is a final
+        fallback: pre-negotiation TX always rides DQPSK R1/4 regardless
+        of the config's data mode (engine.transmit; modem_engine.cpp:
+        148-151 "if disconnected, use DQPSK R1/4 (robust mode), not
+        config's mode") — a Cox connect handshake reaching a receiver
+        whose config defaults to a coherent modulation is undecodable
+        without it."""
+        tried = [(self.e.data_modulation, self.e.data_code_rate)]
         pm, pr = self.e.prev_data_modulation, self.e.prev_data_code_rate
-        if (st == "fail" and pm is not None
-                and (pm, pr) != (self.e.data_modulation, self.e.data_code_rate)):
-            st, fr = self._decode_mod(lts_start, cfo, pm, pr)
+        if pm is not None and (pm, pr) not in tried:
+            tried.append((pm, pr))
+        if (not self.e.connected
+                and (Modulation.DQPSK, CodeRate.R1_4) not in tried):
+            tried.append((Modulation.DQPSK, CodeRate.R1_4))
+        st, fr = "fail", None
+        for m, r in tried:
+            st, fr = self._decode_mod(lts_start, cfo, m, r)
+            if st != "fail":
+                break
         return st, fr
 
     def _decode_mod(self, lts_start: int, cfo: float,

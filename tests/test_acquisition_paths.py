@@ -85,3 +85,30 @@ def test_deliver_updates_engine_bookkeeping():
     assert e._deliver(fr) == 1
     assert e.frames_received == 1 and seen == [fr]
     assert e._last_rx_complete_time > 0
+
+
+def test_cox_disconnected_decodes_dqpsk_link_establishment():
+    """A DISCONNECTED Cox receiver whose config sits at a coherent data
+    mode must still decode the DQPSK R1/4 link-establishment frames the
+    pre-negotiation TX always emits (modem_engine.cpp:148-151 "if
+    disconnected, use DQPSK R1/4 (robust mode), not config's mode").
+    Before the round-4 fix the decode candidates were only the
+    current/previous data modes and a Cox CONNECT was undecodable."""
+    tx = ModemEngine()
+    tx.connect_waveform = WaveformMode.OFDM_COX  # pre-negotiation Cox TX
+    frame = F.ConnectFrame.make_connect("W1AW", "VE3ABC", 0xFF, 0x00) \
+        .serialize()
+    audio = tx.transmit(frame)  # disconnected -> DQPSK R1/4 on the wire
+
+    rx = ModemEngine()
+    rx.set_waveform_mode(WaveformMode.OFDM_COX)
+    assert not rx.connected
+    assert rx.data_modulation == Modulation.QPSK  # coherent default
+    sig = np.concatenate([np.zeros(2400, np.float32), audio,
+                          np.zeros(4000, np.float32)])
+    rng = np.random.default_rng(1)
+    rx.feed_audio(sig + rng.normal(0, 0.01, len(sig)).astype(np.float32))
+    got = []
+    rx.on_frame = got.append
+    assert rx.cox.try_once() == 1
+    assert got and got[0].frame_bytes == frame

@@ -70,6 +70,7 @@ button{background:#22303a;color:#cdd6dd;border:1px solid #3a4a56;padding:4px 10p
 <fieldset style="border:1px solid #2a3740;margin-top:12px;width:640px">
  <legend>settings / expert mode (0xFF = AUTO; persisted to INI)</legend>
  callsign <input id=s_call style="width:90px">
+ forced waveform <select id=s_wf></select>
  forced modulation <select id=s_mod></select>
  forced rate <select id=s_rate></select>
  <button onclick="saveSettings()">Save</button>
@@ -79,7 +80,8 @@ button{background:#22303a;color:#cdd6dd;border:1px solid #3a4a56;padding:4px 10p
 const MODS=['AUTO','BPSK','QPSK','QAM16','QAM64','DBPSK','DQPSK','D8PSK',
             'QAM32','QAM256'];
 const RATES=['AUTO','R1_4','R1_2','R2_3','R3_4','R5_6'];
-for(const [id,vals] of [['s_mod',MODS],['s_rate',RATES]]){
+const WFS=['AUTO','OFDM_COX','MC_DPSK','OFDM_CHIRP','DPSK'];
+for(const [id,vals] of [['s_mod',MODS],['s_rate',RATES],['s_wf',WFS]]){
  const el=document.getElementById(id);
  for(const v of vals){const o=document.createElement('option');
   o.textContent=v;el.appendChild(o);}}
@@ -93,11 +95,13 @@ async function sendfile(){const p=document.getElementById('fpath');
 async function loadSettings(){
  const s=await (await fetch('/api/settings')).json();
  document.getElementById('s_call').value=s.callsign;
+ document.getElementById('s_wf').value=s.forced_waveform;
  document.getElementById('s_mod').value=s.forced_modulation;
  document.getElementById('s_rate').value=s.forced_code_rate;}
 async function saveSettings(){
  const body=JSON.stringify({
   callsign:document.getElementById('s_call').value,
+  forced_waveform:document.getElementById('s_wf').value,
   forced_modulation:document.getElementById('s_mod').value,
   forced_code_rate:document.getElementById('s_rate').value});
  await fetch('/api/settings',{method:'POST',body});
@@ -123,7 +127,7 @@ async function tick(){
   for(const p of s.constellation)
    c.fillRect(60+p[0]*54-1,60-p[1]*54-1,2,2);
   document.getElementById('modes').textContent=
-   s.modes.map(m=>`${m[0].padEnd(12)} ${m[1].toFixed(1)} dB  fade ${m[2]}`)
+   s.modes.map(m=>`${m[0].padEnd(12)} ${m[1].toFixed(1)} dB  fade ${m[2]}  ${m[3]||''}`)
           .reverse().join('\n');
   const con=document.getElementById('console');
   con.textContent=s.console.join('\\n');
@@ -231,7 +235,8 @@ class Station:
             self.mode_hist.append(
                 (f"{m.data_modulation.name}/"
                  f"{m.data_code_rate.name[1:].replace('_', '/')}",
-                 round(fr.wideband_snr_db, 1), round(fr.fade_spread_db, 1)))
+                 round(fr.wideband_snr_db, 1), round(fr.fade_spread_db, 1),
+                 fr.waveform.name))
             del self.mode_hist[:-40]
             if _user_on_frame:
                 _user_on_frame(fr)
@@ -297,10 +302,14 @@ class Station:
             self.console.append("* disconnected")
 
     def _apply_expert(self, engine):
-        """Expert forced mod/rate (AUTO=0xFF) -> connection config, the
-        same layer the reference's settings widget drives
-        (settings.cpp + CONFIGURATION_SYSTEM.md)."""
+        """Expert forced waveform/mod/rate (AUTO=0xFF) -> connection config,
+        the same layer the reference's settings widget drives (settings.cpp
+        + CONFIGURATION_SYSTEM.md).  The forced waveform is the PREFERRED
+        NEGOTIATED mode carried in the CONNECT frame (app.cpp:408
+        setPreferredMode; frame_v2.cpp:635 "0xFF = AUTO, else forced") —
+        the handshake itself still rides the connect waveform."""
         from projectultra_tpu.config import Modulation, CodeRate
+        from projectultra_tpu.protocol.frame_v2 import WaveformMode
         from projectultra_tpu.utils.settings import AUTO
         s = self.settings
         engine.connection.config.forced_modulation = \
@@ -309,15 +318,21 @@ class Station:
         engine.connection.config.forced_code_rate = \
             CodeRate.AUTO if s.forced_code_rate == AUTO \
             else CodeRate(s.forced_code_rate)
+        engine.connection.config.preferred_mode = \
+            WaveformMode.AUTO if s.forced_waveform == AUTO \
+            else WaveformMode(s.forced_waveform)
 
     def get_settings(self) -> dict:
         from projectultra_tpu.config import Modulation, CodeRate
+        from projectultra_tpu.protocol.frame_v2 import WaveformMode
         from projectultra_tpu.utils.settings import AUTO
         s = self.settings
         return {
             "callsign": s.callsign,
             "auto_accept": s.auto_accept,
             "receive_dir": s.receive_dir,
+            "forced_waveform": ("AUTO" if s.forced_waveform == AUTO
+                                else WaveformMode(s.forced_waveform).name),
             "forced_modulation": ("AUTO" if s.forced_modulation == AUTO
                                   else Modulation(s.forced_modulation).name),
             "forced_code_rate": ("AUTO" if s.forced_code_rate == AUTO
@@ -328,6 +343,7 @@ class Station:
     def set_settings(self, body: str):
         """POST /api/settings: update + persist to INI + apply live."""
         from projectultra_tpu.config import Modulation, CodeRate
+        from projectultra_tpu.protocol.frame_v2 import WaveformMode
         from projectultra_tpu.utils.settings import AUTO
         d = json.loads(body)
         with self.lock:
@@ -339,6 +355,10 @@ class Station:
                 s.auto_accept = bool(d["auto_accept"])
             if "receive_dir" in d and d["receive_dir"]:
                 s.receive_dir = d["receive_dir"]
+            if "forced_waveform" in d:
+                v = d["forced_waveform"]
+                s.forced_waveform = AUTO if v == "AUTO" \
+                    else int(WaveformMode[v])
             if "forced_modulation" in d:
                 v = d["forced_modulation"]
                 s.forced_modulation = AUTO if v == "AUTO" \
@@ -521,7 +541,21 @@ def run_script(port: int) -> int:
     post("/api/disconnect")
     post("/api/settings", json.dumps(
         {"forced_modulation": "AUTO", "forced_code_rate": "AUTO"}).encode())
-    print("webui scripted session: PASS (chat + file + expert mode)")
+
+    # Expert forced waveform = the PREFERRED NEGOTIATED mode carried in
+    # the CONNECT frame (app.cpp:408 setPreferredMode): forcing OFDM_COX
+    # must observably negotiate the session onto OFDM_COX.
+    post("/api/settings", json.dumps({"forced_waveform": "OFDM_COX"}).encode())
+    st = json.loads(urllib.request.urlopen(
+        f"http://127.0.0.1:{port}/api/settings", timeout=600).read())
+    assert st["forced_waveform"] == "OFDM_COX", st
+    post("/api/connect")
+    s5 = state()
+    assert "CONNECTED" in s5["status"], s5["status"]
+    assert "waveform: OFDM_COX" in s5["status"], s5["status"]
+    post("/api/disconnect")
+    post("/api/settings", json.dumps({"forced_waveform": "AUTO"}).encode())
+    print("webui scripted session: PASS (chat + file + expert mode + waveform)")
     return 0
 
 
