@@ -24,7 +24,7 @@ def _load_tool():
 
 def test_hf_reality_quick():
     run = _load_tool().run
-    frames_ok, soak_ok, torture_ok, tone_ok = run(
+    frames_ok, soak_ok, torture_ok, tone_ok, agc_ok = run(
         snr_db=25.0, num_frames=6, duration_sec=30.0,
         soak_minutes=0.5, verbose=True)
     assert frames_ok, "mixed-waveform stream: frames/ping missing or extra"
@@ -39,3 +39,8 @@ def test_hf_reality_quick():
     # the noise lead and every frame must decode (modem/excision.py).
     assert tone_ok, "CW interferer: frames lost, false decodes, or the " \
                     "exciser never locked the tone"
+    # Round-4 beyond-reference: receiver AGC pumping (+-6 dB multiplicative
+    # envelope wobble at 0.3 Hz) — amplitude tracking must absorb it and
+    # neither the blanker nor the exciser may engage on it.
+    assert agc_ok, "AGC pumping: frames lost, false decodes, or a " \
+                   "mitigation engaged on the gain wobble"

@@ -359,7 +359,50 @@ def run(snr_db=25.0, num_frames=12, duration_sec=60.0, soak_minutes=10.0,
             print(f"  MISSING under compound: {m}")
     phase5 = (not missing5 and not extra5 and len(pings5) == 1
               and any(abs(t - tone_hz) < 15 for t in tones5))
-    return phase1, phase2, phase3 and phase3b, phase4 and phase5
+
+    # --- phase 6: receiver AGC pumping (beyond-reference).  A real SSB
+    # receiver's AGC multiplies the COMPOSITE signal+noise envelope by a
+    # slowly varying gain (attack on a static crash or an adjacent strong
+    # station, decay over hundreds of ms) — +-6 dB of pumping at ~0.3 Hz
+    # is routine on crowded bands.  Amplitude wobble is invisible to the
+    # differential modes and must be tracked by the Cox pilot/DD loops;
+    # the blanker's +10 dB envelope gate and the exciser's running-min
+    # floor must both ignore it (a false blank run inside a frame or a
+    # self-notch would cost decodes).  No mitigation is expected to
+    # engage: every frame + the ping must decode, zero false events.
+    t6 = np.arange(len(stream), dtype=np.float32) / 48000.0
+    gain_db = 6.0 * np.sin(2 * np.pi * 0.3 * t6, dtype=np.float32)
+    pumped = stream * (10.0 ** (gain_db / 20.0)).astype(np.float32)
+    rx6 = make_tx(WaveformMode.OFDM_COX)
+    got6, pings6 = [], []
+    rx6.on_frame = got6.append
+    rx6.on_ping = pings6.append
+    fed = 0
+    for i in range(0, len(pumped), chunk):
+        rx6.feed_audio(pumped[i:i + chunk])
+        fed += chunk
+        if fed % 4800 < chunk:
+            rx6.poll()
+    rx6.feed_audio(np.zeros(8000, np.float32))
+    rx6.poll()
+    texts6 = []
+    for fr in got6:
+        df = F.DataFrame.deserialize(fr.frame_bytes)
+        if df:
+            texts6.append(df.payload_as_text())
+    missing6 = [m for m in msgs if m not in texts6]
+    extra6 = [x for x in texts6 if x not in msgs]
+    if verbose:
+        print(f"AGC pumping (+-6 dB @ 0.3 Hz): decoded "
+              f"{len(texts6)}/{num_frames}, pings {len(pings6)}/1, "
+              f"blanked {rx6.blanker.blanked_runs} runs, "
+              f"notched={[round(t, 1) for t in rx6.exciser.active_tones]}, "
+              f"false={len(extra6)}")
+        for m in missing6:
+            print(f"  MISSING under AGC pumping: {m}")
+    phase6 = (not missing6 and not extra6 and len(pings6) == 1
+              and not rx6.exciser.active_tones)
+    return phase1, phase2, phase3 and phase3b, phase4 and phase5, phase6
 
 
 def main():
@@ -380,13 +423,14 @@ def main():
         jax.config.update("jax_platforms", "cpu")
     if args.quick:
         args.frames, args.duration, args.soak_minutes = 6, 30.0, 1.0
-    p1, p2, p3, p4 = run(args.snr, args.frames, args.duration,
-                         args.soak_minutes, sro_ppm=args.sro_ppm)
+    p1, p2, p3, p4, p5 = run(args.snr, args.frames, args.duration,
+                             args.soak_minutes, sro_ppm=args.sro_ppm)
     print(f"frames+ping: {'PASS' if p1 else 'FAIL'}   "
           f"false-decode soak: {'PASS' if p2 else 'FAIL'}   "
           f"impulse torture: {'PASS' if p3 else 'FAIL'}   "
-          f"CW interferer: {'PASS' if p4 else 'FAIL'}")
-    return 0 if (p1 and p2 and p3 and p4) else 1
+          f"CW interferer: {'PASS' if p4 else 'FAIL'}   "
+          f"AGC pumping: {'PASS' if p5 else 'FAIL'}")
+    return 0 if (p1 and p2 and p3 and p4 and p5) else 1
 
 
 if __name__ == "__main__":
