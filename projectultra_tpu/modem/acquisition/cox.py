@@ -283,6 +283,13 @@ class CoxPath(AcquisitionPath):
             if (self.e.prev_data_modulation is not None
                     and self.e.prev_data_modulation not in hunt_mods):
                 hunt_mods.append(self.e.prev_data_modulation)
+            # Disconnected: pre-negotiation TX always rides DQPSK R1/4
+            # (modem_engine.cpp:148-151) — mirror try_once()'s hunt so a
+            # mistimed deep candidate of a link-establishment frame at a
+            # coherent-defaulted receiver is still hunted at DQPSK.
+            if not self.e.connected \
+                    and Modulation.DQPSK not in hunt_mods:
+                hunt_mods.append(Modulation.DQPSK)
             done = False
             for hm in hunt_mods:
                 for hr in hunt_rates:

@@ -401,7 +401,8 @@ def run(snr_db=25.0, num_frames=12, duration_sec=60.0, soak_minutes=10.0,
         for m in missing6:
             print(f"  MISSING under AGC pumping: {m}")
     phase6 = (not missing6 and not extra6 and len(pings6) == 1
-              and not rx6.exciser.active_tones)
+              and not rx6.exciser.active_tones
+              and rx6.blanker.blanked_runs == 0)
     return phase1, phase2, phase3 and phase3b, phase4 and phase5, phase6
 
 

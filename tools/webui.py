@@ -80,7 +80,10 @@ button{background:#22303a;color:#cdd6dd;border:1px solid #3a4a56;padding:4px 10p
 const MODS=['AUTO','BPSK','QPSK','QAM16','QAM64','DBPSK','DQPSK','D8PSK',
             'QAM32','QAM256'];
 const RATES=['AUTO','R1_4','R1_2','R2_3','R3_4','R5_6'];
-const WFS=['AUTO','OFDM_COX','MC_DPSK','OFDM_CHIRP','DPSK'];
+// No 'DPSK': WaveformMode.DPSK (0x06) is an engine-local extension with no
+// ModeCapabilities bit — negotiate_mode silently ignores it, so offering it
+// would behave as AUTO with no feedback (reference GUI: AUTO/OFDM/MC_DPSK).
+const WFS=['AUTO','OFDM_COX','MC_DPSK','OFDM_CHIRP'];
 for(const [id,vals] of [['s_mod',MODS],['s_rate',RATES],['s_wf',WFS]]){
  const el=document.getElementById(id);
  for(const v of vals){const o=document.createElement('option');
