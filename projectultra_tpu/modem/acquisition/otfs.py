@@ -49,23 +49,39 @@ class OtfsPath(AcquisitionPath):
         # matched filter — strictly better than the reference's rule.
         coarse = int(np.asarray(start)[0])
         pre = O.generate_preamble(ocfg)
-        # Window covers one full symbol each way: the coarse fallback's
-        # plateau-edge estimate can be off by a large fraction of a symbol
-        # at SNRs where the 0.98 fine rule never fires.
-        lo = max(0, coarse - ocfg.sym_len)
-        hi = min(len(buf) - len(pre), coarse + ocfg.sym_len)
+        # Refine window: a FULL FRAME backwards, two symbols forwards.  A
+        # fading dip over the preamble suppresses the repeated-symbol
+        # metric until well into the frame body, so the coarse crossing
+        # can land many symbols LATE (measured: 5152 samples = ~7 symbols
+        # late on a Watterson-good DISCONNECT mid-session, which put the
+        # true start outside the old +-1-symbol window and the blind
+        # fail-consume then ate the following frames' heads).
+        lo = max(0, coarse - ocfg.frame_len)
+        hi = min(len(buf) - len(pre), coarse + 2 * ocfg.sym_len)
         if hi <= lo:
             self.waiting = True
             return "wait"  # preamble not fully buffered yet
         corr = np.correlate(buf[lo:hi + len(pre)], pre, mode="valid")
-        start0 = lo + int(np.argmax(np.abs(corr)))
+        k = int(np.argmax(np.abs(corr)))
+        start0 = lo + k
+        # Normalized match at the peak: a STRONG preamble match (the
+        # usual case) that still fails to decode is a genuinely corrupt
+        # frame — consume its full span.  A WEAK match means the timing
+        # itself is suspect (deep fade / partial preamble), so a failed
+        # decode steps ONE SYMBOL instead: the real preamble must outscore
+        # the garbage on a later pass (same lesson as the DPSK Barker
+        # sidelobe rule, engine round-2 notes).
+        seg = buf[start0:start0 + len(pre)]
+        denom = float(np.linalg.norm(seg)) * float(np.linalg.norm(pre)) + 1e-12
+        strength = float(np.abs(corr[k])) / denom
         status, frame = self.decode(ocfg, start0)
         if status == "wait":
             self.waiting = True
             return "wait"
         self.waiting = False
         if status == "fail":
-            self.e._consume(start0 + ocfg.frame_len)
+            self.e._consume(start0 + (ocfg.frame_len if strength >= 0.3
+                                      else ocfg.sym_len))
             return 0
         return self.e._deliver(frame)
 

