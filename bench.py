@@ -279,6 +279,115 @@ def _bench_acq():
     return best_fps, ok_rate
 
 
+# --- Schmidl-Cox acquisition-inclusive workload (VERDICT r4 #3): the
+# reference's OTHER hard sync (ofdm_sync.cpp:118-466).  Nothing presynced:
+# STS plateau search + energy gate + coarse CFO + LTS passband
+# matched-filter fine timing over the noisy buffer, per-frame dynamic-slice
+# at the DETECTED first LTS, LTS channel estimate + pilot tracking at the
+# DETECTED CFO, channel deinterleave, LDPC R1/2 — correctness-gated like
+# the other metrics.
+COX_BATCH = 512
+COX_ITERS = 32
+COX_SNR_DB = 17.0
+if _CPU_FALLBACK:
+    COX_BATCH, COX_ITERS = 16, 2
+
+
+def _build_cox_acq():
+    from projectultra_tpu.config import ModemConfig
+    from projectultra_tpu.ofdm import modulator as ofdm_mod
+    from projectultra_tpu.ofdm import demodulator as demod_mod
+    from projectultra_tpu.ofdm import pipeline as ofdm_pipeline
+    from projectultra_tpu.sync import schmidl_cox as SC
+    from projectultra_tpu.ops import ldpc as ldpc_ops
+
+    cfgc = ModemConfig()  # default 512-FFT pilot plan (OFDM_COX)
+    code = ldpc.get_code(CodeRate.R1_2)
+    modc = Modulation.DQPSK
+    S = ofdm_pipeline.num_data_symbols(cfgc, modc, 1)
+    plen = cfgc.fft_size + cfgc.cyclic_prefix
+    rng = np.random.default_rng(11)
+    info = rng.integers(0, 2, (COX_BATCH, code.k)).astype(np.float32)
+    cw = np.asarray(ldpc_ops.encode(code, jnp.asarray(info)))
+    inv, perm = ofdm_pipeline._interleave_perms(cfgc, modc)
+    pre = ofdm_mod.generate_preamble(cfgc)
+    data = np.asarray(ofdm_mod.modulate(
+        cfgc, modc, jnp.asarray(cw[:, np.asarray(inv)]),
+        t_offset=ofdm_mod.preamble_data_t_offset(cfgc)))
+    tx = np.concatenate([
+        np.zeros((COX_BATCH, 1504), np.float32),
+        np.broadcast_to(pre, (COX_BATCH, len(pre))), data,
+        np.zeros((COX_BATCH, 1024), np.float32)], axis=-1).astype(np.float32)
+    span_len = 2 * plen + S * cfgc.symbol_duration
+    pmat = np.zeros((648, 648), np.float32)
+    pmat[np.asarray(perm), np.arange(648)] = 1.0
+    pmat_j = jnp.asarray(pmat)
+
+    @jax.jit
+    def add_noise(tx, key):
+        return W.add_noise_active(key, tx, COX_SNR_DB)
+
+    @jax.jit
+    def step(rx):
+        det = SC.detect_preamble(cfgc, rx)
+        T = rx.shape[-1]
+        starts = jnp.clip(det["lts_start"], 0, T - span_len)
+        span = jax.vmap(lambda b, s: jax.lax.dynamic_slice(
+            b, (s,), (span_len,)))(rx, starts)
+        llrs, _ = demod_mod.demodulate_span(cfgc, modc, span, det["cfo_hz"],
+                                            0.0, n_lts=2, S=S, n_bits=648)
+        deint = jnp.matmul(llrs[:, :648], pmat_j,
+                           precision=jax.lax.Precision.HIGHEST)
+        out, ok, _ = ldpc_ops.decode(code, deint)
+        return out, ok & det["found"]
+
+    @jax.jit
+    def step_many(rx_all):
+        def body(carry, rx):
+            out, ok = step(rx)
+            return carry, (out[0, 0], ok)
+        _, (probe, oks) = jax.lax.scan(body, 0, rx_all)
+        return probe, oks
+
+    return jnp.asarray(tx), info, add_noise, step, step_many
+
+
+def _bench_cox_acq():
+    """Same discipline as _bench_acq: noise generation untimed (fresh
+    buffers per repeat), fused scan, best-of-N, full host materialization,
+    correctness-gated."""
+    tx, info, add_noise, step, step_many = _build_cox_acq()
+    keys = jax.random.split(jax.random.PRNGKey(13), COX_ITERS)
+    rx_all = jnp.stack([add_noise(tx, k) for k in keys])
+    jax.block_until_ready(rx_all)
+
+    out, ok = step(rx_all[0])
+    ok_rate = float(np.asarray(ok).mean())
+    bit_ok = bool((np.asarray(out)[np.asarray(ok)]
+                   == np.asarray(info, np.uint8)[np.asarray(ok)]).all())
+    jax.block_until_ready(step_many(rx_all))  # compile warmup
+
+    best_fps, oks_min = 0.0, 1.0
+    for rep in range(_TIMED_REPEATS):
+        rx_all = None
+        keys2 = jax.random.split(jax.random.PRNGKey(14 + rep), COX_ITERS)
+        rx_all = jnp.stack([add_noise(tx, k) for k in keys2])
+        jax.block_until_ready(rx_all)
+
+        t0 = time.perf_counter()
+        probe, oks = step_many(rx_all)
+        oks = np.asarray(oks)
+        np.asarray(probe)
+        dt = time.perf_counter() - t0
+        oks_min = min(oks_min, float(oks.mean()))
+        best_fps = max(best_fps, COX_BATCH * COX_ITERS / dt)
+
+    ok_rate = min(ok_rate, oks_min)
+    if ok_rate < 0.99 or not bit_ok:
+        return 0.0, ok_rate
+    return best_fps, ok_rate
+
+
 def main():
     code = ldpc.get_code(RATE)
     rng = np.random.default_rng(0)
@@ -337,6 +446,15 @@ def main():
     result["acq_value"] = round(acq_fps, 1)
     result["acq_unit"] = "frames/s/cpu-sanity" if _CPU_FALLBACK else "frames/s/chip"
     result["acq_decode_ok_rate"] = round(acq_ok, 4)
+
+    # Third metric (same correctness gate): Schmidl-Cox acquisition-
+    # inclusive OFDM_COX frames/s — the reference's other hard sync on the
+    # chip clock (VERDICT r4 #3).
+    cox_fps, cox_ok = _bench_cox_acq()
+    result["cox_metric"] = "ofdm_cox_acquisition_frames_per_sec"
+    result["cox_value"] = round(cox_fps, 1)
+    result["cox_unit"] = "frames/s/cpu-sanity" if _CPU_FALLBACK else "frames/s/chip"
+    result["cox_decode_ok_rate"] = round(cox_ok, 4)
 
     print(json.dumps(result))
     return 0

@@ -279,7 +279,7 @@ def run_matrix(rows=None, seed: int = 42, frames: int | None = None):
 # --------------------------------------------------------------------------
 
 _STREAM_WF = {"MC_DPSK": "MC_DPSK", "OFDM_CHIRP": "OFDM_CHIRP",
-              "DPSK": "DPSK"}
+              "DPSK": "DPSK", "OFDM_COX": "OFDM_COX"}
 
 
 def _stream_engines(point: SweepPoint):
@@ -292,6 +292,10 @@ def _stream_engines(point: SweepPoint):
         m.connected = True
         m.handshake_complete = True
         m.data_code_rate = point.rate
+        if wf == WaveformMode.OFDM_COX:
+            # The reference harness runs cox DATA frames at DQPSK
+            # (test_iwaveform.cpp:392 setDataMode(Modulation::DQPSK, rate)).
+            m.data_modulation = Modulation.DQPSK
         if wf == WaveformMode.DPSK and point.preset:
             m.dpsk_config = getattr(DP, point.preset)()
     return tx, rx

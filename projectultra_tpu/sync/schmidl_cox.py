@@ -173,8 +173,7 @@ def detect_preamble(config: ModemConfig, samples: jnp.ndarray,
     # matched filter below (both use the same n_fft).
     n_fft = 1 << int(T - 1).bit_length()
     X = jnp.fft.fft(samples.astype(jnp.complex64), n=n_fft, axis=-1)
-    corr, P = sc_metric(config, samples, X)
-    n_off = corr.shape[-1]
+    n_off = T - N - cp + 1
 
     # Energy gate (hasMinimumEnergy, ofdm_sync.cpp:20-50): window energy must
     # exceed 4x the tracked noise floor.  The reference's floor is a RUNNING
@@ -186,9 +185,43 @@ def detect_preamble(config: ModemConfig, samples: jnp.ndarray,
     # plateau windows, killing detection of long frames at ANY SNR (caught
     # by the 400-byte calibration rows).  Silence stays rejected by the
     # 1e-10 absolute clamp and the 40 dB peak-ratio clause below.
-    # Energy of the exact FFT window the correlation runs on ([p+cp, p+cp+N)).
-    e_fft = _window_sum(samples * samples, N) / N
-    e_all = e_fft[:, cp:cp + n_off]
+    # --- Schmidl-Cox metric + energy gate, evaluated ONLY on the stride-8
+    # candidate grid (the reference's coarse loop also steps 8).  The
+    # window sums run as 8-sample block pre-reductions + block-grid
+    # _window_sum — the chirp detect's block-grid playbook (docs/PERF.md
+    # round 3): numerically a different (still <=window-length) summation
+    # order, 8x less window-sum traffic, and R1/R2 come from ONE energy
+    # window sum (R2[d] == R1[d + N/2]).  Measured on-chip: the full-res
+    # sc_metric window sums were 17 of the 30 ms/iter detect budget at
+    # B=512, T=19k.
+    st = SEARCH_STEP
+    half = N // 2
+    assert cp % st == 0 and half % st == 0, (cp, half, st)
+    a = analytic_signal(samples, X)
+    nb = T // st
+    ab = a[:, :nb * st].reshape(B, nb, st)
+    eb = (ab.real * ab.real + ab.imag * ab.imag).sum(-1)      # [B, nb]
+    hb = half // st
+    ub = (jnp.conj(ab[:, :nb - hb]) * ab[:, hb:]).sum(-1)     # [B, nb-hb]
+    Pb = _window_sum(ub, hb)                                  # P at d = st*k
+    Eb = _window_sum(eb, hb)                                  # R1 at d = st*k
+    # Energy of the exact FFT window the correlation runs on
+    # ([p+cp, p+cp+N)), also on the grid.
+    sb = (samples * samples)[:, :nb * st].reshape(B, nb, st).sum(-1)
+    Ew = _window_sum(sb, N // st)                             # [B, nb-N/st+1]
+    cpb = cp // st
+    # gP/gR2 need block index cpb+hb+G-1 <= nb-hb (== Pb bound); Ew shares
+    # the same bound since N/st == 2*hb.  For stride-divisible T this
+    # equals ceil(n_off / st) exactly (full grid coverage).
+    G = min(-(-n_off // st), Pb.shape[-1] - cpb, Ew.shape[-1] - cpb)
+    gP = Pb[:, cpb:cpb + G]
+    gR1 = Eb[:, cpb:cpb + G]
+    gR2 = Eb[:, cpb + hb:cpb + hb + G]
+    gdenom = jnp.sqrt(jnp.maximum(gR1 * gR2, 0.0))
+    gcorr = jnp.where(gdenom > 1e-10,
+                      jnp.abs(gP) / jnp.maximum(gdenom, 1e-30), 0.0)
+
+    e_all = Ew[:, cpb:cpb + G] / N
     floor = jnp.maximum(jnp.minimum(0.1 * e_all[:, :1],
                                     e_all.min(-1, keepdims=True)), 1e-10)
     energy_ok = e_all >= 4.0 * floor
@@ -196,11 +229,10 @@ def detect_preamble(config: ModemConfig, samples: jnp.ndarray,
     # carries the FFT-Hilbert's numerical ringing, which is tiny but
     # self-correlated (the per-window C++ transform sees exact zeros there).
     energy_ok &= e_all >= 1e-4 * e_all.max(-1, keepdims=True)
-    corr = jnp.where(energy_ok, corr, 0.0)
+    gcorr = jnp.where(energy_ok, gcorr, 0.0)                  # [B, G]
 
-    # 8-strided candidate grid, like the reference's coarse loop.
-    grid = jnp.arange(0, n_off, SEARCH_STEP)
-    gcorr = corr[:, grid]                                # [B, G]
+    # 8-strided candidate grid positions in SAMPLE units.
+    grid = jnp.arange(G) * st
     win_pts = PLATEAU_SEARCH_WINDOW // SEARCH_STEP + 1
     # Leave room for the full preamble + LTS search beyond the candidate.
     max_start = n_off - 6 * plen - 2 * plen
@@ -235,11 +267,12 @@ def detect_preamble(config: ModemConfig, samples: jnp.ndarray,
                            gcorr.shape[-1] - 1)
         wcorr = gcorr[idxb[:, None], win_idx]
         peak_rel = jnp.argmax(wcorr, axis=-1)
-        sync_off = grid[jnp.clip(first + peak_rel, 0, len(grid) - 1)]
+        gidx = jnp.clip(first + peak_rel, 0, G - 1)
+        sync_off = grid[gidx]
         peak_corr = wcorr[idxb, peak_rel]
 
         # Coarse CFO from P at the sync offset (ofdm_sync.cpp:230-258).
-        phase = jnp.angle(P[idxb, sync_off])
+        phase = jnp.angle(gP[idxb, gidx])
         cfo = phase * config.sample_rate / (np.pi * N)
         max_cfo = config.sample_rate / N
         cfo = jnp.clip(cfo, -max_cfo, max_cfo)
