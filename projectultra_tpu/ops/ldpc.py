@@ -47,6 +47,26 @@ _DEFAULT_MSG_DTYPE = (jnp.bfloat16 if _os.environ.get("ULTRA_LDPC_BF16") == "1"
                       else jnp.float32)
 
 
+@functools.lru_cache(maxsize=None)
+def _var_edge_table(code: LDPCCode):
+    """Per-variable incoming-edge lists in ascending CHECK order (the C++
+    accumulation order, ldpc_decoder.cpp variable-update loop), as indices
+    into the d-major flat c2v space (e = d*m + i); entries beyond a
+    variable's degree point at a trailing zero edge (index D*m)."""
+    m, n, D = code.m, code.n, code.max_degree
+    lists: list[list[tuple[int, int]]] = [[] for _ in range(n)]
+    for i in range(m):
+        for d in range(D):
+            if code.row_mask[i, d]:
+                lists[int(code.row_vars[i, d])].append((i, d))
+    Dv = max(len(l) for l in lists)
+    tab = np.full((n, Dv), D * m, np.int32)
+    for v, l in enumerate(lists):
+        for j, (i, d) in enumerate(sorted(l)):
+            tab[v, j] = d * m + i
+    return tab, Dv
+
+
 @functools.partial(jax.jit, static_argnames=("code", "max_iters", "msg_dtype",
                                              "trap_escape"))
 def decode(code: LDPCCode, llrs: jnp.ndarray, max_iters: int = DEFAULT_MAX_ITERS,
@@ -92,75 +112,135 @@ def decode(code: LDPCCode, llrs: jnp.ndarray, max_iters: int = DEFAULT_MAX_ITERS
     inf = jnp.float32(np.inf)
     eidx = jnp.arange(D)
 
-    def gather_vars(x):  # x: [B, n] -> [B, m, D]
-        # Measured: XLA's gather/scatter beat one-hot MXU contractions for
-        # these [B, m, D] edge shapes; only the parity check (below) wins
-        # as a matmul.
-        return x[:, row_vars]
+    # --- unrolled-by-degree edge layout (round 5) -----------------------
+    # The original [B, m, D] edge tensors put D (= 6-7) on the minor axis:
+    # TPU tiles pad the minor dim to 128 lanes, so every materialized edge
+    # intermediate cost ~18x its useful traffic, and the measured stage
+    # budget at B=16384 was gather 3.5 ms + min-sum 1.8 + scatter-add 5.9.
+    # Unrolling the D axis into D clean [B, m] arrays (and the scatter into
+    # Dv per-variable gathers of [B, n]) keeps every array's minor dim at
+    # m/n and replaces the scatter with gathers XLA fuses; arithmetic
+    # VALUES and accumulation ORDER are preserved exactly (two-minima
+    # tracking keeps the first-occurrence argmin; per-variable sums run in
+    # ascending check order — the C++ loop order the old scatter-add's
+    # index-ascending duplicate handling reproduced).
+    rv_cols = [jnp.asarray(code.row_vars[:, d]) for d in range(D)]
+    mask_cols = [jnp.asarray(code.row_mask[:, d]) for d in range(D)]
+    var_edges_np, Dv = _var_edge_table(code)
+    var_cols = [jnp.asarray(var_edges_np[:, j]) for j in range(Dv)]
+
+    def _c2v(v2c):
+        """Check-to-variable messages (min-sum, 0.75 scale) from a tuple of
+        D f32 [B, m] edge arrays."""
+        min1 = jnp.full((B, m), inf)
+        min2 = jnp.full((B, m), inf)
+        amin = jnp.zeros((B, m), jnp.int32)
+        par = jnp.zeros((B, m), jnp.int32)
+        negs = []
+        for d in range(D):
+            a = jnp.where(mask_cols[d], jnp.abs(v2c[d]), inf)
+            neg = (mask_cols[d] & (v2c[d] < 0)).astype(jnp.int32)
+            negs.append(neg)
+            par = par ^ neg
+            is_new = a < min1
+            min2 = jnp.where(is_new, min1, jnp.minimum(min2, a))
+            amin = jnp.where(is_new, d, amin)
+            min1 = jnp.where(is_new, a, min1)
+        out = []
+        for d in range(D):
+            sign = 1.0 - 2.0 * ((par ^ negs[d]) & 1).astype(jnp.float32)
+            min_excl = jnp.where(amin == d, min2, min1)
+            out.append(jnp.where(mask_cols[d],
+                                 sign * min_excl * MIN_SUM_SCALE, 0.0))
+        return tuple(out)
+
+    def _llr_ok(llr_in, c2v):
+        """Total LLR (llr_in + per-variable sums of c2v, ascending check
+        order) + per-lane parity."""
+        ce = jnp.concatenate(list(c2v) + [jnp.zeros((B, 1), jnp.float32)],
+                             axis=1)                      # [B, D*m + 1]
+        llr_total = llr_in
+        for j in range(Dv):
+            llr_total = llr_total + ce[:, var_cols[j]]
+        # Syndrome as an MXU matmul instead of an edge gather: with
+        # H = [H_data | I], syndrome = (hard_info @ H_data^T +
+        # hard_parity) mod 2.  Integer counts in f32 are exact (degrees
+        # << 2^24), so this is bit-identical to the gather+XOR but much
+        # faster on TPU.
+        hard = (llr_total < 0).astype(jnp.float32)
+        counts = jnp.matmul(hard[:, :n - m], jnp.asarray(code.h_dense.T),
+                            precision=jax.lax.Precision.HIGHEST) \
+            + hard[:, n - m:]
+        ok = (counts.astype(jnp.int32) & 1 == 0).all(-1)        # [B]
+        return llr_total, ok
+
+    def _v2c0(llr_in):
+        """Initial messages; the msg_dtype round-trip keeps the fast bf16
+        mode bit-identical to the old materialized-state first iteration."""
+        return tuple(
+            jnp.where(mask_cols[d], llr_in[:, rv_cols[d]], 0.0)
+            .astype(msg_dtype).astype(jnp.float32) for d in range(D))
 
     def _run(llr_in):
-        v2c0 = jnp.where(row_mask, gather_vars(llr_in), 0.0).astype(msg_dtype)
+        if max_iters == 0:  # static: no iterations, reference state0
+            return llr_in, jnp.zeros(B, bool), jnp.zeros(B, jnp.int32)
+        # ITERATION 0, stateless: c2v depends only on llr_in, so the first
+        # (and at clean SNRs usually ONLY) iteration never needs the
+        # [B, m, D] edge state written to HBM — XLA fuses
+        # gather -> min-sum -> scatter in one pass.  Measured on the
+        # headline bench every lane converges at iteration 0, and the
+        # state round-trip was most of the 6.5 ms/iter LDPC stage.
+        c2v0 = _c2v(_v2c0(llr_in))
+        llr1, ok1 = _llr_ok(llr_in, c2v0)
+        iters1 = jnp.where(ok1, 0, max_iters)
 
-        def one_iter(v2c):
-            # Messages may be stored bf16; all arithmetic runs f32.
-            v2c = v2c.astype(jnp.float32)
-            # --- check-to-variable (min-sum, 0.75 scale) ---
-            neg = (v2c < 0) & row_mask
-            row_par = neg.sum(-1) & 1                              # [B, m]
-            edge_par = (row_par[..., None] ^ neg.astype(jnp.int32)) & 1
-            sign = 1.0 - 2.0 * edge_par.astype(jnp.float32)
+        def fast(_):
+            return llr1, ok1, iters1
 
-            a = jnp.where(row_mask, jnp.abs(v2c), inf)
-            min1 = a.min(-1, keepdims=True)
-            amin = a.argmin(-1)[..., None]
-            a2 = jnp.where(eidx == amin, inf, a)
-            min2 = a2.min(-1, keepdims=True)
-            min_excl = jnp.where(eidx == amin, min2, min1)
-            c2v = jnp.where(row_mask, sign * min_excl * MIN_SUM_SCALE, 0.0)
+        def _next_v2c(llr_total, c2v):
+            return tuple(
+                jnp.where(mask_cols[d],
+                          jnp.clip(llr_total[:, rv_cols[d]] - c2v[d],
+                                   -V2C_CLAMP, V2C_CLAMP), 0.0)
+                .astype(msg_dtype) for d in range(D))
 
-            # --- total LLR: llr_in + scatter-add of c2v over variables ---
-            llr_total = llr_in + (
-                jnp.zeros((B, n), jnp.float32)
-                .at[:, flat_vars].add(c2v.reshape(B, -1)))
+        def slow(_):
+            # Continue EXACTLY where iteration 0 left off: the old loop's
+            # body computed v2c_new from the same (llr_total, c2v) pair.
+            c2v0s = _c2v(_v2c0(llr_in))  # recomputed inside the rare branch
+            v2c1 = _next_v2c(llr1, c2v0s)
 
-            # --- variable-to-check, clamped ---
-            v2c_new = jnp.clip(gather_vars(llr_total) - c2v,
-                               -V2C_CLAMP, V2C_CLAMP)
-            v2c_new = jnp.where(row_mask, v2c_new, 0.0).astype(msg_dtype)
+            def one_iter(v2c):
+                # Messages may be stored bf16; all arithmetic runs f32.
+                v2c = tuple(x.astype(jnp.float32) for x in v2c)
+                c2v = _c2v(v2c)
+                llr_total, ok = _llr_ok(llr_in, c2v)
+                return _next_v2c(llr_total, c2v), llr_total, ok
 
-            # --- parity check on hard decisions ---
-            # Syndrome as an MXU matmul instead of a [B, m, D] gather: with
-            # H = [H_data | I], syndrome = (hard_info @ H_data^T +
-            # hard_parity) mod 2.  Integer counts in f32 are exact (degrees
-            # << 2^24), so this is bit-identical to the gather+XOR but much
-            # faster on TPU.
-            hard = (llr_total < 0).astype(jnp.float32)
-            counts = jnp.matmul(hard[:, :n - m], jnp.asarray(code.h_dense.T),
-                                precision=jax.lax.Precision.HIGHEST) \
-                + hard[:, n - m:]
-            ok = (counts.astype(jnp.int32) & 1 == 0).all(-1)        # [B]
-            return v2c_new, llr_total, ok
+            def cond(state):
+                it, _, _, done, _ = state
+                return (it < max_iters) & ~done.all()
 
-        def cond(state):
-            it, _, _, done, _ = state
-            return (it < max_iters) & ~done.all()
+            def body(state):
+                it, v2c, llr_total, done, iters = state
+                v2c_new, llr_new, ok = one_iter(v2c)
+                # Freeze converged lanes.
+                keep = done[:, None]
+                v2c = tuple(jnp.where(keep, o, nw)
+                            for o, nw in zip(v2c, v2c_new))
+                llr_total = jnp.where(keep, llr_total, llr_new)
+                newly = ~done & ok
+                iters = jnp.where(newly, it, iters)
+                done = done | ok
+                return it + 1, v2c, llr_total, done, iters
 
-        def body(state):
-            it, v2c, llr_total, done, iters = state
-            v2c_new, llr_new, ok = one_iter(v2c)
-            # Freeze converged lanes.
-            keep = done[:, None, None]
-            v2c = jnp.where(keep, v2c, v2c_new)
-            llr_total = jnp.where(done[:, None], llr_total, llr_new)
-            newly = ~done & ok
-            iters = jnp.where(newly, it, iters)
-            done = done | ok
-            return it + 1, v2c, llr_total, done, iters
+            state0 = (jnp.int32(1), v2c1, llr1, ok1, iters1)
+            _, _, llr_total, done, iters = jax.lax.while_loop(
+                cond, body, state0)
+            return llr_total, done, iters
 
-        state0 = (jnp.int32(0), v2c0, llr_in,
-                  jnp.zeros(B, bool), jnp.full(B, max_iters, jnp.int32))
-        _, _, llr_total, done, iters = jax.lax.while_loop(cond, body, state0)
-        return llr_total, done, iters
+        return jax.lax.cond(ok1.all() | (max_iters <= 1), fast, slow,
+                            operand=None)
 
     llr_in = llrs.astype(jnp.float32)
     llr_total, done, iters = _run(llr_in)
