@@ -23,10 +23,42 @@ from ..types import DecodedFrame
 from .base import AcquisitionPath
 
 
+def _resample_sro(src: np.ndarray, n_out: int, eps: float,
+                  anchor: float) -> np.ndarray:
+    """Catmull-Rom fractional resample that unwinds a TX/RX sample-clock
+    skew of ``eps`` (a TX event at time tau sits at RX index tau/(1+eps);
+    the pilot timing track reads drift +eps*elapsed) around ``anchor``
+    (the LTS position, where the channel estimate anchored timing):
+    out[i] = src[anchor + (i - anchor) / (1 + eps)], i < n_out.  ``src``
+    must extend ~n_out*|eps| past n_out or the final symbols clamp to the
+    edge sample (measured: the clamped tail corrupted the LAST codeword on
+    every +100 ppm retry).  The signal band tops out at ~2.7 kHz against
+    48 kHz (~18x oversampled), so the cubic's interpolation error sits far
+    below the operating noise floors — same kernel tools/test_sro.py
+    injects the skew with.  Host-side numpy: runs only on the rare
+    failed-decode retry path, one frame at a time."""
+    n = len(src)
+    t = anchor + (np.arange(n_out, dtype=np.float64) - anchor) / (1.0 + eps)
+    t = np.clip(t, 0.0, n - 1.000001)
+    i = np.floor(t).astype(np.int64)
+    f = t - i
+    x = np.pad(src.astype(np.float64), (1, 3))
+    xm1, x0, x1, x2 = x[i], x[i + 1], x[i + 2], x[i + 3]
+    a = -0.5 * xm1 + 1.5 * x0 - 1.5 * x1 + 0.5 * x2
+    b = xm1 - 2.5 * x0 + 2.0 * x1 - 0.5 * x2
+    c = -0.5 * xm1 + 0.5 * x1
+    return (((a * f + b) * f + c) * f + x0).astype(np.float32)
+
+
 class CoxPath(AcquisitionPath):
     """State: wait (streaming wait-tick tracker), pending (found preamble
     whose frame is still arriving), deep_pending / deep_rejected (below-the-
     floor speculative candidates)."""
+
+    # Failed-decode SRO retry fires when the pilot timing track's final
+    # offset exceeds this (samples).  Above the fit noise at operating
+    # SNRs, below the 512 plan's ~4-sample late-side window slack.
+    SRO_RETRY_MIN_TOS = 1.5
 
     def reset(self):
         self.wait = None
@@ -369,7 +401,7 @@ class CoxPath(AcquisitionPath):
                    and len(carriers_mod.carrier_map(cfg).pilot_idx) > 0
                    and abs(float(cfo)) <= self.e.REAL_FRONT_CFO_MAX_HZ)
 
-        def demod(n_cw: int, front: str):
+        def demod(n_cw: int, front: str, sro_eps: float = 0.0):
             S = ofdm_pipeline.num_data_symbols(cfg, mod, n_cw)
             need = lts_start + 2 * plen + S * cfg.symbol_duration
             if len(buf) < need:
@@ -402,7 +434,23 @@ class CoxPath(AcquisitionPath):
             # operating mode (and its 1024 grid leaves just 4 bins
             # between signal and image), measured better than the real
             # front at the R5/6 waterfall edges.
-            span = jnp.asarray(buf[None, lts_start - lead:need + tail])
+            src0 = lts_start - lead
+            T_span = need + tail - src0
+            if sro_eps != 0.0:
+                # Failed-decode clock-skew retry: unwind the measured
+                # timing drift around the LTS anchor (see _resample_sro).
+                # Source extends past the span by the resample's reach so
+                # the final symbols never read a clamped edge; zero-pad
+                # when the buffer genuinely ends (post-frame noise).
+                extra = int(np.ceil(T_span * abs(sro_eps))) + 8
+                src = buf[src0:min(len(buf), need + tail + extra)]
+                if len(src) < T_span + extra:
+                    src = np.pad(src, (0, T_span + extra - len(src)))
+                src = _resample_sro(src, T_span, sro_eps,
+                                    float(lead + plen))
+            else:
+                src = buf[src0:need + tail]
+            span = jnp.asarray(src[None])
             llrs, state = demod_mod.demodulate_span(
                 cfg, mod, span, cfo, 0.0, n_lts=2, S=S,
                 lead=lead, tail=tail, front=front,
@@ -480,13 +528,13 @@ class CoxPath(AcquisitionPath):
             expected = F.HEADER_SIZE + info.payload_len + F.CRC_SIZE
         bpc = F.bytes_per_codeword(rate0)
 
-        def attempt(front_try, llrs_pre=None, st_pre=None):
+        def attempt(front_try, llrs_pre=None, st_pre=None, sro_eps=0.0):
             """Demod + LDPC + reassemble + CRC recovery at one front.
             Returns (oks, frame_bytes, state, good, recovered) or "wait"."""
-            if total_cw == 1 and llrs_pre is not None:
+            if total_cw == 1 and llrs_pre is not None and sro_eps == 0.0:
                 llrs_, st_ = llrs_pre, st_pre
             else:
-                llrs_, st_ = demod(total_cw, front_try)
+                llrs_, st_ = demod(total_cw, front_try, sro_eps)
                 if llrs_ is None:
                     return "wait"
             blocks = [llrs_[i * 648:(i + 1) * 648] for i in range(total_cw)]
@@ -528,6 +576,50 @@ class CoxPath(AcquisitionPath):
             if res2 != "wait" and res2[3]:
                 res = res2
                 self.e.stats.frames_front_retried += 1
+        # Sample-clock-skew retry (round 5, tools/test_sro.py +100 ppm
+        # edge): the 512 plan's analysis window has only ~guard (4)
+        # samples of LATE-side ISI-free slack, so ~5+ samples of
+        # accumulated TX/RX clock drift by frame end corrupt the tail
+        # codewords at ANY SNR.  The pilot timing track measures exactly
+        # that drift (update_channel_estimate's LS slope fit, EMA
+        # alpha=0.3): on a failed decode whose final |timing offset| is
+        # past the slack, estimate the skew from drift/elapsed (corrected
+        # for the EMA's (1-a)/a-symbol lag), fractionally resample the
+        # span around the LTS anchor, and re-demodulate.  Up to two
+        # corrections (the second refines from the first's residual).
+        # No reference counterpart (it has no SRO handling anywhere).
+        if not res[3] and res != "wait" and res[2] is not None:
+            from ...ofdm.demodulator import TIMING_ALPHA
+            S_d = ofdm_pipeline.num_data_symbols(cfg, mod, total_cw)
+            L = cfg.symbol_duration
+            ema_lag = (1.0 - TIMING_ALPHA) / TIMING_ALPHA
+            # Drift reference = LTS mid; last tos measurement ~the final
+            # symbol, lagged by the EMA.
+            elapsed = plen + (S_d - 0.5 - ema_lag) * L
+            eps_acc, st_try = 0.0, res[2]
+            import os as _os
+            _dbg = _os.environ.get("ULTRA_SRO_DEBUG") == "1"
+            if elapsed > 4 * L:
+                for _ in range(2):
+                    tos = float(np.asarray(st_try.timing_offset_samples)[0])
+                    if _dbg:
+                        print(f"[sro] fail tos={tos:+.2f} elapsed={elapsed:.0f}"
+                              f" eps_acc={eps_acc * 1e6:+.1f}ppm front={front}"
+                              f" oks={res[0] if res != 'wait' else '?'}")
+                    if abs(tos) < self.SRO_RETRY_MIN_TOS:
+                        break
+                    eps_acc += tos / elapsed
+                    res3 = attempt(front, sro_eps=eps_acc)
+                    if res3 == "wait":
+                        break
+                    if _dbg:
+                        print(f"[sro] retry eps={eps_acc * 1e6:+.1f}ppm good="
+                              f"{res3[3]} oks={res3[0]}")
+                    if res3[3]:
+                        res = res3
+                        self.e.stats.frames_sro_retried += 1
+                        break
+                    st_try = res3[2]
         oks, frame_bytes, st, _, recovered = res
         if recovered:
             self.e.stats.frames_crc_recovered += 1

@@ -42,6 +42,11 @@ class ModemStats:
     # timing drift, the analytic under a true 1-2 Hz CFO — neither
     # dominates in the marginal corners, so failures retry once.
     frames_front_retried: int = 0
+    # Round-5: frames rescued by the sample-clock-skew retry — on a failed
+    # decode whose pilot timing track shows accumulated drift, the span is
+    # fractionally resampled at the estimated skew and re-demodulated
+    # (modem/acquisition/cox.py).  Beyond reference: it has no SRO handling.
+    frames_sro_retried: int = 0
     current_modulation: Modulation = Modulation.QPSK
     current_code_rate: CodeRate = CodeRate.R1_2
 

@@ -35,6 +35,34 @@ def test_sro_50ppm_cox_dqpsk():
         assert n_ok == n, f"{ppm:+} ppm: {n_ok}/{n} frames decoded"
 
 
+def test_sro_100ppm_cox_qam16_retry():
+    """The round-4 red cell: 512-plan QAM16 at +100 ppm accumulates ~5.5
+    samples of end-of-frame drift against the analysis window's ~4-sample
+    late-side slack (guard = 4) and corrupted the tail codewords at ANY
+    SNR.  The failed-decode clock-skew retry (cox.py: estimate eps from
+    the pilot timing track, fractionally resample around the LTS anchor,
+    re-demodulate) must recover it — and must report that it fired."""
+    tool = _load_tool()
+    from projectultra_tpu.config import Modulation, CodeRate
+    from projectultra_tpu.modem.engine import ModemEngine
+    from projectultra_tpu.protocol.frame_v2 import WaveformMode
+
+    engines = []
+
+    def mk():
+        e = ModemEngine()
+        engines.append(e)
+        return e
+
+    res = tool.run_row(
+        "512 COX QAM16 R2/3 @25dB", mk,
+        WaveformMode.OFDM_COX, Modulation.QAM16, CodeRate.R2_3,
+        25.0, 400, [100, -100], frames=1)
+    for ppm, (n_ok, n) in res.items():
+        assert n_ok == n, f"{ppm:+} ppm: {n_ok}/{n} frames decoded"
+    assert any(e.stats.frames_sro_retried > 0 for e in engines)
+
+
 def test_sro_resampler_passthrough():
     """At 0 ppm the Catmull-Rom resampler must be a near-exact pass-through
     (integer phases): the SRO measurements then isolate clock skew, not

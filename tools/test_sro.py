@@ -192,11 +192,13 @@ def main():
         label, mk, wf, mod, rate, snr, payload = rows[key]
         res = run_row(label, mk, wf, mod, rate, snr, payload, ppm_list,
                       args.frames)
-        # Gate: full decode at |ppm| <= 50 (consumer soundcard class).
+        # Gate: full decode at |ppm| <= 100 (beyond the consumer-soundcard
+        # class; the +100 ppm 512-plan edge is closed by the failed-decode
+        # clock-skew resample retry, modem/acquisition/cox.py round 5).
         for ppm, (n_ok, n) in res.items():
-            if abs(ppm) <= 50 and n_ok < n:
+            if abs(ppm) <= 100 and n_ok < n:
                 all_ok = False
-    print("SRO gate (|ppm| <= 50):", "PASS" if all_ok else "FAIL")
+    print("SRO gate (|ppm| <= 100):", "PASS" if all_ok else "FAIL")
     return 0 if all_ok else 1
 
 
