@@ -308,7 +308,31 @@ class ChirpPath(AcquisitionPath):
                     self.e.mc_config, jnp.asarray(span[None, :]),
                     jnp.asarray([cfo], np.float32),
                     jnp.asarray([float(tr_start)], np.float32), n_sym)
-                return np.asarray(llrs)[0][:nbits]
+                out = np.asarray(llrs)[0]
+                # Notch-aware erasure (round 5, the excision matrix's one
+                # residual failure): an active notch parked ON an MC-DPSK
+                # carrier removes that carrier's SIGNAL along with the
+                # tone, and its differential decisions demap as
+                # confident-wrong bits (the notch leaves ~nothing, |corr|
+                # normalization snaps to garbage phase).  Zero the
+                # straddled carriers' LLRs — erasure semantics, the same
+                # measured lesson as the blanker's zero-fill — so the
+                # code fills them from parity.  Engages only while the
+                # exciser holds active notches, so golden/parity streams
+                # are byte-identical.
+                tones = self.e.exciser.active_tones
+                if tones:
+                    from ..excision import NOTCH_BW_HZ
+                    cfgm = self.e.mc_config
+                    half = NOTCH_BW_HZ / 2.0 + 15.0 + abs(float(cfo))
+                    bad = [ci for ci, f0 in enumerate(cfgm.carrier_freqs())
+                           if any(abs(float(f0) - t) <= half for t in tones)]
+                    if bad:
+                        shaped = out.reshape(n_sym, cfgm.num_carriers,
+                                             cfgm.bits_per_symbol).copy()
+                        shaped[:, bad, :] = 0.0
+                        out = shaped.reshape(-1)
+                return out[:nbits]
             # OFDM_CHIRP
             cfg = self.e._chirp_ofdm_config()
             n_sym = ofdm_pipeline.num_data_symbols(cfg, Modulation.DQPSK, n_cw)

@@ -69,6 +69,21 @@ QUIET_DB = 6.0                # window power gate above the running floor
 BLOCK_SAMPLES = 4800
 FLOOR_BLOCKS = 100            # ~10 s forgetting window (gain steps adapt)
 MIN_BLOCKS = 20
+# Floor STEP-UP (round 5, mid-session onset): when an interferer switches
+# ON during an active session, every block reads >= floor + QUIET_DB and
+# the quiet gate blocks learning until the pre-onset blocks age out of the
+# 100-block history (~10 s of fed audio).  If the last FLOOR_STEP_BLOCKS
+# are ALL elevated, the old floor is stale — drop history older than them
+# so the floor re-anchors at their minimum (~3 s reaction).  Two guards,
+# each load-bearing: (a) frames cannot sustain the condition — any
+# inter-frame gap block sits AT the old floor and resets the run (only a
+# continuous >= 3 s transmission could, hence (b)); (b) the step is capped
+# at FLOOR_STEP_MAX_DB: a zero-noise unit stream has floor ~0, so frame
+# blocks are a ~180 dB step and must never re-anchor the floor (the
+# round-4 invariant "detection never runs in zero-noise streams"), while
+# a real interferer strong enough to matter sits 6-20 dB over the noise.
+FLOOR_STEP_BLOCKS = 30
+FLOOR_STEP_MAX_DB = 20.0
 
 
 def notch_coef(f0_hz: float, bw_hz: float = NOTCH_BW_HZ,
@@ -135,6 +150,16 @@ class ToneExciser:
             self._pow_hist = self._pow_hist[-FLOOR_BLOCKS:]
             self._block_acc = 0.0
             self._block_n = 0
+            # Floor step-up: sustained elevation of the last
+            # FLOOR_STEP_BLOCKS (bounded step) means the old floor is
+            # stale — see the constant block above for the guards.
+            if len(self._pow_hist) >= FLOOR_STEP_BLOCKS + MIN_BLOCKS:
+                recent = self._pow_hist[-FLOOR_STEP_BLOCKS:]
+                fl = min(self._pow_hist)
+                lo = min(recent)
+                if (lo > max(fl, 1e-20) * 10 ** (QUIET_DB / 10.0)
+                        and lo <= fl * 10 ** (FLOOR_STEP_MAX_DB / 10.0)):
+                    self._pow_hist = recent[:]
         self._since_update += len(samples)
         if self._since_update < UPDATE_SAMPLES or len(self._win) < FFT_N:
             return
@@ -220,10 +245,27 @@ class ToneExciser:
             else:
                 t["off"] += 1
         self._tones = [t for t in self._tones if t["off"] < PERSIST_OFF]
-        for f0 in lines:
-            if f0 not in matched and len(self._tones) < MAX_TONES:
-                self._tones.append(
-                    {"f0": f0, "on": 1, "off": 0, "active": False})
+        # Comb rejection (round 5, mid-session onset): after the floor
+        # step-up re-anchors at interferer+noise level, a frame at low SIR
+        # sits only a few dB over the new floor and its windows can sneak
+        # past the mean/flatness gates — and an OFDM frame's spectrum then
+        # presents as SEVERAL simultaneous narrow lines (measured: 3 false
+        # 'carriers' learned during a mid-session ARQ storm, each notching
+        # a live data carrier and livelocking the transfer).  Real hets
+        # arrive 1-2 at a time, so a window showing >= 3 TOTAL lines is
+        # comb-contaminated: tracked tones above still refresh from it,
+        # but nothing new is learned — the per-NEW-line variant leaked
+        # (2 comb lines one update, the third the next, persistence did
+        # the rest).  Cost: at most 2 distinct interferer lines can be
+        # acquired from any one spectrum; a genuine third-tone onset on
+        # top of two tracked tones stays unlearned (measured trade: our
+        # own frames must NEVER be notched, MAX_TONES=4 still serves
+        # drift tracking and sequential two-tone environments).
+        if len(lines) <= 2:
+            for f0 in lines:
+                if f0 not in matched and len(self._tones) < MAX_TONES:
+                    self._tones.append(
+                        {"f0": f0, "on": 1, "off": 0, "active": False})
         self._rebuild()
 
     def _miss_all(self):

