@@ -47,6 +47,13 @@ class ModemStats:
     # fractionally resampled at the estimated skew and re-demodulated
     # (modem/acquisition/cox.py).  Beyond reference: it has no SRO handling.
     frames_sro_retried: int = 0
+    # Round-5: frames improved by the delay-domain channel-model retry —
+    # on a failed coherent pilot-plan decode, the channel is re-estimated
+    # as K discrete paths (matching pursuit over a delay grid) and the
+    # span re-demodulated with model-exact notch interpolation
+    # (ofdm/delay_fit.py).  Beyond reference: it interpolates pilots
+    # linearly only.
+    frames_delayfit_retried: int = 0
     current_modulation: Modulation = Modulation.QPSK
     current_code_rate: CodeRate = CodeRate.R1_2
 

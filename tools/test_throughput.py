@@ -8,7 +8,11 @@ stated SNR so the numbers are honest.  Covers every row of BASELINE.md's
 link-throughput table, including the high_throughput preset points
 (types.hpp:306-307).  Fading rows average 8 independent Watterson
 realizations; the Good-channel decode rate depends strongly on frame length
-(notch dwell): ~80% at 2 codewords/frame, ~50% at 8.
+(notch dwell): with the delay-domain model retry (ofdm/delay_fit.py,
+round 5) fading pilot-plan rows take the per-codeword union of the
+standard and model passes, like the engine's failed-decode ladder —
+the Good row reads 73% at 8 codewords/frame and 94% at 2 (was ~50%/~80%
+linear-interp only).
 
 The reference's "96%" claim for this row (types.hpp:307) is UNREPRODUCIBLE
 with its own code: no reference tool or test exercises high_throughput(),
@@ -105,6 +109,7 @@ def main():
         ci = channel_interleaver(len(cm.data_idx) * bits_per_symbol(mod), code.n)
         inter = cw[:, ci.inv].reshape(1, -1)
 
+        llrs_df = None
         if sync == "chirp":
             cc = chirp_mod.ChirpConfig()
             pre = np.concatenate([chirp_mod.generate(cc),
@@ -145,10 +150,34 @@ def main():
             # Pilot plans decode through the REAL front at the rows' zero
             # CFO, matching the engine's front pick (|cfo| <= 2 Hz).
             front = "real" if len(cm.pilot_idx) else "analytic"
-            llrs = jnp.concatenate(
-                [SC.decode_ofdm_cox(cfg, mod, rx[i:i + 1], ncw,
-                                    front=front)[0]
-                 for i in range(rx.shape[0])])
+            lanes = [SC.decode_ofdm_cox(cfg, mod, rx[i:i + 1], ncw,
+                                        front=front)
+                     for i in range(rx.shape[0])]
+            llrs = jnp.concatenate([l for l, _ in lanes])
+            # Fading pilot-plan rows also get the engine's delay-domain
+            # model retry (ofdm/delay_fit.py, modem/acquisition/cox.py):
+            # per-codeword union with the standard pass, like the engine's
+            # failed-decode ladder.
+            llrs_df = None
+            if chan != "awgn" and len(cm.pilot_idx):
+                from projectultra_tpu.ofdm import delay_fit as DF
+                plen_ = cfg.fft_size + cfg.cyclic_prefix
+                dfl = []
+                for i, (_, det) in enumerate(lanes):
+                    start_lts = int(np.asarray(det["lts_start"])[0])
+                    end = start_lts + 2 * plen_ + S * cfg.symbol_duration
+                    avail_l = start_lts
+                    avail_t = rx.shape[-1] - end
+                    lead_ = (2 * plen_ if avail_l >= 2 * plen_
+                             else plen_ if avail_l >= plen_ else 0)
+                    tail_ = (2 * plen_ if avail_t >= 2 * plen_
+                             else plen_ if avail_t >= plen_ else 0)
+                    sp = rx[i:i + 1, start_lts - lead_:end + tail_]
+                    dfl.append(DF.demodulate_span_delayfit(
+                        cfg, mod, sp, det["cfo_hz"], 0.0, n_lts=2, S=S,
+                        lead=lead_, tail=tail_, front=front,
+                        n_bits=ncw * code.n))
+                llrs_df = jnp.concatenate(dfl)
         reps_n = np.asarray(llrs).shape[0]
         blocks = np.asarray(llrs)[:, :ncw * code.n].reshape(reps_n * ncw, code.n)
         deint = blocks[:, ci.perm]
@@ -160,7 +189,15 @@ def main():
         exp = np.broadcast_to(info.reshape(1, ncw, code.k),
                               (reps_n, ncw, code.k)).reshape(-1, code.k)
         bit_ok = (np.asarray(out) == exp.astype(np.uint8)).all(-1)
-        decode = float((np.asarray(ok) & bit_ok).mean())
+        okv = np.asarray(ok) & bit_ok
+        if llrs_df is not None:
+            blocks2 = np.asarray(llrs_df)[:, :ncw * code.n].reshape(
+                reps_n * ncw, code.n)
+            out2, ok2, _ = ldpc_ops.decode(code, jnp.asarray(
+                blocks2[:, ci.perm]), trap_escape=True)
+            bit_ok2 = (np.asarray(out2) == exp.astype(np.uint8)).all(-1)
+            okv |= np.asarray(ok2) & bit_ok2
+        decode = float(okv.mean())
         theory = cfg.theoretical_throughput(mod, rate)
         print(f"{label:<32} {payload_bits // 8:>7}B {audio_s:>7.2f}s "
               f"{bps:>7.0f} {theory:>7.0f} {decode:>6.0%}")
