@@ -86,6 +86,7 @@ class ModemEngine:
         # persistence-gated), so golden/lane parity is unaffected.
         from .excision import ToneExciser
         self.exciser = ToneExciser()
+        self._excision_pending_prev = False
         # Impulse blanker (beyond-reference, modem/blanker.py): short
         # broadband crashes >= ~10 dB over the local envelope are erased
         # ahead of the exciser and the buffer.  Quiet/clean streams pass
@@ -424,7 +425,29 @@ class ModemEngine:
             events += n
             if n == 0 and self._rx_consumed == consumed_before:
                 break
+        self._excision_rx_hints()
         return events
+
+    def _excision_rx_hints(self):
+        """Feed the exciser the demodulator's frame-in-the-air knowledge
+        (see ToneExciser.suppress_activation/frame_detected): spectral
+        gates alone cannot always tell our own waveform from a het."""
+        plen = self.config.fft_size + self.config.cyclic_prefix
+        starts = []
+        if self.dpsk.pending is not None:  # pending[0] is the DATA start
+            starts.append(self.dpsk.pending[0]
+                          - self.dpsk_config.preamble_samples)
+        if self.cox.pending is not None:   # pending[0] is the LTS start
+            starts.append(self.cox.pending[0] - 5 * plen)
+        if self.chirp.pending is not None:  # pending[0] is the chirp head
+            starts.append(self.chirp.pending[0])
+        starts = [max(0, s) for s in starts]
+        pend = bool(starts) or self.otfs.waiting
+        if pend:
+            self.exciser.suppress_activation(1.5)
+            if not self._excision_pending_prev and starts:
+                self.exciser.frame_detected(min(starts))
+        self._excision_pending_prev = pend
 
     def _acquire_and_decode_once(self) -> int:
         # When the negotiated waveform is OFDM_COX/OTFS/DPSK, incoming

@@ -46,14 +46,40 @@ FS = 48000.0
 FFT_N = 32768                 # 0.68 s window, 1.46 Hz bins
 UPDATE_SAMPLES = 24000        # try a PSD update every 0.5 s of audio
 BAND_HZ = (150.0, 3400.0)     # only lines inside the modem band matter
-THR_DB = 12.0                 # line peak over median in-band bin
+THR_DB = 12.0                 # line peak over median in-band bin (refresh)
+THR_NEW_DB = 17.0
+# NEW candidates need THR_NEW_DB (activation-grade strength).  Harm
+# physics: a het at SIR s (vs frame power) in a noise-only window at
+# SNR 20 reads (20 - s) + 10*log10(2227 in-band bins / ~12 line bins)
+# = (20 - s) + 22.7 dB over the median — any het weak enough to read
+# under 17 dB is at SIR >= ~25 and harmless to every decode path, while
+# our own narrow features crest at 12-15 dB (the robust-DPSK Barker
+# preamble comb at -11 dB under loud noise, measured: the round-4
+# detector notched the DPSK carrier and 60%-failed the stream matrix
+# row; the SIR-0 burst lines measured 8.6-13 dB).  Tracked tones keep
+# refreshing at THR_DB so a drifting or fading het doesn't flap.
 # Narrowness gate, the self-notch guard: the slowest shipped waveform line
 # is the 31.25-baud DBPSK carrier (psk/dpsk.py robust, 1536 samp/sym) whose
 # -6 dB extent is ~37 Hz = 26 bins; 16 bins (23 Hz) rejects it with margin
 # while still capturing hets drifting <= ~34 Hz/s across the 0.68 s window.
 MAX_WIDTH_BINS = 16
 MAX_TONES = 4
-PERSIST_ON = 2
+# Two-tier activation (round 5, SIR-0 onset).  CLEAN sightings — quiet
+# window, near the floor, and every soft-threshold line in the spectrum
+# accounted for by tracked/candidate tones (nothing unexplained) — keep
+# the round-4 threshold: CLEAN_ON = 2 consecutive.  AMBIGUOUS sightings
+# (extra soft lines present, or the window sits above the near-floor
+# band) need PERSIST_ON = 4 CONSECUTIVE quiet-update sightings; the
+# counter RESETS on a quiet update without the line.  Rationale, all
+# measured on tools/test_interferer_onset.py at SIR 0: a short
+# control/ACK burst moves the 0.68 s window MEAN by only +0.1-0.4 dB
+# (under every power gate) but straddles at most 2 overlapping windows,
+# and the leaked 649 Hz false carrier always arrived alongside other
+# soft lines — while a real het in a noise-only window is alone and AT
+# the floor.  Non-quiet windows (frames in the air) do NOT reset the
+# run: a tone hidden under a frame is not evidence of absence.
+PERSIST_ON = 4
+CLEAN_ON = 2
 PERSIST_OFF = 4
 TRACK_HZ = 120.0              # same-tone association window
 NOTCH_BW_HZ = 60.0
@@ -84,6 +110,28 @@ MIN_BLOCKS = 20
 # a real interferer strong enough to matter sits 6-20 dB over the noise.
 FLOOR_STEP_BLOCKS = 30
 FLOOR_STEP_MAX_DB = 20.0
+# Near-floor sighting gate (round 5, SIR-0 onset): a REAL interferer is
+# present in every window, including the ones sitting AT the running
+# floor (pure tone+noise between bursts); a frame-comb false line only
+# ever appears in windows elevated by the frame's own power — at SIR 0
+# a full-frame window reads +3 dB over the tone-anchored floor and a
+# partial one +1-2 dB, both inside the 6 dB quiet gate.  A NEW tone
+# therefore activates only after at least one sighting in a window
+# within NEW_LINE_FLOOR_DB of the floor; tracked tones keep refreshing
+# through the ordinary quiet gate (drift tracking must survive frame-lit
+# windows).  2.0 dB clears the floor statistic's own bias (~0.5 dB: a
+# running MIN of 0.1 s block powers sits below a 0.68 s window mean).
+#
+# The sighting also records the floor LEVEL it was judged against, and is
+# REVOKED if the floor later drops more than NEW_LINE_FLOOR_DB below it:
+# the floor step-up can re-anchor AT frame+tone level mid-way through a
+# LONG frame (MC-DPSK data frames outlast the 3 s step window), which
+# makes frame windows read near-floor and leaked one false carrier at
+# SIR 0 (the measured 649 Hz flapper).  A frame-anchored floor collapses
+# as soon as the frame ends (gap blocks re-anchor the running minimum),
+# revoking the contaminated sighting; a real tone's floor holds, and the
+# tone re-sights in every gap window anyway.
+NEW_LINE_FLOOR_DB = 2.0
 
 
 def notch_coef(f0_hz: float, bw_hz: float = NOTCH_BW_HZ,
@@ -106,10 +154,12 @@ class ToneExciser:
     """
 
     def __init__(self, enabled: bool | None = None):
+        import os
         if enabled is None:  # ULTRA_EXCISION=0 is the global kill switch
-            import os
             enabled = os.environ.get("ULTRA_EXCISION", "1") != "0"
         self.enabled = enabled
+        self._dbg = os.environ.get("ULTRA_EXCISION_DEBUG") == "1"
+        self._fed = 0
         self._win = np.zeros(0, np.float32)   # raw samples for the PSD
         self._since_update = 0
         self._block_acc = 0.0                 # sum of squares, current block
@@ -128,6 +178,46 @@ class ToneExciser:
     def active_tones(self) -> list[float]:
         return [t["f0"] for t in self._tones if t["active"]]
 
+    # Engine RX hints (round 5, the stream-matrix DPSK regression): the
+    # demodulator KNOWS when a frame is in the air (pending preamble /
+    # in-progress decode) and where it started — spectral gates alone
+    # cannot always tell our own waveform from a het (the robust-DPSK
+    # R1/4 body is quasi-tonal at 1500 Hz: mostly-zero info bits give a
+    # differential carrier with few phase flips, measured 18-24 dB over
+    # the median at -11 dB SNR).  While a frame is pending, new-tone
+    # ACTIVATION is deferred (tracking continues); when a preamble is
+    # detected, tones whose activation post-dates the frame start are
+    # revoked (their evidence was the frame's own leading audio — the
+    # notch they placed is released before it can cost the decode more
+    # than ~1-2 s of body).  A long-standing het activated BEFORE the
+    # frame started is never touched.
+
+    def suppress_activation(self, seconds: float):
+        self._suppress_fed = max(getattr(self, "_suppress_fed", 0),
+                                 self._fed + int(seconds * FS))
+
+    def frame_detected(self, frame_start_abs: int):
+        changed = False
+        for t in self._tones:
+            # An activation strictly BEFORE the frame head drew its
+            # evidence from pre-frame windows (each window ends at its
+            # activation time) — never touch it.
+            if t["active"] and t.get("act_fed", 0) >= frame_start_abs:
+                t["active"] = False
+                t["on"] = t["clean"] = t["strong"] = 0
+                t["floor_seen"] = False
+                changed = True
+        # Inactive candidates sighted since the frame began were learned
+        # from the frame's own audio: restart their evidence.
+        self._tones = [t for t in self._tones
+                       if t["active"] or t.get("act_fed") is not None
+                       or t["on"] == 0]
+        for t in self._tones:
+            if not t["active"]:
+                t["on"] = t["clean"] = t["strong"] = 0
+        if changed:
+            self._rebuild()
+
     def process(self, samples: np.ndarray) -> np.ndarray:
         if not self.enabled or not len(samples):
             return samples
@@ -139,6 +229,7 @@ class ToneExciser:
     # -- detection --------------------------------------------------------
 
     def _accumulate(self, samples: np.ndarray):
+        self._fed += len(samples)
         self._win = np.concatenate([self._win, samples])[-FFT_N:]
         # running-minimum floor over ~0.1 s blocks (every sample counted,
         # so silence/noise gaps anchor the floor even between updates)
@@ -186,9 +277,39 @@ class ToneExciser:
             self._miss_all()
             return
         self.quiet_updates += 1
-        self._update_tones(self._detect_lines())
+        near_floor = power <= max(floor, 1e-20) * 10 ** (NEW_LINE_FLOOR_DB
+                                                         / 10.0)
+        if self._dbg:
+            import math
+            lines_dbg, _sc_dbg = self._detect_lines()
+            print(f"[exc] t={self._fed/48000.0:7.2f}s pow/floor="
+                  f"{10*math.log10(power/max(floor,1e-30)):+5.2f}dB "
+                  f"nf={int(near_floor)} "
+                  f"lines={[(round(f), round(db, 1)) for f, db in lines_dbg]} "
+                  f"tones={[(round(t['f0']), t['on'], int(t.get('floor_seen', False)), int(t['active'])) for t in self._tones]}",
+                  flush=True)
+        # Revoke stale near-floor sightings of still-inactive candidates:
+        # the floor they were judged against has collapsed (a long frame
+        # ended), so the sighting was frame-contaminated.
+        for t in self._tones:
+            if (not t["active"] and t.get("floor_seen", False)
+                    and floor < t.get("floor_lvl", 0.0)
+                    * 10 ** (-NEW_LINE_FLOOR_DB / 10.0)):
+                t["floor_seen"] = False
+        lines, soft_count = self._detect_lines()
+        self._update_tones(lines, near_floor, floor, soft_count)
 
-    def _detect_lines(self) -> list[float]:
+    def _detect_lines(self, soft_db: float = 4.0):
+        """Returns (lines, soft_count): detected tone frequencies plus the
+        number of narrow lines above THR_DB - soft_db.  The soft count
+        feeds the comb gate: a frame/burst's spectrum can show many
+        narrow features of which only 1-2 cross the full threshold
+        (measured at SIR 0: a 0.3 s multi-line burst with one 649 Hz
+        line at 12+ dB and five more at 6-9 dB taught a false carrier
+        that the >= 3-STRONG-lines comb rule never saw).  Noise cannot
+        fake the soft threshold: 9-bin smoothing leaves ~1.5 dB std, so
+        +8 dB bumps are vanishingly rare — a real 1-2-het environment
+        never shows 3 soft lines."""
         x = self._win * self._window_fn
         psd = np.abs(np.fft.rfft(x)) ** 2
         f = np.fft.rfftfreq(FFT_N, 1.0 / FS)
@@ -205,13 +326,15 @@ class ToneExciser:
         fb = f[band]
         med = float(np.median(pb)) + 1e-30
         thr = med * 10 ** (THR_DB / 10.0)
+        soft_thr = med * 10 ** ((THR_DB - soft_db) / 10.0)
         lines = []
+        soft_count = 0
         order = np.argsort(pb)[::-1]
         taken = np.zeros(len(pb), bool)
         for idx in order:
-            if len(lines) >= MAX_TONES:
+            if soft_count >= 8:
                 break
-            if pb[idx] < thr or taken[idx]:
+            if pb[idx] < soft_thr or taken[idx]:
                 continue
             # -6 dB extent around the peak must be narrow
             half = pb[idx] / 4.0
@@ -224,28 +347,52 @@ class ToneExciser:
             taken[max(0, lo - MAX_WIDTH_BINS):hi + MAX_WIDTH_BINS] = True
             if hi - lo + 1 > MAX_WIDTH_BINS:
                 continue  # modulated carrier / broadband — not a tone
+            soft_count += 1
+            if pb[idx] < thr or len(lines) >= MAX_TONES:
+                continue
             # power-weighted centroid of the extent
             seg = slice(lo, hi + 1)
             f0 = float((fb[seg] * pb[seg]).sum() / pb[seg].sum())
-            lines.append(f0)
-        return lines
+            lines.append((f0, float(10.0 * np.log10(pb[idx] / med))))
+        return lines, soft_count
 
-    def _update_tones(self, lines: list[float]):
+    def _update_tones(self, lines: list[float], near_floor: bool = True,
+                      floor: float = 0.0, soft_count: int | None = None):
+        if soft_count is None:
+            soft_count = len(lines)
+        # A comb-contaminated window (>= 3 soft lines — see _detect_lines)
+        # is evidence of OUR OWN signal in the air, not of a het: ACTIVE
+        # tones still refresh from it (drift tracking must survive framed
+        # streams), but INACTIVE candidates treat it as line-absent — the
+        # robust-DPSK preamble's 1500+-31.25 Hz Barker comb otherwise
+        # ratchets a candidate at the DPSK carrier to activation across
+        # frames and notches the waveform's own carrier (the round-4
+        # regression that 60%-failed the -11 dB stream matrix row).
+        comb = soft_count >= 3
         matched = set()
+        hits = []
         for t in self._tones:
-            near = [f0 for f0 in lines if abs(f0 - t["f0"]) <= TRACK_HZ]
-            if near:
-                f0 = min(near, key=lambda f0: abs(f0 - t["f0"]))
+            near = [lf for lf in lines if abs(lf[0] - t["f0"]) <= TRACK_HZ]
+            if near and (t["active"] or not comb):
+                f0, db = min(near, key=lambda lf: abs(lf[0] - t["f0"]))
                 matched.add(f0)
                 t["f0"] = f0
+                t["strong"] = (t.get("strong", 0) + 1 if db >= THR_NEW_DB
+                               else 0)
                 t["on"] += 1
                 t["off"] = 0
-                if t["on"] >= PERSIST_ON:
-                    t["active"] = True
+                if near_floor and not t.get("floor_seen", False):
+                    t["floor_seen"] = True
+                    t["floor_lvl"] = floor
+                hits.append(t)
             else:
                 t["off"] += 1
+                if not t["active"]:
+                    t["on"] = 0    # consecutiveness: quiet window, line absent
+                    t["clean"] = 0
         self._tones = [t for t in self._tones if t["off"] < PERSIST_OFF]
-        # Comb rejection (round 5, mid-session onset): after the floor
+        # Comb rejection (round 5, mid-session onset; soft count added for
+        # the SIR-0 burst comb — see _detect_lines): after the floor
         # step-up re-anchors at interferer+noise level, a frame at low SIR
         # sits only a few dB over the new floor and its windows can sneak
         # past the mean/flatness gates — and an OFDM frame's spectrum then
@@ -261,11 +408,32 @@ class ToneExciser:
         # top of two tracked tones stays unlearned (measured trade: our
         # own frames must NEVER be notched, MAX_TONES=4 still serves
         # drift tracking and sequential two-tone environments).
-        if len(lines) <= 2:
-            for f0 in lines:
+        n_new = 0
+        if len(lines) <= 2 and soft_count <= 2:
+            for f0, db in lines:
+                if db < THR_NEW_DB:
+                    continue  # activation-grade strength only (THR_NEW_DB)
                 if f0 not in matched and len(self._tones) < MAX_TONES:
-                    self._tones.append(
-                        {"f0": f0, "on": 1, "off": 0, "active": False})
+                    t = {"f0": f0, "on": 1, "off": 0, "active": False,
+                         "floor_seen": near_floor, "floor_lvl": floor,
+                         "clean": 0, "strong": 1}
+                    self._tones.append(t)
+                    hits.append(t)
+                    n_new += 1
+        # CLEAN window: near the floor and no unexplained soft lines
+        # (every soft line belongs to a tracked tone or a new candidate).
+        clean_win = near_floor and soft_count <= len(matched) + n_new
+        for t in hits:
+            t["clean"] = t.get("clean", 0) + 1 if clean_win else 0
+        suppressed = self._fed < getattr(self, "_suppress_fed", 0)
+        for t in hits:
+            if (not suppressed
+                    and t.get("floor_seen", False) and t.get("strong", 0) >= 1
+                    and (t.get("clean", 0) >= CLEAN_ON
+                         or t["on"] >= PERSIST_ON)):
+                if not t["active"]:
+                    t["act_fed"] = self._fed
+                t["active"] = True
         self._rebuild()
 
     def _miss_all(self):

@@ -218,3 +218,57 @@ def test_mc_dpsk_tone_on_carrier(trial):
     texts = [F.DataFrame.deserialize(fr.frame_bytes).payload_as_text()
              for fr in got if F.DataFrame.deserialize(fr.frame_bytes)]
     assert f"ON_CARRIER_{trial}" in texts
+
+
+def test_no_trigger_on_dpsk_frame_preamble_comb():
+    """Round-5 regression pin (the on-chip stream matrix catch): the robust
+    DPSK frame PREAMBLE (Barker-13x3 DBPSK) is periodic and its spectrum
+    shows discrete lines at 1500 +- 31.25k Hz, and the mostly-zero R1/4
+    info section leaves the differential carrier quasi-TONAL (18-24 dB
+    over the median at -11 dB under loud noise, measured).  The round-4
+    detector notched the waveform's own carrier (stream matrix DPSK row
+    100% -> 40%).  Spectral gates alone cannot separate that from a het,
+    so the engine feeds the exciser its frame-in-the-air knowledge
+    (ModemEngine._excision_rx_hints: activation deferred while a
+    preamble/decode is pending; activations post-dating a detected
+    frame's start revoked).  Both frames must decode and no notch may
+    survive."""
+    import jax
+    import jax.numpy as jnp
+    from projectultra_tpu.modem.engine import ModemEngine
+    from projectultra_tpu.sim import watterson as W
+    from projectultra_tpu.psk import dpsk as DP
+
+    def eng():
+        m = ModemEngine()
+        m.set_waveform_mode(WaveformMode.DPSK)
+        m.connected = True
+        m.handshake_complete = True
+        m.dpsk_config = DP.robust()
+        return m
+
+    tx = eng()
+    pieces = []
+    for i in range(2):
+        fb = F.DataFrame.make_data("W1AW", "VE3ABC", i + 1,
+                                   f"stream frame {i:02d}")
+        pieces.append(tx.transmit(fb.serialize()))
+        pieces.append(np.zeros(4800, np.float32))
+    stream = np.concatenate([np.zeros(4800, np.float32)] + pieces
+                            + [np.zeros(8000, np.float32)])
+    noisy = np.asarray(W.add_noise_active(
+        jax.random.PRNGKey(42), jnp.asarray(stream[None]), -11.0))[0]
+    rx = eng()
+    got = []
+    rx.on_frame = got.append
+    for n, i in enumerate(range(0, len(noisy), 960)):
+        rx.feed_audio(noisy[i:i + 960].astype(np.float32))
+        if n % 5 == 0:
+            rx.poll()
+    for _ in range(6):
+        rx.poll()
+    assert rx.exciser.quiet_updates >= 20
+    assert rx.exciser.active_tones == []
+    decoded = [F.DataFrame.deserialize(fr.frame_bytes) for fr in got
+               if all(fr.cw_ok)]
+    assert len([d for d in decoded if d is not None]) == 2, len(got)
