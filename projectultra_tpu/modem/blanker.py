@@ -42,6 +42,17 @@ Detection is envelope-based with a run-length discriminator:
   one such false blank corrupted the pinned trapping-payload frame of
   tests/test_high_order.py); crashes worth erasing last many
   milliseconds, and sub-3-ms clicks barely graze a symbol.
+* broadband gate at run end: a static crash is BROADBAND by definition
+  (lightning/ignition impulses are spectrally white across the 24 kHz
+  Nyquist band), while every false run the envelope gates can pass is
+  our own 300-2700 Hz waveform audio.  The first-difference power ratio
+  E|x[n]-x[n-1]|^2 / E|x|^2 reads ~2.0 for white noise and ~0.1 for
+  band-limited modem audio (14 dB of separation); runs under
+  BROADBAND_RATIO are released untouched.  Measured catch: an AGC-pumped
+  Cox frame's 7 ms PAPR span 200 ms after onset read +16 dB over BOTH
+  envelope contexts — statistically identical to a gap crash — and was
+  blanked by the round-4 gates (the phase-6 false blank); its diff
+  ratio is ~0.1.
 * quiet-stream guard: no median history (warm-up) or a ~zero median
   (clean unit-test streams have an exactly-zero floor) disables both
   blanking and holding — those streams pass through byte-identical with
@@ -81,6 +92,7 @@ MIN_RUN_BLOCKS = 3         # shorter runs are QAM PAPR spikes, not crashes
 WARMUP_BLOCKS = 150        # no decisions before this much history
 RELEASED_WINDOW = 64       # released-context median for the run-end gate
 BRIDGE_BLOCKS = 5          # below-threshold hangover that keeps a run open
+BROADBAND_RATIO = 0.7      # min diff-power ratio: crashes are white
 FLOOR = 1e-12              # zero-noise streams never engage
 
 
@@ -240,6 +252,19 @@ class ImpulseBlanker:
                 blank = (n_run >= MIN_RUN_BLOCKS
                          and self._n_released >= RELEASED_WINDOW // 4
                          and ctx > FLOOR and run_med > ctx * self._thresh)
+                if blank:
+                    # Broadband gate: see module docstring.
+                    x = np.concatenate(self._held[:n_run]).astype(np.float64)
+                    d2 = float(np.mean(np.diff(x) ** 2))
+                    x2 = float(np.mean(x ** 2))
+                    blank = x2 > 0 and d2 / x2 >= BROADBAND_RATIO
+                if os.environ.get("ULTRA_BLANKER_DEBUG") == "1" and blank:
+                    import math
+                    print(f"[blk] t={self._n_powers/1000.0:.2f}s n_run={n_run}"
+                          f" run/ctx={10*math.log10(run_med/max(ctx,1e-30)):.1f}dB"
+                          f" run/med={10*math.log10(run_med/max(med,1e-30)):.1f}dB"
+                          f" ctx/med={10*math.log10(max(ctx,1e-30)/max(med,1e-30)):.1f}dB",
+                          flush=True)
                 self._flush_held(out, blank=blank,
                                  keep_tail=self._below_pending)
             return
